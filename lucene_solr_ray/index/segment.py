@@ -1,0 +1,295 @@
+"""Per-partition immutable segment: build (write) and read paths.
+
+The segment is this engine's analog of a Lucene segment (reference:
+lucene/core/src/java/org/apache/lucene/index/DocumentsWriterPerThread.java
+flush path + the lucene84 codec writers, branch_8x; SURVEY.md §1.1, §3.1,
+Appendix B). One Ray Data partition (all rows whose
+``crc32(url) % P == partition_id``) becomes exactly one immutable segment
+directory:
+
+    segments/part-XXXXX/
+      manifest.json     lineage + metrics (written last; atomic publish)
+      terms.parquet     sorted term dictionary: term, df, total_tf,
+                        offset/nbytes into postings.bin, nblocks
+      skips.parquet     per-128-doc-block skip+impact data:
+                        term, last_docid, max_freq, min_norm, nbytes
+      postings.bin      FOR-packed delta blocks (postings.py layout)
+      norms.parquet     per-doc norm byte (SmallFloat) + exact dl (debug)
+      docmap.parquet    local_docid -> url, warc_ts
+
+Determinism: docs are deduped last-wins by (url, warc_ts) and sorted by
+url before docID assignment, so the same input rows always produce the
+same segment bytes regardless of arrival order or parallelism (stronger
+than Lucene's arrival-order docIDs; required for the rank-identity gate,
+SURVEY.md §4 "ordering").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+from typing import Any, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis.smallfloat import int_to_byte4
+from ..state.manifest import publish_segment, segment_dir, write_segment_manifest
+from .postings import BLOCK, decode_term_postings, encode_postings_batch
+
+__all__ = ["build_segment", "SegmentReader", "DOCMAP_ROW_GROUP"]
+
+DOCMAP_ROW_GROUP = 8192
+
+
+def _dedup_sort(table: pa.Table) -> pa.Table:
+    """Last-wins dedup by url (version = warc_ts, SURVEY.md §2.10 analog of
+    Solr's _version_ optimistic concurrency), then sort by url for
+    deterministic local docID assignment."""
+    urls = np.asarray(table["url"].to_pandas(), dtype=object)
+    ts = table["warc_ts"].to_pandas().to_numpy().view("int64")
+    dl = table["dl"].to_numpy()
+    order = np.lexsort((dl, ts, urls))  # primary url, then ts, then dl
+    urls_sorted = urls[order]
+    # keep the LAST row of each url run (max warc_ts)
+    is_last = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        is_last[:-1] = urls_sorted[:-1] != urls_sorted[1:]
+    keep = order[is_last]
+    return table.take(pa.array(keep))
+
+
+def build_segment(
+    table: pa.Table, partition_id: int, index_root: str, lineage: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Build + atomically publish one partition's segment; returns summary.
+
+    ``table`` carries the analyzer stage's output columns:
+    url:string, warc_ts:timestamp[us], terms:list<string> (unique per doc),
+    freqs:list<int32>, dl:int32.
+    """
+    t0 = time.perf_counter()
+    table = _dedup_sort(table)
+    n_docs = table.num_rows
+    if n_docs == 0:
+        return _build_empty_segment(partition_id, index_root, lineage, t0)
+
+    terms_col = table["terms"].combine_chunks()
+    if isinstance(terms_col, pa.ChunkedArray):
+        terms_col = terms_col.combine_chunks()
+    freqs_col = table["freqs"].combine_chunks()
+    lengths = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+    flat_terms = pc.list_flatten(terms_col)
+    flat_freqs = pc.list_flatten(freqs_col).to_numpy().astype(np.uint32)
+
+    # term dictionary: arrow-side hash dedup, then lexicographic rank
+    dict_enc = pc.dictionary_encode(flat_terms)
+    codes = dict_enc.combine_chunks().indices.to_numpy().astype(np.int64) if isinstance(
+        dict_enc, pa.ChunkedArray
+    ) else dict_enc.indices.to_numpy().astype(np.int64)
+    dictionary = (
+        dict_enc.combine_chunks().dictionary if isinstance(dict_enc, pa.ChunkedArray)
+        else dict_enc.dictionary
+    )
+    vocab = np.asarray(dictionary.to_pandas(), dtype=object)
+    n_terms = len(vocab)
+    order = np.argsort(vocab)  # UTF-8/codepoint order (BytesRef order)
+    rank = np.empty(n_terms, dtype=np.int64)
+    rank[order] = np.arange(n_terms)
+    tids = rank[codes]
+    sorted_vocab = vocab[order]
+
+    docids = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    dl = table["dl"].to_numpy().astype(np.int64)
+    norms = int_to_byte4(dl)
+
+    post_order = np.argsort(tids, kind="stable")  # (term, docid) order
+    tids_s = tids[post_order]
+    docids_s = docids[post_order]
+    freqs_s = flat_freqs[post_order]
+
+    blob, t_off, t_nbytes, skips = encode_postings_batch(
+        tids_s, docids_s, freqs_s, n_terms, norm_bytes=norms[docids_s]
+    )
+    df = np.bincount(tids_s, minlength=n_terms).astype(np.int32)
+    total_tf = np.bincount(tids_s, weights=freqs_s.astype(np.float64), minlength=n_terms).astype(np.int64)
+    nblocks = ((df.astype(np.int64) + BLOCK - 1) // BLOCK).astype(np.int32)
+
+    final_dir = segment_dir(index_root, partition_id)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
+        f.write(blob)
+
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(sorted_vocab, type=pa.string()),
+                "df": df,
+                "total_tf": total_tf,
+                "offset": t_off,
+                "nbytes": t_nbytes,
+                "nblocks": nblocks,
+            }
+        ),
+        os.path.join(tmp_dir, "terms.parquet"),
+    )
+    pq.write_table(pa.table(skips), os.path.join(tmp_dir, "skips.parquet"))
+    pq.write_table(
+        pa.table({"norm": norms, "dl": dl.astype(np.int32)}),
+        os.path.join(tmp_dir, "norms.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "local_docid": np.arange(n_docs, dtype=np.int32),
+                "url": table["url"],
+                "warc_ts": table["warc_ts"],
+            }
+        ),
+        os.path.join(tmp_dir, "docmap.parquet"),
+        row_group_size=DOCMAP_ROW_GROUP,
+    )
+
+    summary = {
+        "partition_id": int(partition_id),
+        "docs": int(n_docs),
+        "terms": int(n_terms),
+        "postings": int(len(tids_s)),
+        "sum_dl": int(dl.sum()),
+        "postings_bytes": len(blob),
+        "checksum_crc32": zlib.crc32(blob),
+        "build_sec": round(time.perf_counter() - t0, 3),
+    }
+    write_segment_manifest(tmp_dir, {**summary, **lineage})
+    publish_segment(tmp_dir, final_dir)
+    return summary
+
+
+def _build_empty_segment(partition_id, index_root, lineage, t0):
+    final_dir = segment_dir(index_root, partition_id)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
+        f.write(b"")
+    empty_i32 = np.array([], dtype=np.int32)
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": empty_i32,
+                "total_tf": np.array([], dtype=np.int64),
+                "offset": np.array([], dtype=np.int64),
+                "nbytes": np.array([], dtype=np.int64),
+                "nblocks": empty_i32,
+            }
+        ),
+        os.path.join(tmp_dir, "terms.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "term": empty_i32,
+                "last_docid": empty_i32,
+                "max_freq": empty_i32,
+                "min_norm": np.array([], dtype=np.uint8),
+                "nbytes": empty_i32,
+            }
+        ),
+        os.path.join(tmp_dir, "skips.parquet"),
+    )
+    pq.write_table(
+        pa.table({"norm": np.array([], dtype=np.uint8), "dl": empty_i32}),
+        os.path.join(tmp_dir, "norms.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "local_docid": empty_i32,
+                "url": pa.array([], type=pa.string()),
+                "warc_ts": pa.array([], type=pa.timestamp("us")),
+            }
+        ),
+        os.path.join(tmp_dir, "docmap.parquet"),
+    )
+    summary = {
+        "partition_id": int(partition_id),
+        "docs": 0,
+        "terms": 0,
+        "postings": 0,
+        "sum_dl": 0,
+        "postings_bytes": 0,
+        "checksum_crc32": zlib.crc32(b""),
+        "build_sec": round(time.perf_counter() - t0, 3),
+    }
+    write_segment_manifest(tmp_dir, {**summary, **lineage})
+    publish_segment(tmp_dir, final_dir)
+    return summary
+
+
+class SegmentReader:
+    """mmap-backed read path (analog of MMapDirectory + SegmentReader;
+    reference: lucene/core/src/java/org/apache/lucene/store/MMapDirectory.java,
+    branch_8x). Open once per searcher actor (SURVEY.md §2.4)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self.terms = np.asarray(t["term"].to_pandas(), dtype=object)
+        self.df = t["df"].to_numpy()
+        self.total_tf = t["total_tf"].to_numpy()
+        self.offset = t["offset"].to_numpy()
+        self.nbytes = t["nbytes"].to_numpy()
+        self.nblocks = t["nblocks"].to_numpy().astype(np.int64)
+        self.term_block_start = np.concatenate(([0], np.cumsum(self.nblocks)[:-1]))
+
+        s = pq.read_table(os.path.join(seg_dir, "skips.parquet"))
+        self.skip_last_docid = s["last_docid"].to_numpy()
+        self.skip_max_freq = s["max_freq"].to_numpy()
+        self.skip_min_norm = s["min_norm"].to_numpy()
+        skip_nbytes = s["nbytes"].to_numpy().astype(np.int64)
+        # absolute byte offset of every block in postings.bin
+        self.block_offset = np.concatenate(([0], np.cumsum(skip_nbytes)[:-1]))
+
+        n = pq.read_table(os.path.join(seg_dir, "norms.parquet"))
+        self.norms = n["norm"].to_numpy()
+        self.dl = n["dl"].to_numpy()
+        self.num_docs = len(self.norms)
+
+        self.post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
+
+    def lookup(self, term: str) -> int:
+        """Binary search the sorted term dictionary → ordinal or -1."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def postings(self, ordinal: int):
+        off = int(self.offset[ordinal])
+        return decode_term_postings(
+            self.post[off : off + int(self.nbytes[ordinal])], int(self.df[ordinal])
+        )
+
+    def term_blocks(self, ordinal: int):
+        """(block_offsets, last_docids, max_freqs, min_norms) of one term."""
+        s = int(self.term_block_start[ordinal])
+        e = s + int(self.nblocks[ordinal])
+        return (
+            self.block_offset[s:e],
+            self.skip_last_docid[s:e],
+            self.skip_max_freq[s:e],
+            self.skip_min_norm[s:e],
+        )

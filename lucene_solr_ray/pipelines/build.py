@@ -1,0 +1,205 @@
+"""Index build pipeline: pages parquet → partitioned segment index.
+
+The Ray-Data re-expression of the reference ingest path (SURVEY.md §3.1;
+reference trace: JsonLoader → UpdateRequestProcessorChain →
+DistributedUpdateProcessor hash routing → DWPT analysis/accumulation →
+flush → TieredMergePolicy merges → commit, branch_8x):
+
+    read_parquet(columns pruned — the multi-MB html column NEVER leaves
+                 storage unless the extraction check is on)
+      → [optional] text-extraction invariant check (stateless map_batches)
+      → lang filter (vectorized arrow predicate)
+      → route: part_key = crc32(url) % P   (stateless map_batches)
+      → [resume] drop rows of already-built partitions (done-set filter,
+                 broadcast — skipped rows never reach the analyzer)
+      → analyzer actor pool (stateful map_batches, zero-copy Arrow)
+      → groupby(part_key).map_groups(segment writer)   ← THE shuffle
+      → per-partition segment artifact, atomically published
+      → global stats pass (groupby term over pre-aggregated term tables)
+      → root MANIFEST.json (the segments_N commit point analog)
+
+One partition == one segment == one unit of resume. Deduplication
+(last-wins by warc_ts) happens INSIDE the partition writer — the hash
+route already co-locates all versions of a url, so dedup costs no extra
+shuffle (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..index.partitioner import part_keys
+from ..index.segment import build_segment
+from ..index.stats import compute_global_stats
+from ..stages.analyzer import DEFAULT_SPEC, AnalyzerStage, analyzer_spec_hash
+from ..state.manifest import (
+    list_valid_partitions,
+    read_segment_manifest,
+    segment_dir,
+    write_root_manifest,
+)
+
+__all__ = ["build_index", "input_fingerprint"]
+
+
+def input_fingerprint(paths: List[str]) -> str:
+    """Stable identity of the input file set (name + size), part of every
+    segment's lineage — resume invalidates when the input changes."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1
+        h.update(f"{os.path.basename(p)}:{size};".encode())
+    return h.hexdigest()[:16]
+
+
+def _check_extraction_invariant(batch: pa.Table) -> pa.Table:
+    """Per-row invariant from BASELINE.json:15: extracted text must be
+    byte-identical per url. Our synthetic html wraps text invertibly
+    (FIXTURES.md §1); rows violating the invariant fail the build loudly
+    (the reference's analog: Tika extraction is deterministic per url)."""
+    html = batch["html"].to_pylist()
+    text = batch["text"].to_pylist()
+    for i, (h, t) in enumerate(zip(html, text)):
+        if h is None:
+            continue
+        inner = h[len(b"<html><body><p>") : -len(b"</p></body></html>")]
+        if inner != t.encode("utf-8"):
+            raise ValueError(
+                f"text-extraction invariant violated for url={batch['url'][i]}"
+            )
+    return batch.drop_columns(["html"])
+
+
+def build_index(
+    input_paths: List[str],
+    index_root: str,
+    num_partitions: int,
+    lang: Optional[str] = "en",
+    resume: bool = True,
+    check_extraction: bool = False,
+    analyzer_concurrency=None,
+    analyzer_batch_size: int = 2048,
+) -> Dict:
+    """Build (or resume) the full index; returns the root manifest dict."""
+    t0 = time.perf_counter()
+    os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
+    spec = dict(DEFAULT_SPEC)
+    lineage = {
+        "input_fingerprint": input_fingerprint(input_paths),
+        "analyzer_hash": analyzer_spec_hash(spec),
+        "num_partitions": num_partitions,
+    }
+
+    done: List[int] = (
+        list_valid_partitions(index_root, num_partitions, lineage) if resume else []
+    )
+    done_set = frozenset(done)
+
+    columns = ["url", "warc_ts", "text", "lang"]
+    if check_extraction:
+        columns.append("html")
+    ds = ray.data.read_parquet(input_paths, columns=columns)
+
+    if check_extraction:
+        ds = ds.map_batches(_check_extraction_invariant, batch_format="pyarrow")
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+        )
+    ds = ds.drop_columns(["lang"])
+
+    P = num_partitions
+
+    def route(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch["url"].to_pylist(), P)
+        out = batch.append_column("part_key", pa.array(pk))
+        if done_set:
+            keep = ~np.isin(pk, np.fromiter(done_set, dtype=np.int32))
+            out = out.filter(pa.array(keep))
+        return out
+
+    ds = ds.map_batches(route, batch_format="pyarrow")
+
+    if analyzer_concurrency is None:
+        # actor pool sized to the session CPUs; autoscaling (1, ncpu) keeps
+        # small builds from over-reserving while large builds fill the node
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        analyzer_concurrency = (1, max(2, ncpu))
+    ds = ds.map_batches(
+        AnalyzerStage,
+        fn_constructor_kwargs={"num_partitions": P},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=analyzer_batch_size,
+        concurrency=analyzer_concurrency,
+    )
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        pid = int(group["part_key"][0].as_py())
+        summary = build_segment(group, pid, index_root, lineage)
+        return pa.table({k: [v] for k, v in summary.items()})
+
+    summaries = ds.groupby("part_key").map_groups(
+        write_partition, batch_format="pyarrow"
+    ).to_pandas()
+
+    # partitions that received no rows (or were resumed) still need artifacts
+    built = set(summaries["partition_id"].tolist()) if len(summaries) else set()
+    for pid in range(P):
+        if pid in built or pid in done_set:
+            continue
+        empty = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "warc_ts": pa.array([], type=pa.timestamp("us")),
+                "part_key": pa.array([], type=pa.int32()),
+                "terms": pa.array([], type=pa.list_(pa.string())),
+                "freqs": pa.array([], type=pa.list_(pa.int32())),
+                "dl": pa.array([], type=pa.int32()),
+            }
+        )
+        build_segment(empty, pid, index_root, lineage)
+
+    compute_global_stats(index_root, P)
+
+    # fold all partition metrics (fresh + resumed) into the root manifest
+    partitions = []
+    for pid in range(P):
+        m = read_segment_manifest(segment_dir(index_root, pid)) or {}
+        partitions.append(
+            {
+                "partition_id": pid,
+                "docs": m.get("docs", 0),
+                "terms": m.get("terms", 0),
+                "postings": m.get("postings", 0),
+                "sum_dl": m.get("sum_dl", 0),
+                "postings_bytes": m.get("postings_bytes", 0),
+                "resumed": pid in done_set,
+            }
+        )
+    n_docs = sum(p["docs"] for p in partitions)
+    sum_dl = sum(p["sum_dl"] for p in partitions)
+    root = {
+        "num_partitions": P,
+        "num_docs": n_docs,
+        "sum_dl": sum_dl,
+        "analyzer_spec": spec,
+        "lang_filter": lang,
+        "build_wall_sec": round(time.perf_counter() - t0, 3),
+        "resumed_partitions": sorted(done_set),
+        "partitions": partitions,
+        **lineage,
+    }
+    write_root_manifest(index_root, root)
+    return root

@@ -1,0 +1,98 @@
+"""Deliberately-slow pure-Python BM25 oracle — the test ground truth.
+
+Stand-in for Lucene's TestBM25Similarity / CheckHits reference outputs
+(reference: lucene/core/src/test/org/apache/lucene/search/similarities/
+TestBM25Similarity.java, lucene/test-framework/.../search/CheckHits.java,
+branch_8x; SURVEY.md §5 patterns 2+5): an independent, dict-and-loop
+implementation of the exact scoring semantics of SURVEY.md Appendix A —
+no shared code with the engine's vectorized path beyond the SmallFloat
+table and the tokenizer (which have their own golden tests). The engine
+must reproduce this oracle's top-k docIDs (urls) and float32 scores
+bit-exactly at every partition count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..analysis.smallfloat import LENGTH_TABLE, _int_to_byte4_scalar
+from ..analysis.tokenizer import StandardTokenizer
+
+__all__ = ["OracleIndex"]
+
+F32 = np.float32
+
+
+class OracleIndex:
+    """In-memory single-node index over raw page rows (url, warc_ts, text)."""
+
+    def __init__(self, rows: List[dict], lang: str = "en", k1: float = 1.2, b: float = 0.75):
+        tok = StandardTokenizer()
+        # last-wins dedup by url (max warc_ts)
+        best: Dict[str, tuple] = {}
+        for r in rows:
+            if lang is not None and r.get("lang") != lang:
+                continue
+            prev = best.get(r["url"])
+            if prev is None or r["warc_ts"] > prev[0]:
+                best[r["url"]] = (r["warc_ts"], r["text"])
+        self.urls = sorted(best)
+        self.n_docs = len(self.urls)
+        self.k1, self.b = k1, b
+
+        self.postings: Dict[str, List[Tuple[int, int]]] = {}
+        self.norm_bytes: List[int] = []
+        sum_dl = 0
+        for docid, url in enumerate(self.urls):
+            toks = tok.tokenize_lower(best[url][1])
+            sum_dl += len(toks)
+            self.norm_bytes.append(_int_to_byte4_scalar(len(toks)))
+            tf: Dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                self.postings.setdefault(t, []).append((docid, f))
+        self.sum_dl = sum_dl
+        # float avgdl = (float)(sumTotalTermFreq / (double) docCount)
+        self.avgdl = F32(sum_dl / self.n_docs) if self.n_docs else F32(1)
+        # 256-entry reciprocal norm cache, float32 arithmetic
+        one, k1f, bf = F32(1), F32(k1), F32(b)
+        # evaluation order pinned to match BM25Similarity's float expression:
+        # 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))
+        self.cache = [
+            F32(one / F32(k1f * F32(F32(one - bf) + F32(F32(bf * F32(LENGTH_TABLE[i])) / self.avgdl))))
+            for i in range(256)
+        ]
+
+    def idf(self, term: str) -> F32:
+        df = len(self.postings.get(term, ()))
+        if df == 0:
+            return F32(0)
+        return F32(math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+
+    def score_term_doc(self, term: str, docid: int, freq: int) -> F32:
+        w = self.idf(term)
+        ni = self.cache[self.norm_bytes[docid]]
+        return F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
+
+    def query(self, terms: List[str], kind: str, k: int) -> List[Tuple[str, float]]:
+        """Top-k (url, float32 score) with tie-break (score desc, url asc)."""
+        doc_scores: Dict[int, F32] = {}
+        doc_hits: Dict[int, int] = {}
+        missing = any(t not in self.postings for t in terms)
+        if kind == "and" and missing:
+            return []
+        for t in terms:
+            for docid, freq in self.postings.get(t, ()):
+                contrib = self.score_term_doc(t, docid, freq)
+                doc_scores[docid] = F32(doc_scores.get(docid, F32(0)) + contrib)
+                doc_hits[docid] = doc_hits.get(docid, 0) + 1
+        if kind == "and":
+            cands = [d for d, h in doc_hits.items() if h == len(terms)]
+        else:
+            cands = list(doc_hits)
+        ranked = sorted(cands, key=lambda d: (-float(doc_scores[d]), self.urls[d]))[:k]
+        return [(self.urls[d], float(doc_scores[d])) for d in ranked]

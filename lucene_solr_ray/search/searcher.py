@@ -1,0 +1,176 @@
+"""Per-partition BM25 top-k scoring: exhaustive vectorized path + actor stage.
+
+Re-creates the semantics of Lucene's IndexSearcher.search → Weight.bulkScorer
+→ TopScoreDocCollector pipeline (reference: lucene/core/src/java/org/apache/
+lucene/search/TopScoreDocCollector.java, BooleanWeight.java, branch_8x;
+SURVEY.md §2.3, §2.7, §3.2):
+
+- every query is a predicate over docIDs realized as posting-list algebra;
+- ``term`` / ``or``  → disjunction: sum of per-term BM25 contributions
+  over the union of postings (minShouldMatch=1);
+- ``and``            → conjunction (MUST): all terms present, score = sum;
+- per-partition top-k heap keeps k best by (score desc, local_docid asc) —
+  the strictly-greater insert while scanning ascending docIDs, which is
+  exactly TopScoreDocCollector's tie behavior;
+- scores are float32 end-to-end; per-doc contributions are accumulated in
+  QUERY TERM ORDER so results are bit-identical between the exhaustive
+  path, the WAND path, and any partitioning of the corpus.
+
+The exhaustive path is dense-vectorized (numpy scatter-add over a float32
+score array) — on partitions up to a few million docs this beats a Python
+block-at-a-time loop; block-max WAND (wand.py) wins when partitions are
+huge and the threshold prunes most blocks. ``method="auto"`` picks by
+partition size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..index.segment import DOCMAP_ROW_GROUP, SegmentReader
+from .similarity import Bm25Similarity
+
+__all__ = ["score_query_exhaustive", "topk_select", "SearcherStage", "lookup_urls"]
+
+
+def topk_select(cand: np.ndarray, scores: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, docid asc) over candidate docids + scores."""
+    if len(cand) == 0:
+        return cand.astype(np.int64), scores.astype(np.float32)
+    nsc = -scores
+    if len(cand) > k:
+        kth = np.partition(nsc, k - 1)[k - 1]
+        mask = nsc <= kth
+        cand, nsc = cand[mask], nsc[mask]
+    order = np.lexsort((cand, nsc))[:k]
+    return cand[order].astype(np.int64), (-nsc[order]).astype(np.float32)
+
+
+def score_query_exhaustive(
+    reader: SegmentReader,
+    terms: Sequence[str],
+    kind: str,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-evaluation scoring over one segment (CheckHits-style ground
+    truth for WAND; also the fast path for small/medium partitions)."""
+    n_docs = reader.num_docs
+    scores = np.zeros(n_docs, dtype=np.float32)
+    hits = np.zeros(n_docs, dtype=np.uint16)
+    n_terms = len(terms)
+    missing = False
+    for term in terms:
+        o = reader.lookup(term)
+        if o < 0:
+            missing = True
+            continue
+        tp = reader.postings(o)
+        contrib = sim.score_freqs(weights[term], tp.freqs, reader.norms[tp.docids], cache_inv)
+        scores[tp.docids] += contrib
+        hits[tp.docids] += 1
+    if kind == "and":
+        if missing:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        cand = np.nonzero(hits == n_terms)[0]
+    else:
+        cand = np.nonzero(hits)[0]
+    return topk_select(cand, scores[cand], k)
+
+
+def lookup_urls(seg_dir: str, local_docids: np.ndarray) -> List[str]:
+    """Fetch urls for winner docids only — reads just the row groups that
+    contain them (docmap is written sorted with fixed row_group_size), the
+    analog of Solr's second-phase GET_FIELDS fetch (SURVEY.md §3.2 step 6)."""
+    if len(local_docids) == 0:
+        return []
+    pf = pq.ParquetFile(os.path.join(seg_dir, "docmap.parquet"))
+    need = sorted(set(int(d) // DOCMAP_ROW_GROUP for d in local_docids))
+    tables = [pf.read_row_group(g, columns=["local_docid", "url"]) for g in need]
+    t = pa.concat_tables(tables)
+    ids = t["local_docid"].to_numpy()
+    urls = t["url"].to_pylist()
+    pos = np.searchsorted(ids, local_docids)
+    return [urls[p] for p in pos]
+
+
+class SearcherStage:
+    """Actor-pool stage: one batch row = one partition to search.
+
+    State loaded once per actor (SURVEY.md §2.4 — the SolrIndexSearcher
+    analog): the broadcast query set + global stats arrive via an object
+    store reference (``ray.put`` once on the driver, NOT re-shipped per
+    task); segment readers are cached per actor across batches."""
+
+    def __init__(self, ctx_ref):
+        import ray
+
+        ctx = ray.get(ctx_ref) if not isinstance(ctx_ref, dict) else ctx_ref
+        self.queries: List[dict] = ctx["queries"]
+        self.weights: Dict[str, np.float32] = ctx["weights"]
+        self.avgdl = ctx["avgdl"]
+        self.k = ctx["k"]
+        self.method = ctx.get("method", "auto")
+        self.sim = Bm25Similarity()
+        self.cache_inv = self.sim.norm_inverse_cache(self.avgdl)
+        self._readers: Dict[str, SegmentReader] = {}
+
+    def _reader(self, seg_dir: str) -> SegmentReader:
+        r = self._readers.get(seg_dir)
+        if r is None:
+            r = self._readers[seg_dir] = SegmentReader(seg_dir)
+        return r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .wand import score_query_wand
+
+        out_qid, out_pid, out_doc, out_score = [], [], [], []
+        for row in batch.to_pylist():
+            seg_dir, pid = row["seg_dir"], row["partition_id"]
+            reader = self._reader(seg_dir)
+            if reader.num_docs == 0:
+                continue
+            use_wand = self.method == "wand" or (
+                self.method == "auto" and reader.num_docs > 4_000_000
+            )
+            for q in self.queries:
+                fn = score_query_wand if use_wand else score_query_exhaustive
+                docids, scores = fn(
+                    reader, q["terms"], q["kind"], self.weights, self.cache_inv, self.sim, self.k
+                )
+                out_qid.extend([q["query_id"]] * len(docids))
+                out_pid.extend([pid] * len(docids))
+                out_doc.extend(docids.tolist())
+                out_score.extend(scores.tolist())
+
+        # attach urls for the (few) winners — needed for the deterministic
+        # global tie-break and the final result payload
+        qid = np.array(out_qid, dtype=np.int32)
+        pid = np.array(out_pid, dtype=np.int32)
+        doc = np.array(out_doc, dtype=np.int64)
+        urls: List[str] = [""] * len(doc)
+        for seg_dir_u in {r["seg_dir"] for r in batch.to_pylist()}:
+            pid_of_dir = int(os.path.basename(seg_dir_u).split("-")[1])
+            mask = pid == pid_of_dir
+            if mask.any():
+                ids = doc[mask]
+                order = np.argsort(ids)
+                fetched = lookup_urls(seg_dir_u, ids[order])
+                for j, u in zip(np.nonzero(mask)[0][order], fetched):
+                    urls[j] = u
+        return pa.table(
+            {
+                "query_id": qid,
+                "partition_id": pid,
+                "local_docid": doc.astype(np.int32),
+                "url": pa.array(urls, type=pa.string()),
+                "score": np.array(out_score, dtype=np.float32),
+            }
+        )

@@ -1,0 +1,84 @@
+"""BM25 similarity, float32-exact to Lucene 8.x semantics.
+
+From-scratch re-creation of lucene/core/src/java/org/apache/lucene/search/
+similarities/BM25Similarity.java (branch_8x; SURVEY.md Appendix A.1):
+
+- ``idf(t) = (float) ln(1 + (N - df + 0.5) / (df + 0.5))`` — double log,
+  cast to float32.
+- Since LUCENE-8563 (8.0) the ``(k1+1)`` numerator factor is dropped:
+  per-term weight ``w = boost * idf`` (float32).
+- A 256-entry per-field cache holds the *reciprocal* norm factor:
+  ``cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))``
+  (all float32 arithmetic), where ``LENGTH_TABLE`` decodes the lossy
+  SmallFloat norm byte.
+- Per (term, doc): ``score = w - w / (1 + freq * cache[normByte])``,
+  evaluated in float32 in exactly that form so that ``w`` is a monotone
+  upper bound for block-max WAND.
+- ``avgdl = (float) (sumTotalTermFreq / (double) docCount)``.
+
+A deliberately-slow scalar oracle (``score_scalar``) mirrors the
+vectorized path for tests, and an alternative float64/exact-norm mode
+(``Bm25Similarity(lossy_norms=False, dtype=float64)``) exists solely so
+DuckDB SQL oracles can reproduce scores exactly (SQL cannot express the
+float32 rounding or the SmallFloat table compactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..analysis.smallfloat import LENGTH_TABLE
+
+__all__ = ["Bm25Similarity"]
+
+F32 = np.float32
+
+
+class Bm25Similarity:
+    def __init__(self, k1: float = 1.2, b: float = 0.75, lossy_norms: bool = True,
+                 dtype=np.float32):
+        self.k1 = dtype(k1)
+        self.b = dtype(b)
+        self.lossy_norms = lossy_norms
+        self.dtype = dtype
+
+    def idf(self, df, n_docs) -> np.ndarray:
+        """float32(ln(1 + (N - df + 0.5)/(df + 0.5))), vectorized over df."""
+        df = np.asarray(df, dtype=np.float64)
+        val = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        return val.astype(self.dtype)
+
+    def avgdl(self, sum_total_tf: int, doc_count: int):
+        return self.dtype(np.float64(sum_total_tf) / np.float64(doc_count))
+
+    def norm_inverse_cache(self, avgdl) -> np.ndarray:
+        """256-entry reciprocal norm-factor cache (float32 arithmetic)."""
+        dt = self.dtype
+        table = LENGTH_TABLE.astype(dt)
+        one = dt(1.0)
+        return (one / (self.k1 * ((one - self.b) + self.b * table / dt(avgdl)))).astype(dt)
+
+    def score_freqs(self, weight, freqs: np.ndarray, norm_bytes: np.ndarray,
+                    cache: np.ndarray) -> np.ndarray:
+        """Vectorized per-(term,doc) score: w - w / (1 + freq * cache[norm])."""
+        dt = self.dtype
+        w = dt(weight)
+        norm_inv = cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        freqs = np.asarray(freqs, dtype=dt)
+        return (w - w / (dt(1.0) + freqs * norm_inv)).astype(dt)
+
+    def score_exact_dl(self, weight, freqs: np.ndarray, dl: np.ndarray, avgdl):
+        """Non-lossy variant (for SQL-oracle parity): normFactor from exact dl."""
+        dt = self.dtype
+        w = dt(weight)
+        freqs = np.asarray(freqs, dtype=dt)
+        dl = np.asarray(dl, dtype=dt)
+        norm = self.k1 * ((dt(1.0) - self.b) + self.b * dl / dt(avgdl))
+        return (w - w / (dt(1.0) + freqs / norm)).astype(dt)
+
+    # -- scalar oracle path (slow, independent arithmetic order) ------------
+    def score_scalar(self, weight: float, freq: int, norm_byte: int, cache: np.ndarray) -> float:
+        dt = self.dtype
+        w = dt(weight)
+        ni = cache[int(norm_byte) & 0xFF]
+        return float(dt(w - w / (dt(1.0) + dt(freq) * ni)))

@@ -1,0 +1,101 @@
+"""Index + segment manifests: lineage, metrics, atomic publish, resume.
+
+Analog of Lucene's ``segments_N`` commit point and Solr's cluster state
+(reference: lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java,
+solr/core/src/java/org/apache/solr/cloud/ZkController.java, branch_8x;
+SURVEY.md §3.4, §4): every per-partition segment directory carries a
+``manifest.json`` written LAST into a temp dir that is atomically renamed
+into place (the commit), and the index root carries ``MANIFEST.json``
+listing global stats + the partition set. Resume = scan for valid
+partition manifests whose lineage (input fingerprint + analyzer spec hash
++ partition count) matches the current build config, and skip them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional
+
+FORMAT_VERSION = 1
+
+__all__ = [
+    "FORMAT_VERSION",
+    "segment_dir",
+    "write_segment_manifest",
+    "read_segment_manifest",
+    "valid_segment",
+    "publish_segment",
+    "write_root_manifest",
+    "read_root_manifest",
+    "list_valid_partitions",
+]
+
+
+def segment_dir(index_root: str, partition_id: int) -> str:
+    return os.path.join(index_root, "segments", f"part-{partition_id:05d}")
+
+
+def write_segment_manifest(seg_dir: str, manifest: Dict[str, Any]) -> None:
+    manifest = dict(manifest, format_version=FORMAT_VERSION)
+    tmp = os.path.join(seg_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(seg_dir, "manifest.json"))
+
+
+def read_segment_manifest(seg_dir: str) -> Optional[Dict[str, Any]]:
+    path = os.path.join(seg_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def valid_segment(seg_dir: str, lineage: Dict[str, Any]) -> bool:
+    """A segment is reusable iff its manifest exists and its lineage keys
+    (input_fingerprint, analyzer_hash, num_partitions, format_version)
+    match the current build config."""
+    m = read_segment_manifest(seg_dir)
+    if m is None:
+        return False
+    if m.get("format_version") != FORMAT_VERSION:
+        return False
+    for key in ("input_fingerprint", "analyzer_hash", "num_partitions"):
+        if m.get(key) != lineage.get(key):
+            return False
+    return True
+
+
+def publish_segment(tmp_dir: str, final_dir: str) -> None:
+    """Atomic publish: the temp dir (manifest already inside) replaces any
+    stale final dir in one rename."""
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.replace(tmp_dir, final_dir)
+
+
+def write_root_manifest(index_root: str, manifest: Dict[str, Any]) -> None:
+    manifest = dict(manifest, format_version=FORMAT_VERSION)
+    tmp = os.path.join(index_root, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_root, "MANIFEST.json"))
+
+
+def read_root_manifest(index_root: str) -> Dict[str, Any]:
+    with open(os.path.join(index_root, "MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def list_valid_partitions(index_root: str, num_partitions: int, lineage: Dict[str, Any]) -> List[int]:
+    done = []
+    for pid in range(num_partitions):
+        if valid_segment(segment_dir(index_root, pid), lineage):
+            done.append(pid)
+    return done
