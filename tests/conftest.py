@@ -1,0 +1,42 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """t1-smoke-sized deterministic pages corpus (FIXTURES.md §1)."""
+    from lucene_solr_ray.sources.pages import generate_pages
+
+    out = tmp_path_factory.mktemp("pages")
+    paths = generate_pages(str(out), 2000, 2, seed=42)
+    return paths
+
+
+@pytest.fixture(scope="session")
+def corpus_queries(small_corpus):
+    from lucene_solr_ray.sources.pages import corpus_df_stats, generate_query_set
+
+    dfs = corpus_df_stats(small_corpus)
+    return generate_query_set(dfs, seed=42)

@@ -1,0 +1,129 @@
+"""End-to-end correctness gates (SURVEY.md §5 patterns 4/5/6):
+distributed-vs-control equivalence, oracle rank-identity, WAND purity,
+CheckIndex invariants, resume, dedup semantics."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.pipelines.build import build_index
+from lucene_solr_ray.pipelines.query import search
+from lucene_solr_ray.search.oracle import OracleIndex
+
+
+@pytest.fixture(scope="session")
+def built_indexes(ray_session, small_corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("indexes")
+    idx1 = str(base / "p1")
+    idx4 = str(base / "p4")
+    build_index(small_corpus, idx1, num_partitions=1)
+    build_index(small_corpus, idx4, num_partitions=4, check_extraction=True)
+    return idx1, idx4
+
+
+def _frame(df):
+    return df[["query_id", "rank", "url", "score"]].reset_index(drop=True)
+
+
+def test_distributed_equals_control(built_indexes, corpus_queries):
+    """P=1 vs P=4: identical top-k urls AND float32 scores (pattern 6 —
+    BaseDistributedSearchTestCase's single-control-vs-sharded assert)."""
+    idx1, idx4 = built_indexes
+    r1 = search(idx1, corpus_queries, k=10)
+    r4 = search(idx4, corpus_queries, k=10)
+    assert _frame(r1).equals(_frame(r4))
+
+
+def test_oracle_rank_identity(built_indexes, small_corpus, corpus_queries):
+    """Engine vs the pure-Python Lucene-8.x-semantics oracle (pattern 5)."""
+    _, idx4 = built_indexes
+    res = search(idx4, corpus_queries, k=10)
+    rows = []
+    for p in small_corpus:
+        rows.extend(pq.read_table(p).to_pylist())
+    oracle = OracleIndex(rows)
+    for q in corpus_queries:
+        exp = oracle.query(q["terms"], q["kind"], 10)
+        g = res[res.query_id == q["query_id"]]
+        got = list(zip(g.url, [float(np.float32(s)) for s in g.score]))
+        assert got == exp, f"query {q}"
+
+
+def test_wand_identical(built_indexes, corpus_queries):
+    """Block-max WAND is pure optimization: bit-identical results (M4)."""
+    _, idx4 = built_indexes
+    assert _frame(search(idx4, corpus_queries, k=10)).equals(
+        _frame(search(idx4, corpus_queries, k=10, method="wand"))
+    )
+
+
+def test_checkindex(built_indexes):
+    idx1, idx4 = built_indexes
+    assert check_index(idx1) == []
+    assert check_index(idx4) == []
+
+
+def test_dedup_last_wins(built_indexes, small_corpus):
+    """~1% dup urls: the index must keep exactly one doc per url, and the
+    kept content must be the max-warc_ts version."""
+    idx1, _ = built_indexes
+    dm = pq.read_table(os.path.join(idx1, "segments", "part-00000", "docmap.parquet"))
+    urls = dm["url"].to_pylist()
+    assert len(urls) == len(set(urls))
+    # input had dups for lang=en rows
+    seen = {}
+    n_dup_en = 0
+    for p in small_corpus:
+        t = pq.read_table(p, columns=["url", "lang"])
+        for u, l in zip(t["url"].to_pylist(), t["lang"].to_pylist()):
+            if l == "en":
+                n_dup_en += u in seen
+                seen[u] = True
+    assert n_dup_en > 0, "corpus should contain en dup urls"
+    kept_ts = dict(zip(dm["url"].to_pylist(), dm["warc_ts"].to_pylist()))
+    max_ts = {}
+    for p in small_corpus:
+        t = pq.read_table(p, columns=["url", "warc_ts", "lang"])
+        for u, ts, l in zip(
+            t["url"].to_pylist(), t["warc_ts"].to_pylist(), t["lang"].to_pylist()
+        ):
+            if l == "en" and (u not in max_ts or ts > max_ts[u]):
+                max_ts[u] = ts
+    assert kept_ts == max_ts
+
+
+def test_resume_skips_done_partitions(ray_session, small_corpus, tmp_path_factory, corpus_queries):
+    """Kill/resume (north_rule): rebuild only invalid partitions; results
+    and manifests unchanged."""
+    idx = str(tmp_path_factory.mktemp("resume") / "idx")
+    root_a = build_index(small_corpus, idx, num_partitions=4)
+    before = _frame(search(idx, corpus_queries, k=10))
+    shutil.rmtree(os.path.join(idx, "segments", "part-00002"))
+    root_b = build_index(small_corpus, idx, num_partitions=4)
+    assert root_b["resumed_partitions"] == [0, 1, 3]
+    assert root_b["num_docs"] == root_a["num_docs"]
+    after = _frame(search(idx, corpus_queries, k=10))
+    assert before.equals(after)
+    # stale lineage (different partition count) must NOT resume
+    root_c = build_index(small_corpus, idx, num_partitions=2)
+    assert root_c["resumed_partitions"] == []
+
+
+def test_ghost_terms(built_indexes):
+    _, idx4 = built_indexes
+    res = search(
+        idx4,
+        [
+            {"query_id": 1, "kind": "term", "terms": ["zzz_no_such_term"]},
+            {"query_id": 2, "kind": "and", "terms": ["w000000", "zzz_no_such_term"]},
+            {"query_id": 3, "kind": "or", "terms": ["w000000", "zzz_no_such_term"]},
+        ],
+        k=5,
+    )
+    got_qids = set(res.query_id) if len(res) else set()
+    assert 1 not in got_qids and 2 not in got_qids
+    assert 3 in got_qids
