@@ -4,41 +4,54 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in lucene_solr_ray) calls ray.init() / ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the fulltext
+    index over the documents table (analyzer actor pool → per-partition
+    segments → global stats) and run a small fixed BM25 query set through
+    the distributed searcher; returns the merged top-k DataFrame."""
+    from lucene_solr_ray.pipelines.entry_queries import ensure_ft_index
+    from lucene_solr_ray.pipelines.query import search
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_root = ensure_ft_index(sf_dir)
+    queries = [
+        {"query_id": 0, "kind": "term", "terms": ["query"]},
+        {"query_id": 1, "kind": "and", "terms": ["query", "join"]},
+        {"query_id": 2, "kind": "or", "terms": ["query", "join", "fast"]},
+    ]
+    return search(index_root, queries, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (fulltext index+search core, text analysis, dedup, ANN, multimodal
+    plumbing, and the relational streaming-expression surface)."""
+    from lucene_solr_ray.pipelines.entry_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names). Entries
+    missing here (langid_eval, dedup_minhash, dedup_simhash,
+    ann_lsh_recall) are model-/sketch-based and not SQL-expressible —
+    the driver records the weaker rows-only check for them."""
+    from lucene_solr_ray.pipelines.entry_queries import ORACLES
+
+    return dict(ORACLES)

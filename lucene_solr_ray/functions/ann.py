@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column: brute-force cosine top-k
+baseline + LSH-bucketed scale path.
+
+The vector analog of the engine's top-k machinery (same heap-merge
+discipline as SURVEY.md §2.7; the reference's own knn surface is
+MoreLikeThis / streaming ``knn()``, solr/solrj/.../io/stream/KnnStream.java,
+branch_8x — term-based, so this is a capability extension, not a port).
+
+Scale design: queries are BROADCAST once (``ray.put`` of the (Q, d) query
+matrix); each ``map_batches`` task does one numpy matmul against its batch
+and emits only its local top-k rows per query (k·Q rows per batch, not the
+batch); the global answer is a groupby(query)-merge of local top-ks —
+identical shape to the BM25 top-k merge, no all-to-all of vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["brute_force_cosine_topk", "lsh_cosine_topk"]
+
+
+def _batch_topk_rows(sims, ids, qids, k):
+    """Local top-k per query from a (Q, B) sim matrix → long-form arrays."""
+    out_q, out_id, out_sim = [], [], []
+    B = sims.shape[1]
+    kk = min(k, B)
+    for qi in range(sims.shape[0]):
+        s = sims[qi]
+        idx = np.argpartition(-s, kk - 1)[:kk] if B > kk else np.arange(B)
+        out_q.extend([qids[qi]] * len(idx))
+        out_id.extend(ids[idx].tolist())
+        out_sim.extend(s[idx].tolist())
+    return out_q, out_id, out_sim
+
+
+def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+    return g
+
+
+def brute_force_cosine_topk(
+    ds,
+    query_matrix_ref,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k: Dataset of (id, vec) × broadcast queries.
+
+    ``query_matrix_ref``: ``ray.put`` of an L2-NORMALIZED float64 (Q, d)
+    matrix (or the matrix itself for local runs)."""
+    import ray
+
+    qids = list(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Q = (
+            ray.get(query_matrix_ref)
+            if not isinstance(query_matrix_ref, np.ndarray)
+            else query_matrix_ref
+        )
+        ids = batch[id_col].to_numpy()
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = Q @ mat.T  # (Q, B)
+        if exclude_self:
+            qid_arr = np.asarray(qids)
+            self_mask = ids[None, :] == qid_arr[:, None]
+            sims = np.where(self_mask, -np.inf, sims)
+        oq, oi, os = _batch_topk_rows(sims, ids, qids, k)
+        return pa.table(
+            {
+                "query_id": pa.array(oq, type=pa.int64()),
+                "vec_id": pa.array(oi, type=pa.int64()),
+                "sim": pa.array(os, type=pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )
+
+
+def lsh_cosine_topk(
+    ds,
+    query_matrix_ref,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    exclude_self: bool = True,
+):
+    """Approximate cosine top-k via random-hyperplane LSH (public Charikar
+    scheme): vectors bucket by sign patterns in ``n_tables`` tables; each
+    query scans only its buckets. The scale path: the groupby key
+    (table_id, bucket) bounds each comparison set; recall grows with
+    n_tables. Results are approximate — verified against the brute-force
+    baseline by recall, not equality."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    qids = list(query_ids)
+
+    def q_buckets(Q):
+        # (T, Q) bucket codes of the queries
+        signs = (np.einsum("tpd,qd->tqp", planes, Q) > 0).astype(np.uint32)
+        return (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        Q = (
+            ray.get(query_matrix_ref)
+            if not isinstance(query_matrix_ref, np.ndarray)
+            else query_matrix_ref
+        )
+        qb = q_buckets(Q)  # (T, Q)
+        ids = batch[id_col].to_numpy()
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        signs = (np.einsum("tpd,bd->tbp", planes, matn) > 0).astype(np.uint32)
+        codes = (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=2)  # (T, B)
+        out = {"table_id": [], "bucket": [], "vec_id": [], "vec": []}
+        # keep only vectors landing in some query's bucket (candidate prune)
+        for t in range(n_tables):
+            wanted = set(qb[t].tolist())
+            sel = np.isin(codes[t], list(wanted))
+            out["table_id"].extend([t] * int(sel.sum()))
+            out["bucket"].extend(codes[t][sel].tolist())
+            out["vec_id"].extend(ids[sel].tolist())
+            out["vec"].extend(matn[sel].tolist())
+        return pa.table(
+            {
+                "table_id": pa.array(out["table_id"], type=pa.int32()),
+                "bucket": pa.array(out["bucket"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "vec": pa.array(out["vec"], type=pa.list_(pa.float64())),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        Q = (
+            ray.get(query_matrix_ref)
+            if not isinstance(query_matrix_ref, np.ndarray)
+            else query_matrix_ref
+        )
+        qb = q_buckets(Q)
+        t = int(g.table_id.iloc[0])
+        bucket = int(g.bucket.iloc[0])
+        q_here = [qi for qi in range(len(qids)) if qb[t, qi] == bucket]
+        if not q_here:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        ids = g.vec_id.to_numpy()
+        mat = np.asarray(g.vec.tolist(), dtype=np.float64)
+        out_q, out_id, out_sim = [], [], []
+        for qi in q_here:
+            sims = Q[qi] @ mat.T
+            if exclude_self:
+                sims = np.where(ids == qids[qi], -np.inf, sims)
+            out_q.extend([qids[qi]] * len(ids))
+            out_id.extend(ids.tolist())
+            out_sim.extend(sims.tolist())
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "sim": out_sim})
+
+    cands = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+    # a (query, vec) pair can appear in several tables — dedup then merge
+    uniq = cands.groupby(["query_id", "vec_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return uniq.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pandas"
+    )

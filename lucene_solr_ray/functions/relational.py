@@ -1,0 +1,170 @@
+"""Relational dataflow operators — the Solr streaming-expression surface
+re-expressed as Ray Data compositions.
+
+Reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/*
+(branch_8x; SURVEY.md §2.8): pull-based sorted-tuple operators. The
+load-bearing translation (SURVEY.md §3.3): where the reference guarantees
+per-stream SORT ORDER so one-pass group/join/dedup work, Ray Data
+guarantees HASH CO-PARTITIONING — so sorted-one-pass operators become
+``groupby(...).map_groups`` / ``join`` and the sort moves to the edges.
+
+Each helper names the stream class it re-creates. All results stream;
+nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+__all__ = [
+    "rollup", "facet_counts", "top", "unique_stream", "having",
+    "inner_join", "hash_join_broadcast", "semi_join_broadcast",
+    "collapse", "stats_component", "select_stream", "merge_union",
+]
+
+
+def rollup(ds, keys: Sequence[str], aggs: Dict[str, Sequence[str]]):
+    """RollupStream (…/io/stream/RollupStream.java ~250 LoC): grouped
+    partial+final aggregation. ``aggs``: {col: [fn, ...]} with fn in
+    sum|min|max|mean|count|std. Ray's hash aggregate already combines
+    per-block partials before the shuffle — the rollup's partial-agg
+    semantics for free."""
+    fns = {"sum": Sum, "min": Min, "max": Max, "mean": Mean, "std": Std}
+    agg_objs = []
+    for col, fnames in aggs.items():
+        for f in fnames:
+            if f == "count":
+                agg_objs.append(Count(alias_name=f"count_{col}"))
+            else:
+                agg_objs.append(fns[f](col, alias_name=f"{f}_{col}"))
+    return ds.groupby(list(keys)).aggregate(*agg_objs)
+
+
+def facet_counts(ds, col: str, topn: Optional[int] = None):
+    """FacetComponent field-facet analog (solr/core/.../component/
+    FacetComponent.java ~2,600 LoC): count per term, optionally top-N by
+    (count desc, value asc) — the deterministic facet sort."""
+    counts = ds.groupby(col).aggregate(Count(alias_name="count"))
+    if topn is None:
+        return counts
+    return counts.sort(["count", col], descending=[True, False]).limit(topn)
+
+
+def top(ds, keys: Sequence[str], descending: Sequence[bool], k: int):
+    """RankStream / top() (…/io/stream/RankStream.java): k best by sort
+    keys — Ray's distributed sort + limit (per-block top-k then merge)."""
+    return ds.sort(list(keys), descending=list(descending)).limit(k)
+
+
+def unique_stream(ds, col: str):
+    """UniqueStream (…/io/stream/UniqueStream.java ~120 LoC): dedup by key,
+    first wins — hash groupby replaces the sorted-stream one-pass."""
+    return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def having(ds, predicate_fn):
+    """HavingStream: vectorized arrow predicate over aggregated rows."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate_fn(t)), batch_format="pyarrow"
+    )
+
+
+def inner_join(ds_left, ds_right, on: Sequence[str], num_partitions: int = 8):
+    """InnerJoinStream (…/io/stream/InnerJoinStream.java ~150 LoC): the
+    reference sort-merge-joins co-sorted streams; here both sides hash-
+    partition on the key (Ray 2.49 native Dataset.join)."""
+    return ds_left.join(
+        ds_right, join_type="inner", on=tuple(on), num_partitions=num_partitions
+    )
+
+
+def hash_join_broadcast(ds, small_table_ref, on: str, select: Dict[str, str]):
+    """HashJoinStream (…/io/stream/HashJoinStream.java ~300 LoC): the small
+    side is read fully into memory — here broadcast via ``ray.put`` once
+    and probed per batch with a pandas merge; no shuffle of the big side.
+    ``select``: {small_col: out_name} columns to attach."""
+    import ray
+
+    def probe(batch: pa.Table) -> pa.Table:
+        small: pd.DataFrame = (
+            ray.get(small_table_ref)
+            if not isinstance(small_table_ref, pd.DataFrame)
+            else small_table_ref
+        )
+        df = batch.to_pandas()
+        right = small[[on] + list(select)].rename(columns=select)
+        out = df.merge(right, on=on, how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def semi_join_broadcast(ds, key_set_ref, on: str, anti: bool = False):
+    """JoinQParser {!join} semi-join analog (solr/core/.../search/
+    JoinQParserPlugin.java ~600 LoC): keep rows whose key is in (semi) or
+    not in (anti=ComplementStream) the broadcast key set."""
+    import ray
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = (
+            ray.get(key_set_ref) if not isinstance(key_set_ref, (set, frozenset)) else key_set_ref
+        )
+        mask = pc.is_in(batch[on], value_set=pa.array(list(keys)))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def collapse(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool]):
+    """CollapsingQParserPlugin / grouping top-1 (solr/core/.../search/
+    CollapsingQParserPlugin.java ~2,900 LoC): keep the best row per group
+    by the given order."""
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            list(order_cols), ascending=[not d for d in descending], kind="mergesort"
+        ).head(1)
+
+    return ds.groupby(key).map_groups(best, batch_format="pandas")
+
+
+def stats_component(ds, col: str):
+    """StatsComponent (solr/core/.../component/StatsComponent.java ~700
+    LoC): global min/max/sum/count/mean over one column."""
+    return ds.aggregate(
+        Min(col, alias_name=f"min_{col}"),
+        Max(col, alias_name=f"max_{col}"),
+        Sum(col, alias_name=f"sum_{col}"),
+        Count(alias_name="count"),
+        Mean(col, alias_name=f"mean_{col}"),
+    )
+
+
+def select_stream(ds, columns: Sequence[str], computed=None):
+    """SelectStream: projection + computed columns (arrow expressions)."""
+    out = ds
+    if computed:
+        def add(batch: pa.Table) -> pa.Table:
+            for name, fn in computed.items():
+                batch = batch.append_column(name, fn(batch))
+            return batch
+        out = out.map_batches(add, batch_format="pyarrow")
+    return out.select_columns(list(columns) + list(computed or {}))
+
+
+def merge_union(ds_a, ds_b, sort_keys: Optional[Sequence[str]] = None,
+                descending: Optional[Sequence[bool]] = None):
+    """MergeStream (…/io/stream/MergeStream.java ~150 LoC): sorted union —
+    union + sort (order restored at the edge, per the §3.3 translation)."""
+    u = ds_a.union(ds_b)
+    if sort_keys:
+        u = u.sort(list(sort_keys), descending=list(descending or [False] * len(sort_keys)))
+    return u

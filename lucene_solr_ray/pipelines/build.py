@@ -90,13 +90,19 @@ def build_index(
     check_extraction: bool = False,
     analyzer_concurrency=None,
     analyzer_batch_size: int = 2048,
+    dataset=None,
+    fingerprint: Optional[str] = None,
 ) -> Dict:
-    """Build (or resume) the full index; returns the root manifest dict."""
+    """Build (or resume) the full index; returns the root manifest dict.
+
+    ``dataset``: an already-constructed pages Dataset (adapter output)
+    instead of reading ``input_paths`` — then ``fingerprint`` must identify
+    the upstream input for resume lineage."""
     t0 = time.perf_counter()
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     spec = dict(DEFAULT_SPEC)
     lineage = {
-        "input_fingerprint": input_fingerprint(input_paths),
+        "input_fingerprint": fingerprint or input_fingerprint(input_paths),
         "analyzer_hash": analyzer_spec_hash(spec),
         "num_partitions": num_partitions,
     }
@@ -106,10 +112,13 @@ def build_index(
     )
     done_set = frozenset(done)
 
-    columns = ["url", "warc_ts", "text", "lang"]
-    if check_extraction:
-        columns.append("html")
-    ds = ray.data.read_parquet(input_paths, columns=columns)
+    if dataset is not None:
+        ds = dataset
+    else:
+        columns = ["url", "warc_ts", "text", "lang"]
+        if check_extraction:
+            columns.append("html")
+        ds = ray.data.read_parquet(input_paths, columns=columns)
 
     if check_extraction:
         ds = ds.map_batches(_check_extraction_invariant, batch_format="pyarrow")

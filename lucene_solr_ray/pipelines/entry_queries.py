@@ -1,0 +1,966 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 exposed as a ``(sf_dir) -> result`` callable, with a matching
+ANSI-SQL oracle where the semantics are SQL-expressible.
+
+Conventions for oracle parity (the driver hashes values order-insensitively
+after sorting columns by name):
+- every aggregate / computed column is NAMED, identically in Ray and SQL;
+- floats never cross the boundary raw: scores/ratios are integer-scaled
+  (``*_e6`` = floor(x * 1e6)) or money is in cents (``*_c``);
+- counts / ids / ranks are int64 (SQL BIGINT);
+- the fulltext oracle queries score with ``Bm25Similarity(dtype=float64,
+  mode="div")`` (SURVEY.md §2.11 Similarity plugin) because SQL cannot
+  express Lucene's float32 rounding — the float32 Lucene semantics are
+  gated by the pytest oracle suite instead (tests/test_index_search.py).
+
+Ray is initialised by the DRIVER before these run: nothing here may call
+ray.init/shutdown.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..analysis.smallfloat import LENGTH_TABLE
+from ..functions import relational as rel
+from ..functions.ann import brute_force_cosine_topk, lsh_cosine_topk
+from ..functions.dedup import exact_dedup, minhash_near_dup_pairs, simhash_near_dup_pairs
+from ..functions.multimodal import MediaDecodeStage, binary_meta_batch
+from ..functions.textstats import (
+    LangIdStage,
+    doc_stats_batch,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+from ..index.segment import SegmentReader
+from ..state.manifest import read_root_manifest, segment_dir
+from .build import build_index
+from .query import search
+
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+
+FT_TERMS_OR = ["query", "join", "fast"]
+FT_TERMS_AND = ["query", "join"]
+FT_STAT_TERMS = ["the", "data", "query", "join", "window"]
+FT_PARTITIONS = 4
+
+
+# --------------------------------------------------------------- helpers ---
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents(doc_id, text, lang, ...) → pages schema adapter
+    (FIXTURES.md §4). url embeds the doc_id zero-padded so lexicographic
+    url order == numeric doc_id order (docID determinism)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = [f"doc://{i:012d}" for i in ids]
+        ts = (EPOCH_US + ids).astype("datetime64[us]")
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "text": batch["text"],
+                "lang": batch["lang"],
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def _url_to_doc_id(urls) -> np.ndarray:
+    return np.array([int(u[6:]) for u in urls], dtype=np.int64)
+
+
+def ensure_ft_index(sf_dir: str) -> str:
+    """Build (once) the fulltext index over the documents table; cached in
+    /tmp keyed by the input identity, revalidated via manifest lineage."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if (
+                root.get("input_fingerprint") == key
+                and root.get("num_partitions") == FT_PARTITIONS
+            ):
+                return index_root
+        except Exception:
+            pass
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,  # index every row; keeps the SQL oracle unconditional
+        dataset=_docs_as_pages(sf_dir),
+        fingerprint=key,
+    )
+    return index_root
+
+
+def _cents(col):
+    """Exact money→cents per row BEFORE any sum (double sums of dollar
+    amounts are order-dependent; int sums are not)."""
+    def fn(batch: pa.Table, c=col) -> pa.Table:
+        v = np.floor(batch[c].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return batch.append_column(f"{c}_c", pa.array(v))
+    return fn
+
+
+_SQL_CENTS = "CAST(FLOOR({col} * 100.0 + 0.5) AS BIGINT)"
+
+
+# ================================================================ fulltext ==
+def q_ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 disjunction over the documents corpus through the real
+    index + distributed searcher (float64/div similarity for SQL parity)."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def q_ft_term_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) for fixed terms — the ExactStatsCache surface
+    (SURVEY.md §2.6 index-build aggregations)."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_index(sf_dir)
+    stats = read_query_term_stats(idx, FT_STAT_TERMS)
+    rows = [
+        {"term": t, "df": stats.get(t, (0, 0))[0], "total_tf": stats.get(t, (0, 0))[1]}
+        for t in sorted(FT_STAT_TERMS)
+        if t in stats
+    ]
+    df = pd.DataFrame(rows, columns=["term", "df", "total_tf"])
+    return df.astype({"df": np.int64, "total_tf": np.int64})
+
+
+def q_ft_and_count(sf_dir: str) -> pd.DataFrame:
+    """Conjunction cardinality: |docs containing ALL query terms| — the
+    posting-intersection primitive (ConjunctionDISI, SURVEY.md §2.3),
+    counted per partition and summed (no doc ships anywhere)."""
+    idx = ensure_ft_index(sf_dir)
+    root = read_root_manifest(idx)
+    parts = [
+        {"seg_dir": segment_dir(idx, pid)} for pid in range(root["num_partitions"])
+    ]
+    terms = FT_TERMS_AND
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        total = 0
+        for seg in batch["seg_dir"].to_pylist():
+            r = SegmentReader(seg)
+            sets = []
+            ok = True
+            for t in terms:
+                o = r.lookup(t)
+                if o < 0:
+                    ok = False
+                    break
+                sets.append(r.postings(o).docids)
+            if ok:
+                inter = sets[0]
+                for s in sets[1:]:
+                    inter = np.intersect1d(inter, s, assume_unique=True)
+                total += len(inter)
+        return pa.table({"n_docs": pa.array([total], type=pa.int64())})
+
+    ds = ray.data.from_items(parts).map_batches(count_part, batch_format="pyarrow")
+    n = int(sum(b["n_docs"][0].as_py() for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")))
+    return pd.DataFrame({"n_docs": [n]}).astype(np.int64)
+
+
+def q_ft_index_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level stats recorded at build time: N, sum_dl, global vocab."""
+    idx = ensure_ft_index(sf_dir)
+    root = read_root_manifest(idx)
+    n_terms = ray.data.read_parquet(os.path.join(idx, "stats", "global_stats")).count()
+    return pd.DataFrame(
+        {
+            "n_docs": [root["num_docs"]],
+            "sum_dl": [root["sum_dl"]],
+            "n_terms": [n_terms],
+        }
+    ).astype(np.int64)
+
+
+def _ft_sql_common() -> str:
+    lt_values = ",".join(f"({int(v)})" for v in np.unique(LENGTH_TABLE))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sdl FROM dl),
+lt(v) AS (VALUES {lt_values}),
+norml AS (
+  SELECT dl.doc_id, (SELECT max(v) FROM lt WHERE v <= dl.dl) AS nl FROM dl
+)
+"""
+
+
+def sql_ft_bm25_or_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+def sql_ft_term_stats() -> str:
+    terms = ",".join(f"'{t}'" for t in sorted(FT_STAT_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       count(DISTINCT doc_id) AS df,
+       count(*) AS total_tf
+FROM toks WHERE term IN ({terms})
+GROUP BY term
+"""
+
+
+def sql_ft_and_count() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_AND)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(*) AS n_docs FROM (
+  SELECT doc_id FROM toks WHERE term IN ({terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(FT_TERMS_AND)}
+)
+"""
+
+
+def sql_ft_index_stats() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs,
+       count(*) AS sum_dl,
+       count(DISTINCT term) AS n_terms
+FROM toks
+"""
+
+
+# ============================================================= text stats ==
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    return out
+
+
+def sql_token_counts() -> str:
+    return """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def sql_doc_fingerprints() -> str:
+    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_unique", "max_freq"]
+    )
+
+
+def sql_doc_stats() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS f FROM toks GROUP BY doc_id, term)
+SELECT doc_id,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       count(*) AS n_unique,
+       CAST(max(f) AS BIGINT) AS max_freq
+FROM tf GROUP BY doc_id
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "mean_word_len_e6", "stopword_ratio_e6", "alpha_ratio_e6",
+         "repetition_ratio_e6"]
+    )
+
+
+def sql_quality_scores() -> str:
+    from ..functions.textstats import STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n,
+         sum(length(term)) AS sum_len,
+         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS n_stop,
+         count(DISTINCT term) AS n_uniq
+  FROM toks GROUP BY doc_id
+),
+chars AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT agg.doc_id,
+       CAST(sum_len * 1000000 // n AS BIGINT) AS mean_word_len_e6,
+       CAST(n_stop * 1000000 // n AS BIGINT) AS stopword_ratio_e6,
+       CAST(n_alpha * 1000000 // greatest(n_chars, 1) AS BIGINT) AS alpha_ratio_e6,
+       CAST((n - n_uniq) * 1000000 // n AS BIGINT) AS repetition_ratio_e6
+FROM agg JOIN chars USING (doc_id)
+"""
+
+
+def q_langid_eval(sf_dir: str):
+    """n-gram language-ID prediction vs labeled lang — model-based, no SQL
+    oracle (driver records rows-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    return rel.rollup(pred, ["lang", "lang_pred"], {"doc_id": ["count"]})
+
+
+# ================================================================== dedup ==
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, id_col="doc_id", text_col="text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_hash"]), batch_format="pyarrow"
+    )
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs verified by n-gram Jaccard —
+    not SQL-expressible (banding); deterministic seed, rows-only check."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ref = ray.put(texts)
+    out = minhash_near_dup_pairs(ds, ref, threshold=0.5, concurrency=2)
+    return out
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash hamming-≤3 pairs via 16-bit-slice pigeonhole buckets —
+    rows-only check (banding not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3, concurrency=2)
+
+
+# ==================================================================== ann ==
+def _query_matrix(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    sel = np.argsort(ids)[:n]
+    Q = np.asarray([t["embedding"][int(i)].as_py() for i in sel], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    return Q / qn[:, None], ids[sel].tolist()
+
+
+def q_ann_bruteforce(sf_dir: str):
+    Q, qids = _query_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_cosine_topk(ds, ray.put(Q), qids, k=5)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": batch["query_id"].astype(np.int64),
+                "rank": batch["rank"].astype(np.int64),
+                "vec_id": batch["vec_id"].astype(np.int64),
+                "sim_e6": np.floor(batch["sim"].to_numpy() * 1e6).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def sql_ann_bruteforce() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  ORDER BY vec_id LIMIT 5
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+       vec_id,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_recall(sf_dir: str):
+    """LSH-bucketed ANN vs brute force: per-query recall@5 (×100) —
+    approximate by construction, rows-only check."""
+    Q, qids = _query_matrix(sf_dir)
+    ref = ray.put(Q)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bf = brute_force_cosine_topk(ds, ref, qids, k=5).to_pandas()
+    ds2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    approx = lsh_cosine_topk(ds2, ref, qids, k=5, dim=Q.shape[1]).to_pandas()
+    rows = []
+    for q in qids:
+        truth = set(bf[bf.query_id == q].vec_id)
+        got = set(approx[approx.query_id == q].vec_id)
+        rows.append(
+            {"query_id": int(q), "recall_x100": int(100 * len(truth & got) / max(len(truth), 1))}
+        )
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+# ============================================================= multimodal ==
+def q_binary_meta(sf_dir: str):
+    """Opaque-binary column plumbing: documents.text re-encoded as a binary
+    payload column, run through the (stubbed) media decode actor stage +
+    metadata extraction; the SQL-checkable output is the byte length."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    withp = ds.map_batches(to_payload, batch_format="pyarrow")
+    meta = withp.map_batches(binary_meta_batch, batch_format="pyarrow")
+    feats = meta.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"kind": "image", "fake": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return feats.select_columns(["doc_id", "n_bytes"])
+
+
+def sql_binary_meta() -> str:
+    # documents.text is ASCII → char length == byte length
+    return "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents"
+
+
+# ============================================================== relational ==
+def q_rollup_pricing(sf_dir: str):
+    """TPC-H Q1-shaped rollup (RollupStream + SlotAcc aggregates)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_c": cents,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = rel.rollup(
+        prepped, ["l_returnflag", "l_linestatus"], {"qty": ["sum"], "price_c": ["sum", "count"]}
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_c", "count_order"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_rollup_pricing() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_SQL_CENTS.format(col='l_extendedprice')}) AS BIGINT) AS sum_price_c,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_nation_revenue(sf_dir: str):
+    """orders ⋈ customer (native hash join) ⋈ nation (broadcast hash join):
+    revenue per nation (InnerJoinStream + HashJoinStream together)."""
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        _cents("o_totalprice"), batch_format="pyarrow"
+    ).select_columns(["o_custkey", "o_totalprice_c"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = rel.inner_join(
+        orders,
+        customer.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
+        ),
+        on=["o_custkey"],
+        num_partitions=4,
+    )
+    nation = (
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        .to_pandas()
+        .rename(columns={"n_nationkey": "c_nationkey"})
+    )
+    small_ref = ray.put(nation)
+    enriched = rel.hash_join_broadcast(
+        joined, small_ref, on="c_nationkey", select={"n_name": "n_name"}
+    )
+    agg = rel.rollup(enriched, ["n_name"], {"o_totalprice_c": ["sum", "count"]})
+    return agg.map_batches(
+        lambda t: t.rename_columns(["n_name", "revenue_c", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_join_nation_revenue() -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum({_SQL_CENTS.format(col='o.o_totalprice')}) AS BIGINT) AS revenue_c,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """RankStream/top(): k best by (totalprice desc, orderkey asc)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        _cents("o_totalprice"), batch_format="pyarrow"
+    ).select_columns(["o_orderkey", "o_totalprice_c"])
+    out = rel.top(ds, ["o_totalprice_c", "o_orderkey"], [True, False], 10)
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "total_c"]), batch_format="pyarrow"
+    )
+
+
+def sql_top_orders() -> str:
+    return f"""
+SELECT o_orderkey, {_SQL_CENTS.format(col='o_totalprice')} AS total_c
+FROM orders
+ORDER BY total_c DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_facet_event_types(sf_dir: str):
+    """FacetComponent term facet: count per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return rel.facet_counts(ds, "event_type")
+
+
+def sql_facet_event_types() -> str:
+    return "SELECT event_type, count(*) AS count FROM events GROUP BY event_type"
+
+
+def q_stats_extendedprice(sf_dir: str):
+    """StatsComponent: global min/max/sum/count (cents)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        _cents("l_extendedprice"), batch_format="pyarrow"
+    ).select_columns(["l_extendedprice_c"])
+    row = ds.aggregate(
+        Min("l_extendedprice_c", alias_name="min_c"),
+        Max("l_extendedprice_c", alias_name="max_c"),
+        Sum("l_extendedprice_c", alias_name="sum_c"),
+        Count(alias_name="n"),
+    )
+    return pd.DataFrame([row]).astype(np.int64)
+
+
+def sql_stats_extendedprice() -> str:
+    c = _SQL_CENTS.format(col="l_extendedprice")
+    return f"""
+SELECT min({c}) AS min_c, max({c}) AS max_c, CAST(sum({c}) AS BIGINT) AS sum_c, count(*) AS n
+FROM lineitem
+"""
+
+
+def q_unique_mktsegment(sf_dir: str):
+    """UniqueStream: distinct values."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    return rel.unique_stream(ds, "c_mktsegment")
+
+
+def sql_unique_mktsegment() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_collapse_latest_order(sf_dir: str):
+    """CollapsingQParser: best row per group by (o_orderdate, o_orderkey) desc."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = rel.collapse(ds, "o_custkey", ["o_orderdate", "o_orderkey"], [True, True])
+    return out.map_batches(
+        lambda df: df[["o_custkey", "o_orderkey"]], batch_format="pandas"
+    )
+
+
+def sql_collapse_latest_order() -> str:
+    return """
+SELECT o_custkey, o_orderkey FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+
+def q_having_frequent_customers(sf_dir: str):
+    """RollupStream + HavingStream: customers with >= 3 orders."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    counts = rel.rollup(ds, ["o_custkey"], {"o_custkey": ["count"]})
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "n_orders"]), batch_format="pyarrow"
+    )
+    return rel.having(counts, lambda t: pc.greater_equal(t["n_orders"], 3))
+
+
+def sql_having_frequent_customers() -> str:
+    return """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 3
+"""
+
+
+def q_range_shipdate(sf_dir: str):
+    """PointRangeQuery analog: predicate pushed into the parquet read
+    (row-group pruning at the source, SURVEY.md §2.3)."""
+    import pyarrow.dataset  # noqa: F401
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64("1995-01-01", "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64("1996-01-01", "us")))
+        ),
+    )
+    prepped = ds.map_batches(_cents("l_extendedprice"), batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    row = prepped.aggregate(
+        Count(alias_name="n"), Sum("l_extendedprice_c", alias_name="sum_c")
+    )
+    return pd.DataFrame([row])[["n", "sum_c"]].astype(np.int64)
+
+
+def sql_range_shipdate() -> str:
+    c = _SQL_CENTS.format(col="l_extendedprice")
+    return f"""
+SELECT count(*) AS n, CAST(sum({c}) AS BIGINT) AS sum_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def q_semi_join_building(sf_dir: str):
+    """{!join} semi-join: BUILDING-segment customers that have orders —
+    broadcast key-set filter, no shuffle (SURVEY.md §2.5)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    ref = ray.put(frozenset(keys))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    filt = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    return rel.semi_join_broadcast(filt, ref, on="c_custkey").select_columns(["c_custkey"])
+
+
+def sql_semi_join_building() -> str:
+    return """
+SELECT c_custkey FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_window_user_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped; SURVEY.md §2.10 — the
+    reference has no windows, this is the training-pipeline extension):
+    events per (user, hour bucket) with value cents."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        vc = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {"user_id": batch["user_id"], "hour": hour.astype(np.int64), "value_c": vc}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = rel.rollup(prepped, ["user_id", "hour"], {"value_c": ["sum", "count"]})
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "hour", "sum_value_c", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_window_user_hourly() -> str:
+    return """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+       CAST(sum(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id, hour
+"""
+
+
+def q_union_order_status(sf_dir: str):
+    """MergeStream: union of two filtered streams, re-aggregated."""
+    a = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1993-01-01", "us")))
+        ),
+        batch_format="pyarrow",
+    )
+    b = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1997-01-01", "us")))
+        ),
+        batch_format="pyarrow",
+    )
+    u = rel.merge_union(a.select_columns(["o_orderstatus"]), b.select_columns(["o_orderstatus"]))
+    return rel.facet_counts(u, "o_orderstatus")
+
+
+def sql_union_order_status() -> str:
+    return """
+SELECT o_orderstatus, count(*) AS count FROM (
+  SELECT o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01'
+  UNION ALL
+  SELECT o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+GROUP BY o_orderstatus
+"""
+
+
+def q_export_sorted(sf_dir: str):
+    """/export handler analog: filtered, sorted, projected stream (top 100
+    by (l_shipdate desc, l_orderkey, l_linenumber))."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"]
+    )
+    out = ds.sort(
+        ["l_shipdate", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(100)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return out.map_batches(prep, batch_format="pyarrow")
+
+
+def sql_export_sorted() -> str:
+    return """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+def q_percentile_totalprice(sf_dir: str):
+    """Discrete percentiles via distributed sort + index selection (the
+    PercentileAgg analog with exact quantile_disc semantics)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        _cents("o_totalprice"), batch_format="pyarrow"
+    ).select_columns(["o_totalprice_c"])
+    n = ds.count()
+    s = ds.sort("o_totalprice_c")
+    out = {}
+    for q, name in [(0.5, "p50_c"), (0.9, "p90_c")]:
+        idx = max(int(np.ceil(q * n)) - 1, 0)
+        part = s.split_at_indices([idx, idx + 1])[1]
+        out[name] = int(part.take(1)[0]["o_totalprice_c"])
+    return pd.DataFrame([out]).astype(np.int64)
+
+
+def sql_percentile_totalprice() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT quantile_disc({c}, 0.5) AS p50_c, quantile_disc({c}, 0.9) AS p90_c
+FROM orders
+"""
+
+
+# =============================================================== registry ==
+QUERIES = {
+    # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
+    "ft_bm25_or_topk": q_ft_bm25_or_topk,
+    "ft_term_stats": q_ft_term_stats,
+    "ft_and_count": q_ft_and_count,
+    "ft_index_stats": q_ft_index_stats,
+    # text analysis (§2.2 + training-data extensions)
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "doc_stats": q_doc_stats,
+    "quality_scores": q_quality_scores,
+    "langid_eval": q_langid_eval,
+    # dedup (§2.7 SignatureUpdateProcessor + extensions)
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    # similarity search
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    # multimodal plumbing
+    "binary_meta": q_binary_meta,
+    # relational / streaming-expression surface (§2.5-§2.8)
+    "rollup_pricing": q_rollup_pricing,
+    "join_nation_revenue": q_join_nation_revenue,
+    "top_orders": q_top_orders,
+    "facet_event_types": q_facet_event_types,
+    "stats_extendedprice": q_stats_extendedprice,
+    "unique_mktsegment": q_unique_mktsegment,
+    "collapse_latest_order": q_collapse_latest_order,
+    "having_frequent_customers": q_having_frequent_customers,
+    "range_shipdate": q_range_shipdate,
+    "semi_join_building": q_semi_join_building,
+    "window_user_hourly": q_window_user_hourly,
+    "union_order_status": q_union_order_status,
+    "export_sorted": q_export_sorted,
+    "percentile_totalprice": q_percentile_totalprice,
+}
+
+ORACLES = {
+    "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
+    "ft_term_stats": sql_ft_term_stats(),
+    "ft_and_count": sql_ft_and_count(),
+    "ft_index_stats": sql_ft_index_stats(),
+    "token_counts": sql_token_counts(),
+    "doc_fingerprints": sql_doc_fingerprints(),
+    "doc_stats": sql_doc_stats(),
+    "quality_scores": sql_quality_scores(),
+    "dedup_exact": sql_dedup_exact(),
+    "ann_bruteforce": sql_ann_bruteforce(),
+    "binary_meta": sql_binary_meta(),
+    "rollup_pricing": sql_rollup_pricing(),
+    "join_nation_revenue": sql_join_nation_revenue(),
+    "top_orders": sql_top_orders(),
+    "facet_event_types": sql_facet_event_types(),
+    "stats_extendedprice": sql_stats_extendedprice(),
+    "unique_mktsegment": sql_unique_mktsegment(),
+    "collapse_latest_order": sql_collapse_latest_order(),
+    "having_frequent_customers": sql_having_frequent_customers(),
+    "range_shipdate": sql_range_shipdate(),
+    "semi_join_building": sql_semi_join_building(),
+    "window_user_hourly": sql_window_user_hourly(),
+    "union_order_status": sql_union_order_status(),
+    "export_sorted": sql_export_sorted(),
+    "percentile_totalprice": sql_percentile_totalprice(),
+}

@@ -34,27 +34,29 @@ __all__ = ["search", "prepare_search_context"]
 
 
 def prepare_search_context(
-    index_root: str, queries: List[dict], k: int, method: str = "auto"
+    index_root: str, queries: List[dict], k: int, method: str = "auto",
+    sim_config: Optional[dict] = None,
 ) -> dict:
     """Resolve global stats for the query terms and precompute weights
     (the reference's stats phase + Weight creation, done once)."""
     root = read_root_manifest(index_root)
     n_docs = root["num_docs"]
     sum_dl = root["sum_dl"]
-    sim = Bm25Similarity()
+    sim = Bm25Similarity.from_config(sim_config)
     avgdl = sim.avgdl(sum_dl, max(n_docs, 1))
     all_terms = sorted({t for q in queries for t in q["terms"]})
     stats = read_query_term_stats(index_root, all_terms)
-    weights: Dict[str, np.float32] = {}
+    weights: Dict[str, np.floating] = {}
     for t in all_terms:
         df = stats.get(t, (0, 0))[0]
-        weights[t] = sim.idf(df, n_docs)[()] if df > 0 else np.float32(0.0)
+        weights[t] = sim.idf(df, n_docs)[()] if df > 0 else sim.dtype(0.0)
     return {
         "queries": queries,
         "weights": weights,
         "avgdl": float(avgdl),
         "k": k,
         "method": method,
+        "sim": sim_config,
         "num_partitions": root["num_partitions"],
     }
 
@@ -66,6 +68,7 @@ def search(
     method: str = "auto",
     concurrency: Optional[Union[int, tuple]] = None,
     as_dataset: bool = False,
+    sim_config: Optional[dict] = None,
 ):
     """Run the fixed query set over the index.
 
@@ -75,7 +78,7 @@ def search(
     url, score:float32) sorted by (query_id, rank) — or the merged Dataset
     when ``as_dataset=True``.
     """
-    ctx = prepare_search_context(index_root, queries, k, method)
+    ctx = prepare_search_context(index_root, queries, k, method, sim_config)
     P = ctx.pop("num_partitions")
     ctx_ref = ray.put(ctx)
 

@@ -118,7 +118,7 @@ class SearcherStage:
         self.avgdl = ctx["avgdl"]
         self.k = ctx["k"]
         self.method = ctx.get("method", "auto")
-        self.sim = Bm25Similarity()
+        self.sim = Bm25Similarity.from_config(ctx.get("sim"))
         self.cache_inv = self.sim.norm_inverse_cache(self.avgdl)
         self._readers: Dict[str, SegmentReader] = {}
 

@@ -35,12 +35,29 @@ F32 = np.float32
 
 
 class Bm25Similarity:
+    """``mode="recip_mul"`` (default): Lucene 8.x float32 semantics —
+    reciprocal norm cache, ``w - w/(1 + freq * cache[norm])``.
+    ``mode="div"``: direct norm-factor division ``w - w/(1 + freq / nf)``
+    — used with ``dtype=float64`` for SQL-oracle parity (SQL cannot
+    express float32 rounding; this mode is the Similarity-plugin analog,
+    SURVEY.md §2.11)."""
+
     def __init__(self, k1: float = 1.2, b: float = 0.75, lossy_norms: bool = True,
-                 dtype=np.float32):
+                 dtype=np.float32, mode: str = "recip_mul"):
         self.k1 = dtype(k1)
         self.b = dtype(b)
         self.lossy_norms = lossy_norms
         self.dtype = dtype
+        self.mode = mode
+
+    @classmethod
+    def from_config(cls, cfg: dict | None) -> "Bm25Similarity":
+        cfg = cfg or {}
+        dtype = {"float32": np.float32, "float64": np.float64}[cfg.get("dtype", "float32")]
+        return cls(
+            k1=cfg.get("k1", 1.2), b=cfg.get("b", 0.75), dtype=dtype,
+            mode=cfg.get("mode", "recip_mul"),
+        )
 
     def idf(self, df, n_docs) -> np.ndarray:
         """float32(ln(1 + (N - df + 0.5)/(df + 0.5))), vectorized over df."""
@@ -52,20 +69,27 @@ class Bm25Similarity:
         return self.dtype(np.float64(sum_total_tf) / np.float64(doc_count))
 
     def norm_inverse_cache(self, avgdl) -> np.ndarray:
-        """256-entry reciprocal norm-factor cache (float32 arithmetic)."""
+        """256-entry norm cache: reciprocal factor in recip_mul mode, the
+        plain norm factor in div mode."""
         dt = self.dtype
         table = LENGTH_TABLE.astype(dt)
         one = dt(1.0)
-        return (one / (self.k1 * ((one - self.b) + self.b * table / dt(avgdl)))).astype(dt)
+        nf = self.k1 * ((one - self.b) + self.b * table / dt(avgdl))
+        if self.mode == "div":
+            return nf.astype(dt)
+        return (one / nf).astype(dt)
 
     def score_freqs(self, weight, freqs: np.ndarray, norm_bytes: np.ndarray,
                     cache: np.ndarray) -> np.ndarray:
-        """Vectorized per-(term,doc) score: w - w / (1 + freq * cache[norm])."""
+        """Vectorized per-(term,doc) score; expression shape depends on mode
+        (recip_mul: w - w/(1 + freq*cache[n]); div: w - w/(1 + freq/cache[n]))."""
         dt = self.dtype
         w = dt(weight)
-        norm_inv = cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        nrm = cache[np.asarray(norm_bytes, dtype=np.uint8)]
         freqs = np.asarray(freqs, dtype=dt)
-        return (w - w / (dt(1.0) + freqs * norm_inv)).astype(dt)
+        if self.mode == "div":
+            return (w - w / (dt(1.0) + freqs / nrm)).astype(dt)
+        return (w - w / (dt(1.0) + freqs * nrm)).astype(dt)
 
     def score_exact_dl(self, weight, freqs: np.ndarray, dl: np.ndarray, avgdl):
         """Non-lossy variant (for SQL-oracle parity): normFactor from exact dl."""

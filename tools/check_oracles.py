@@ -1,0 +1,131 @@
+"""Driver-style correctness harness: run every queries() entry at a given
+sf_dir and compare row count + sorted values against the DuckDB oracle.
+
+Usage: python tools/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            got = normalize(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: engine raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(got)} rows  ({dt:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            exp = normalize(con.sql(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c].to_numpy(), exp[c].to_numpy()
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
+            else:
+                eq = (a == b).all()
+            if not eq:
+                mismatch = c
+                break
+        if mismatch:
+            bad = (got[mismatch].to_numpy() != exp[mismatch].to_numpy())
+            i = int(np.nonzero(bad)[0][0])
+            print(
+                f"FAIL {name}: column {mismatch} differs at sorted row {i}: "
+                f"got {got.iloc[i].to_dict()} exp {exp.iloc[i].to_dict()}"
+            )
+            n_fail += 1
+            continue
+        # dtype check (driver compares schemas)
+        dd = [
+            (c, str(got[c].dtype), str(exp[c].dtype))
+            for c in got.columns
+            if got[c].dtype != exp[c].dtype
+        ]
+        note = f"  [dtype diff: {dd}]" if dd else ""
+        print(f"PASS {name}: {len(got)} rows  ({dt:.1f}s){note}")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
