@@ -1,0 +1,200 @@
+"""Benchmark harness: headline index-build + BM25-query pipelines plus the
+table pipelines over $GRAFT_SF_DIR.
+
+Plain run (one JSON line, driver contract):
+    python bench.py
+      → {"metric": "index_build_plus_bm25_search_sec", "value": <sec>,
+         "unit": "sec", "queries": {...per-pipeline seconds...},
+         "sf": ..., "num_cpus": N, "docs_per_sec": ..., "qps": ...,
+         "topk_digest": "..."}
+
+Scaling run (BASELINE.md §3 protocol — the sandbox substitute for N vs 4N
+cluster sizes):
+    python bench.py --scaling
+      → runs the SAME job in two fresh processes (num_cpus=8 and 32, same
+        input, same partition count P), reports docs/sec + QPS at both,
+        efficiency = (rate_32 / rate_8) / 4, and asserts the top-k digest
+        (docIDs + float32 scores) is identical across the two runs.
+
+The bench corpus is the deterministic FIXTURES.md pages generator
+(seed 42), cached under /tmp/lsr_bench; partition count P is constant
+across parallelism levels so only executor parallelism varies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("LSR_BENCH_DOCS", 200_000))
+BENCH_SHARDS = 32
+BENCH_P = 64  # segments; constant across parallelism levels
+QUERY_REPEAT = 5  # 60 fixed queries x5 = 300 queries per timed search
+PAGES_DIR = f"/tmp/lsr_bench/pages_{BENCH_DOCS}"
+DIGEST_COLS = ["query_id", "rank", "url", "score"]
+
+
+def ensure_corpus():
+    from lucene_solr_ray.sources.pages import generate_pages
+
+    marker = os.path.join(PAGES_DIR, ".complete")
+    if os.path.exists(marker):
+        import glob
+
+        return sorted(glob.glob(os.path.join(PAGES_DIR, "part-*.parquet")))
+    paths = generate_pages(PAGES_DIR, BENCH_DOCS, BENCH_SHARDS, seed=42)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def ensure_queries(paths):
+    """Query set derived from corpus df stats — cached (driver-side scan is
+    slow, and determinism makes the cache safe)."""
+    from lucene_solr_ray.sources.pages import corpus_df_stats, generate_query_set
+
+    qpath = os.path.join(PAGES_DIR, "queries.json")
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            return json.load(f)
+    dfs = corpus_df_stats(paths)
+    queries = generate_query_set(dfs, seed=42)
+    with open(qpath, "w") as f:
+        json.dump(queries, f)
+    return queries
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR", ignore_reinit_error=True,
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    paths = ensure_corpus()
+    queries = ensure_queries(paths)
+    big_queries = [
+        dict(q, query_id=q["query_id"] + 1000 * r)
+        for r in range(QUERY_REPEAT)
+        for q in queries
+    ]
+
+    timings: dict = {}
+
+    # warm the page cache (untimed) so we measure compute+shuffle, not cold IO
+    ray.data.read_parquet(paths, columns=["url"]).count()
+
+    index_root = f"/tmp/lsr_bench/index_p{BENCH_P}_{BENCH_DOCS}"
+    import shutil
+
+    shutil.rmtree(index_root, ignore_errors=True)
+    t0 = time.perf_counter()
+    root = build_index(paths, index_root, num_partitions=BENCH_P, resume=False)
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+
+    t0 = time.perf_counter()
+    res = search(index_root, big_queries, k=10)
+    t_query = time.perf_counter() - t0
+    timings["bm25_search_300q"] = round(t_query, 3)
+
+    digest = hashlib.sha256(
+        res.sort_values(["query_id", "rank"])[DIGEST_COLS]
+        .to_csv(index=False, float_format="%.9g")
+        .encode()
+    ).hexdigest()[:16]
+
+    # table pipelines over GRAFT_SF_DIR (operator-breadth timings)
+    from lucene_solr_ray.pipelines import entry_queries as eq
+
+    def consume(r):
+        import pandas as pd
+        import ray.data as rd
+
+        if isinstance(r, rd.Dataset):
+            # stream to completion without materializing on the driver
+            n = 0
+            for b in r.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(r)
+
+    for name in [
+        "rollup_pricing", "join_nation_revenue", "token_counts",
+        "dedup_exact", "ann_bruteforce", "window_user_hourly",
+    ]:
+        t0 = time.perf_counter()
+        consume(eq.QUERIES[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "index_build_plus_bm25_search_sec",
+        "value": round(t_build + t_query, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": BENCH_DOCS,
+        "indexed_docs": root["num_docs"],
+        "partitions": BENCH_P,
+        "docs_per_sec": round(BENCH_DOCS / t_build, 1),
+        "qps": round(len(big_queries) / t_query, 1),
+        "topk_digest": digest,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff_index = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    eff_query = (r_hi["qps"] / r_lo["qps"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus": [lo, hi],
+                "docs_per_sec": [r_lo["docs_per_sec"], r_hi["docs_per_sec"]],
+                "qps": [r_lo["qps"], r_hi["qps"]],
+                "index_build_sec": [r_lo["queries"]["index_build"], r_hi["queries"]["index_build"]],
+                "search_sec": [r_lo["queries"]["bm25_search_300q"], r_hi["queries"]["bm25_search_300q"]],
+                "eff_index": round(eff_index, 3),
+                "eff_query": round(eff_query, 3),
+                "rank_identical": r_lo["topk_digest"] == r_hi["topk_digest"],
+                "topk_digest": r_hi["topk_digest"],
+                "bench_docs": r_hi["bench_docs"],
+                "partitions": r_hi["partitions"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -29,7 +29,15 @@ F32 = np.float32
 class OracleIndex:
     """In-memory single-node index over raw page rows (url, warc_ts, text)."""
 
-    def __init__(self, rows: List[dict], lang: str = "en", k1: float = 1.2, b: float = 0.75):
+    def __init__(self, rows, lang: str = "en", k1: float = 1.2, b: float = 0.75):
+        if rows and isinstance(rows[0], str):  # parquet path(s) accepted too
+            import pyarrow.parquet as pq
+
+            rows = [
+                r
+                for p in rows
+                for r in pq.read_table(p, columns=["url", "warc_ts", "text", "lang"]).to_pylist()
+            ]
         tok = StandardTokenizer()
         # last-wins dedup by url (max warc_ts)
         best: Dict[str, tuple] = {}
@@ -96,3 +104,14 @@ class OracleIndex:
             cands = list(doc_hits)
         ranked = sorted(cands, key=lambda d: (-float(doc_scores[d]), self.urls[d]))[:k]
         return [(self.urls[d], float(doc_scores[d])) for d in ranked]
+
+    def search(self, queries: List[dict], k: int = 10):
+        """Engine-shaped result frame: (query_id, rank, url, score), rank 1..k."""
+        import pandas as pd
+
+        out = []
+        for q in queries:
+            for rank, (url, score) in enumerate(self.query(q["terms"], q["kind"], k), start=1):
+                out.append((q["query_id"], rank, url, score))
+        df = pd.DataFrame(out, columns=["query_id", "rank", "url", "score"])
+        return df.astype({"query_id": "int32", "rank": "int32", "score": "float32"})
