@@ -25,57 +25,73 @@ from __future__ import annotations
 
 import glob
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
-__all__ = ["compute_global_stats", "salted_sum_groupby", "read_query_term_stats"]
-
-SALT_THRESHOLD = 64  # segments; below this the plain pre-aggregated groupby wins
+__all__ = ["compute_global_stats", "sharded_sum_groupby", "read_query_term_stats"]
 
 
-def salted_sum_groupby(ds: "ray.data.Dataset", key: str, sum_cols: list, groups: int):
-    """Two-phase salted sum-aggregation: groupby((key, salt)) → groupby(key).
+def _term_shards(terms: pa.ChunkedArray, num_shards: int) -> np.ndarray:
+    """Deterministic crc32(term) % S — same hash family as the url router."""
+    out = np.empty(len(terms), dtype=np.int32)
+    i = 0
+    for chunk in terms.chunks if isinstance(terms, pa.ChunkedArray) else [terms]:
+        for t in chunk.to_pylist():
+            out[i] = zlib.crc32(t.encode("utf-8")) % num_shards
+            i += 1
+    return out
 
-    The salt is a deterministic-per-row-content bucket (crc of the key and
-    a row counter would both do — sums are commutative, so ANY row→salt
-    assignment yields identical totals; we use a cycling counter, which
-    spreads a hot key's rows evenly). Bounds reducer group size under
-    head-key skew (SURVEY.md §4 "skew / hot keys")."""
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
 
-    def add_salt(batch: pa.Table) -> pa.Table:
-        salt = (np.arange(len(batch)) % groups).astype(np.int32)
-        return batch.append_column("_salt", pa.array(salt))
+def sharded_sum_groupby(ds: "ray.data.Dataset", key: str, sum_cols: list, num_shards: int):
+    """Sum-aggregate by a high-cardinality string key without a per-key Ray
+    groupby: shuffle on a SMALL int shard key (crc32(key) % S), then reduce
+    each shard with vectorized ``pyarrow.Table.group_by`` — the all-to-all
+    moves the same bytes but Ray only sorts/merges S distinct int keys, and
+    the per-key summing runs as an Arrow C++ kernel.
 
-    partial = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key, "_salt"])
-        .aggregate(*aggs)
-        .drop_columns(["_salt"])
+    Skew (SURVEY.md §4 "skew / hot keys", BASELINE.json "explicit skew
+    handling for head terms"): the per-segment pre-aggregation upstream
+    bounds any key to ≤ num_partitions input rows, and within a shard a hot
+    key is just more rows through a vectorized hash-agg — no reducer ever
+    iterates a key's rows in Python. Shard sizes stay balanced because the
+    hash spreads the vocabulary, not the postings."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_shard", pa.array(_term_shards(batch[key], num_shards))
+        )
+
+    def reduce_shard(group: pa.Table) -> pa.Table:
+        agg = group.drop_columns(["_shard"]).group_by(key).aggregate(
+            [(c, "sum") for c in sum_cols]
+        )
+        return agg.rename_columns([key] + list(sum_cols))
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
     )
-    return partial.groupby(key).aggregate(*aggs)
 
 
-def compute_global_stats(index_root: str, num_partitions: int, salt_groups: int = 16) -> str:
+def compute_global_stats(index_root: str, num_partitions: int, num_shards: int = None) -> str:
     """Aggregate per-segment term tables → stats/global_stats/ parquet dir.
 
     Runs as a Ray Data pipeline: read only (term, df, total_tf) columns of
-    every segment's terms.parquet (column pruning at the read), shuffle by
-    term, sum, write partitioned parquet (streamed, never materialized on
-    the driver)."""
+    every segment's terms.parquet (column pruning at the read), shard-keyed
+    shuffle, vectorized per-shard sum, write partitioned parquet (streamed,
+    never materialized on the driver)."""
     seg_glob = sorted(glob.glob(os.path.join(index_root, "segments", "part-*", "terms.parquet")))
     stats_dir = os.path.join(index_root, "stats", "global_stats")
+    if num_shards is None:
+        num_shards = max(8, num_partitions // 8)
 
     ds = ray.data.read_parquet(seg_glob, columns=["term", "df", "total_tf"])
-    if num_partitions > SALT_THRESHOLD:
-        agg = salted_sum_groupby(ds, "term", ["df", "total_tf"], salt_groups)
-    else:
-        agg = ds.groupby("term").aggregate(
-            Sum("df", alias_name="df"), Sum("total_tf", alias_name="total_tf")
-        )
+    agg = sharded_sum_groupby(ds, "term", ["df", "total_tf"], num_shards)
 
     import shutil
 

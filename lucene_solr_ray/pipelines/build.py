@@ -141,10 +141,11 @@ def build_index(
     ds = ds.map_batches(route, batch_format="pyarrow")
 
     if analyzer_concurrency is None:
-        # actor pool sized to the session CPUs; autoscaling (1, ncpu) keeps
-        # small builds from over-reserving while large builds fill the node
+        # actor pool sized to the session CPUs MINUS one: a pool that
+        # reserves every CPU starves the upstream ReadParquet tasks and
+        # deadlocks the streaming executor on a small node
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        analyzer_concurrency = (1, max(2, ncpu))
+        analyzer_concurrency = (1, max(2, ncpu - 1))
     ds = ds.map_batches(
         AnalyzerStage,
         fn_constructor_kwargs={"num_partitions": P},
