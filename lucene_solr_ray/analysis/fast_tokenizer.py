@@ -1,0 +1,216 @@
+"""Vectorized ASCII fast path for the analyzer stage.
+
+The regex StandardTokenizer (tokenizer.py) is the semantic reference; this
+module re-implements the SAME token boundaries for pure-ASCII documents as
+numpy kernels over the raw Arrow string buffer — no per-row Python — and
+is used by the analyzer stage for every doc that contains no byte > 0x7F.
+Docs with non-ASCII bytes fall back to the regex path (CJK, curly quotes,
+İ/Σ lowercase subtleties all live there), so the two paths together are
+byte-identical to running the regex tokenizer on everything; the property
+test in tests/test_tokenizer.py asserts exactly that.
+
+ASCII projection of the UAX#29 rules implemented (see tokenizer.py for the
+full rule set and the reference citations):
+- token runs: [0-9A-Za-z_] with an optional leading "_+" and ≥1 alnum;
+- MidLetter ∪ Single_Quote ∪ MidNumLet ASCII members {' . :} join when
+  both neighbors are letters (WB6/WB7);
+- MidNum ∪ MidNumLet ∪ Single_Quote ASCII members {' . , ;} join when
+  both neighbors are digits (WB11/WB12);
+- tokens never span document boundaries;
+- tokens longer than max_token_length split into fixed-size chunks;
+- lowercase = ASCII [A-Z] += 0x20 (exact for pure ASCII).
+
+The per-doc term-frequency map (what the analyzer emits — the analog of
+Lucene's TermsHashPerField accumulation) is likewise vectorized:
+``pa.compute.dictionary_encode`` over the token array (Arrow C++ hash)
+then one ``np.unique`` over packed (doc_id, term_code) int64 keys.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["tokenize_ascii_buffer", "doc_tf_from_tokens", "ascii_doc_mask"]
+
+# byte classes
+_DIGIT, _LETTER, _UNDER, _MIDL, _MIDN = 1, 2, 4, 8, 16
+_CLS = np.zeros(256, dtype=np.uint8)
+for b in range(ord("0"), ord("9") + 1):
+    _CLS[b] |= _DIGIT
+for b in list(range(ord("A"), ord("Z") + 1)) + list(range(ord("a"), ord("z") + 1)):
+    _CLS[b] |= _LETTER
+_CLS[ord("_")] |= _UNDER
+for ch in "'.:":
+    _CLS[ord(ch)] |= _MIDL
+for ch in "'.,;":
+    _CLS[ord(ch)] |= _MIDN
+_ALNUM = _DIGIT | _LETTER
+_INTOK = _ALNUM | _UNDER
+
+
+def _string_buffers(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """(byte buffer, int64 offsets) of a non-null String/LargeString array,
+    zero-copy, slice-offset corrected."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    if bufs[1] is None:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(arr) + 1, dtype=np.int64)
+    raw_off = np.frombuffer(bufs[1], dtype=off_dtype)
+    offs = raw_off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offs
+
+
+def ascii_doc_mask(arr: pa.Array) -> np.ndarray:
+    """Bool mask: True where the doc contains no byte > 0x7F (and no NUL —
+    keeps the classification table honest about the padding sentinel)."""
+    data, offs = _string_buffers(arr)
+    n = len(arr)
+    bad_pos = np.nonzero((data > 0x7F) | (data == 0))[0]
+    mask = np.ones(n, dtype=bool)
+    if len(bad_pos):
+        bad_pos = bad_pos[(bad_pos >= offs[0]) & (bad_pos < offs[-1])]
+        docs = np.searchsorted(offs, bad_pos, side="right") - 1
+        mask[np.unique(docs)] = False
+    if arr.null_count:
+        mask &= np.asarray(pc.is_valid(arr))
+    return mask
+
+
+def tokenize_ascii_buffer(
+    data: np.ndarray, offs: np.ndarray, max_token_length: int = 255
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token spans over a concatenated pure-ASCII doc buffer.
+
+    Returns (starts, lengths, doc_ids) for every token, in document order.
+    ``offs`` delimits docs: doc d = data[offs[d]:offs[d+1]].
+    """
+    lo, hi = int(offs[0]), int(offs[-1])
+    buf = data[lo:hi]
+    offs = offs - lo
+    L = len(buf)
+    n_docs = len(offs) - 1
+    if L == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+
+    cls = _CLS[buf]
+    prev = np.empty(L, dtype=np.uint8)
+    prev[0] = 0
+    prev[1:] = cls[:-1]
+    nxt = np.empty(L, dtype=np.uint8)
+    nxt[-1] = 0
+    nxt[:-1] = cls[1:]
+    # neighbor classes must not leak across doc boundaries
+    starts_of_docs = offs[:-1][offs[:-1] < L]
+    prev[starts_of_docs] = 0
+    ends_of_docs = offs[1:] - 1
+    ends_of_docs = ends_of_docs[(ends_of_docs >= 0) & (ends_of_docs < L)]
+    nxt[ends_of_docs] = 0
+
+    join = ((cls & _MIDL > 0) & (prev & _LETTER > 0) & (nxt & _LETTER > 0)) | (
+        (cls & _MIDN > 0) & (prev & _DIGIT > 0) & (nxt & _DIGIT > 0)
+    )
+    in_tok = (cls & _INTOK > 0) | join
+
+    prev_in = np.empty(L, dtype=bool)
+    prev_in[0] = False
+    prev_in[1:] = in_tok[:-1]
+    prev_in[starts_of_docs] = False
+    nxt_in = np.empty(L, dtype=bool)
+    nxt_in[-1] = False
+    nxt_in[:-1] = in_tok[1:]
+    nxt_in[ends_of_docs] = False
+
+    run_starts = np.nonzero(in_tok & ~prev_in)[0]
+    run_ends = np.nonzero(in_tok & ~nxt_in)[0]  # inclusive
+
+    # drop runs with no alphanumeric byte (pure-underscore runs)
+    # NOTE: cumsum over a bool array is pathologically slow in some numpy
+    # builds — go through an int8 view (100x faster, same values)
+    alnum_cum = np.concatenate(
+        ([0], np.cumsum(((cls & _ALNUM) > 0).view(np.int8), dtype=np.int32))
+    )
+    has_alnum = (alnum_cum[run_ends + 1] - alnum_cum[run_starts]) > 0
+    run_starts, run_ends = run_starts[has_alnum], run_ends[has_alnum]
+    lens = run_ends - run_starts + 1
+
+    # split over-long runs into max_token_length chunks (rare)
+    m = max_token_length
+    long = lens > m
+    if long.any():
+        pieces_s, pieces_l = [run_starts[~long]], [lens[~long]]
+        ins_order = []
+        for s, ln in zip(run_starts[long], lens[long]):
+            ks = np.arange(s, s + ln, m, dtype=np.int64)
+            kl = np.minimum(m, s + ln - ks)
+            pieces_s.append(ks)
+            pieces_l.append(kl)
+        run_starts = np.concatenate(pieces_s)
+        lens = np.concatenate(pieces_l)
+        order = np.argsort(run_starts, kind="stable")
+        run_starts, lens = run_starts[order], lens[order]
+
+    doc_ids = np.searchsorted(offs, run_starts, side="right") - 1
+    return run_starts + lo, lens, doc_ids
+
+
+def tokens_to_string_array(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> pa.Array:
+    """Gather token bytes (ASCII-lowercased) into one Arrow StringArray."""
+    n = len(starts)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(starts - out_off[:-1], lens)
+    tok = data[idx]
+    upper = (tok >= 0x41) & (tok <= 0x5A)
+    tok[upper] += 0x20
+    return pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(tok.tobytes()),
+    )
+
+
+def doc_tf_from_tokens(
+    tokens: pa.Array, doc_ids: np.ndarray, n_docs: int
+) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc term-frequency accumulation, fully vectorized.
+
+    Returns (unique terms values array, list offsets int64[n_docs+1],
+    freqs int32, dl int32): doc d's unique terms are
+    values[offsets[d]:offsets[d+1]] with matching freqs.
+    """
+    dl = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)
+    if len(tokens) == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.zeros(n_docs + 1, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            dl,
+        )
+    enc = pc.dictionary_encode(tokens)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    key = (doc_ids.astype(np.int64) << 32) | codes
+    uniq, counts = np.unique(key, return_counts=True)
+    u_docs = (uniq >> 32).astype(np.int64)
+    u_codes = (uniq & 0xFFFFFFFF).astype(np.int64)
+    offsets = np.searchsorted(u_docs, np.arange(n_docs + 1, dtype=np.int64))
+    values = enc.dictionary.take(pa.array(u_codes))
+    return values, offsets, counts.astype(np.int32), dl

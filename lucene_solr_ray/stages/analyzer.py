@@ -37,32 +37,120 @@ def analyzer_spec_hash(spec: dict) -> str:
 DEFAULT_SPEC = {"tokenizer": "standard_uax29", "max_token_length": 255, "filters": ["lowercase"]}
 
 
-def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions: int) -> pa.Table:
-    """Pure function core (also used by tests without Ray): pages table
-    (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl)."""
-    texts = table["text"].to_pylist()
+def _analyze_rows_regex(
+    texts: list, tokenizer: StandardTokenizer
+) -> tuple:
+    """Reference regex path for a list of texts → (per-doc term lists,
+    per-doc freq arrays, dl array). Exact; used for non-ASCII docs."""
     n = len(texts)
-    flat_terms: list = []
-    freq_chunks: list = []
-    offsets = np.empty(n + 1, dtype=np.int32)
-    offsets[0] = 0
+    terms_per_doc: list = []
+    freqs_per_doc: list = []
     dl = np.empty(n, dtype=np.int32)
     tokenize = tokenizer.tokenize_lower
     for i, text in enumerate(texts):
         toks = tokenize(text) if text else []
         tf = Counter(toks)
         dl[i] = len(toks)
-        offsets[i + 1] = offsets[i] + len(tf)
-        flat_terms.extend(tf.keys())
-        freq_chunks.append(np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
+        terms_per_doc.append(list(tf.keys()))
+        freqs_per_doc.append(np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
+    return terms_per_doc, freqs_per_doc, dl
 
-    terms_arr = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(flat_terms, type=pa.string())
+
+def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions: int) -> pa.Table:
+    """Pure function core (also used by tests without Ray): pages table
+    (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl).
+
+    Pure-ASCII docs run through the vectorized numpy/Arrow fast path
+    (analysis/fast_tokenizer.py); docs with any non-ASCII byte use the
+    regex tokenizer — identical token output either way (property-tested)."""
+    from ..analysis.fast_tokenizer import (
+        _string_buffers,
+        ascii_doc_mask,
+        doc_tf_from_tokens,
+        tokenize_ascii_buffer,
+        tokens_to_string_array,
     )
-    freqs_arr = pa.ListArray.from_arrays(
-        pa.array(offsets),
-        pa.array(np.concatenate(freq_chunks) if freq_chunks else np.array([], dtype=np.int32)),
-    )
+
+    text_col = table["text"].combine_chunks()
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = (
+            text_col.combine_chunks()
+            if text_col.num_chunks
+            else pa.array([], type=pa.string())
+        )
+    n = len(text_col)
+    ascii_mask = ascii_doc_mask(text_col) if n else np.zeros(0, dtype=bool)
+    m = tokenizer.max_token_length
+
+    if n == 0:
+        empty_off = pa.array(np.zeros(1, dtype=np.int32))
+        terms_arr = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
+        freqs_arr = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
+        dl = np.empty(0, dtype=np.int32)
+    elif ascii_mask.all():
+        data, offs = _string_buffers(text_col)
+        starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
+        tokens = tokens_to_string_array(data, starts, lens)
+        values, list_off, freqs, dl = doc_tf_from_tokens(tokens, doc_ids, n)
+        terms_arr = pa.ListArray.from_arrays(
+            pa.array(list_off, type=pa.int32()), values
+        )
+        freqs_arr = pa.ListArray.from_arrays(
+            pa.array(list_off, type=pa.int32()), pa.array(freqs)
+        )
+    else:
+        # mixed batch: fast path on the ASCII docs, regex on the rest,
+        # reassembled in original doc order
+        ascii_idx = np.nonzero(ascii_mask)[0]
+        fb_idx = np.nonzero(~ascii_mask)[0]
+        sub = text_col.take(pa.array(ascii_idx))
+        data, offs = _string_buffers(sub)
+        starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
+        tokens = tokens_to_string_array(data, starts, lens)
+        a_values, a_off, a_freqs, a_dl = doc_tf_from_tokens(tokens, doc_ids, len(sub))
+        fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
+        f_terms, f_freqs, f_dl = _analyze_rows_regex(fb_texts, tokenizer)
+
+        fb_values = pa.array(
+            [t for ts in f_terms for t in ts], type=pa.string()
+        )
+        combined = pa.concat_arrays(
+            [
+                a_values.combine_chunks()
+                if isinstance(a_values, pa.ChunkedArray)
+                else a_values,
+                fb_values,
+            ]
+        )
+        na_total = len(a_values)
+        fb_off = np.zeros(len(f_terms) + 1, dtype=np.int64)
+        np.cumsum([len(ts) for ts in f_terms], out=fb_off[1:])
+        combined_freqs = np.concatenate([a_freqs] + list(f_freqs)).astype(np.int32)
+
+        # vectorized reassembly: per-doc source start in `combined`, then
+        # the repeat/arange gather (same trick as the token byte gather)
+        counts = np.empty(n, dtype=np.int64)
+        src_start = np.empty(n, dtype=np.int64)
+        dl = np.empty(n, dtype=np.int32)
+        counts[ascii_idx] = np.diff(a_off)
+        counts[fb_idx] = np.diff(fb_off)
+        src_start[ascii_idx] = a_off[:-1]
+        src_start[fb_idx] = na_total + fb_off[:-1]
+        dl[ascii_idx] = a_dl
+        dl[fb_idx] = f_dl
+        list_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=list_off[1:])
+        total = int(list_off[-1])
+        take_idx = np.arange(total, dtype=np.int64) + np.repeat(
+            src_start - list_off[:-1], counts
+        )
+        values = combined.take(pa.array(take_idx))
+        flat_freqs = combined_freqs[take_idx]
+        terms_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), values)
+        freqs_arr = pa.ListArray.from_arrays(
+            pa.array(list_off, type=pa.int32()), pa.array(flat_freqs)
+        )
+
     urls = table["url"].to_pylist()
     pk = part_keys(urls, num_partitions)
     return pa.table(
