@@ -277,6 +277,15 @@ class SegmentReader:
             return i
         return -1
 
+    def prefix_range(self, prefix: str) -> tuple:
+        """Ordinal range [lo, hi) of terms starting with ``prefix`` — the
+        sorted-term-block range scan behind PrefixQuery (reference:
+        lucene/core/src/java/org/apache/lucene/search/PrefixQuery.java via
+        automaton ∩ term dict, branch_8x; SURVEY.md §2.3)."""
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010FFFF"))
+        return lo, hi
+
     def postings(self, ordinal: int):
         off = int(self.offset[ordinal])
         return decode_term_postings(

@@ -304,6 +304,158 @@ FROM toks
 """
 
 
+def q_ft_not_topk(sf_dir: str) -> pd.DataFrame:
+    """SHOULD disjunction with a MUST_NOT clause (ReqExclScorer semantics,
+    SURVEY.md §2.7): docs matching query|fast but never join."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": ["query", "fast"], "exclude": ["join"]}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_not_topk() -> str:
+    return (
+        _ft_sql_common()
+        + """
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ('query', 'fast') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'join')
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+def q_ft_msm_topk(sf_dir: str) -> pd.DataFrame:
+    """Disjunction with minShouldMatch=2 (BooleanQuery minimumNumberShouldMatch,
+    SURVEY.md §2.3)."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR, "min_should_match": 2}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_msm_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(*) >= 2
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+FT_PREFIX = "qu"
+
+
+def q_ft_prefix_count(sf_dir: str) -> pd.DataFrame:
+    """PrefixQuery cardinality via sorted-term-dictionary range scan per
+    segment (SURVEY.md §2.3 PrefixQuery → range-scan over sorted term
+    blocks), counted partition-side and summed."""
+    idx = ensure_ft_index(sf_dir)
+    root = read_root_manifest(idx)
+    parts = [
+        {"seg_dir": segment_dir(idx, pid)} for pid in range(root["num_partitions"])
+    ]
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        total = 0
+        for seg in batch["seg_dir"].to_pylist():
+            r = SegmentReader(seg)
+            if r.num_docs == 0:
+                continue
+            matched = np.zeros(r.num_docs, dtype=bool)
+            lo, hi = r.prefix_range(FT_PREFIX)
+            for o in range(lo, hi):
+                matched[r.postings(o).docids] = True
+            total += int(matched.sum())
+        return pa.table({"n_docs": pa.array([total], type=pa.int64())})
+
+    ds = ray.data.from_items(parts).map_batches(count_part, batch_format="pyarrow")
+    n = int(
+        sum(
+            b["n_docs"][0].as_py()
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    )
+    return pd.DataFrame({"n_docs": [n]}).astype(np.int64)
+
+
+def sql_ft_prefix_count() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE '{FT_PREFIX}%'
+"""
+
+
 # ============================================================= text stats ==
 def q_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -905,6 +1057,9 @@ QUERIES = {
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
     "ft_index_stats": q_ft_index_stats,
+    "ft_not_topk": q_ft_not_topk,
+    "ft_msm_topk": q_ft_msm_topk,
+    "ft_prefix_count": q_ft_prefix_count,
     # text analysis (§2.2 + training-data extensions)
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -942,6 +1097,9 @@ ORACLES = {
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
     "ft_index_stats": sql_ft_index_stats(),
+    "ft_not_topk": sql_ft_not_topk(),
+    "ft_msm_topk": sql_ft_msm_topk(),
+    "ft_prefix_count": sql_ft_prefix_count(),
     "token_counts": sql_token_counts(),
     "doc_fingerprints": sql_doc_fingerprints(),
     "doc_stats": sql_doc_stats(),

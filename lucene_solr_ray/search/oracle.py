@@ -86,22 +86,47 @@ class OracleIndex:
         ni = self.cache[self.norm_bytes[docid]]
         return F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
 
-    def query(self, terms: List[str], kind: str, k: int) -> List[Tuple[str, float]]:
-        """Top-k (url, float32 score) with tie-break (score desc, url asc)."""
-        doc_scores: Dict[int, F32] = {}
-        doc_hits: Dict[int, int] = {}
-        missing = any(t not in self.postings for t in terms)
-        if kind == "and" and missing:
-            return []
-        for t in terms:
-            for docid, freq in self.postings.get(t, ()):
-                contrib = self.score_term_doc(t, docid, freq)
-                doc_scores[docid] = F32(doc_scores.get(docid, F32(0)) + contrib)
-                doc_hits[docid] = doc_hits.get(docid, 0) + 1
-        if kind == "and":
-            cands = [d for d, h in doc_hits.items() if h == len(terms)]
+    def query(
+        self,
+        terms: List[str],
+        kind: str,
+        k: int,
+        exclude: List[str] = (),
+        min_should_match: int = 1,
+    ) -> List[Tuple[str, float]]:
+        """Top-k (url, float32 score) with tie-break (score desc, url asc).
+
+        Kinds mirror the engine: term/or (SHOULD + minShouldMatch), and
+        (MUST), prefix (constant-score 1.0); ``exclude`` = MUST_NOT."""
+        if kind == "prefix":
+            docs = set()
+            for p in terms:
+                for t, plist in self.postings.items():
+                    if t.startswith(p):
+                        docs.update(d for d, _ in plist)
+            doc_scores: Dict[int, F32] = {d: F32(1.0) for d in docs}
+            cands = list(docs)
         else:
-            cands = list(doc_hits)
+            doc_scores = {}
+            doc_hits: Dict[int, int] = {}
+            missing = any(t not in self.postings for t in terms)
+            if kind == "and" and missing:
+                return []
+            for t in terms:
+                for docid, freq in self.postings.get(t, ()):
+                    contrib = self.score_term_doc(t, docid, freq)
+                    doc_scores[docid] = F32(doc_scores.get(docid, F32(0)) + contrib)
+                    doc_hits[docid] = doc_hits.get(docid, 0) + 1
+            if kind == "and":
+                cands = [d for d, h in doc_hits.items() if h == len(terms)]
+            else:
+                need = max(1, min_should_match)
+                cands = [d for d, h in doc_hits.items() if h >= need]
+        if exclude:
+            banned = set()
+            for t in exclude:
+                banned.update(d for d, _ in self.postings.get(t, ()))
+            cands = [d for d in cands if d not in banned]
         ranked = sorted(cands, key=lambda d: (-float(doc_scores[d]), self.urls[d]))[:k]
         return [(self.urls[d], float(doc_scores[d])) for d in ranked]
 
@@ -111,7 +136,14 @@ class OracleIndex:
 
         out = []
         for q in queries:
-            for rank, (url, score) in enumerate(self.query(q["terms"], q["kind"], k), start=1):
+            res = self.query(
+                q["terms"],
+                q["kind"],
+                k,
+                exclude=q.get("exclude", ()),
+                min_should_match=int(q.get("min_should_match", 1)),
+            )
+            for rank, (url, score) in enumerate(res, start=1):
                 out.append((q["query_id"], rank, url, score))
         df = pd.DataFrame(out, columns=["query_id", "rank", "url", "score"])
         return df.astype({"query_id": "int32", "rank": "int32", "score": "float32"})

@@ -59,30 +59,106 @@ def score_query_exhaustive(
     cache_inv: np.ndarray,
     sim: Bm25Similarity,
     k: int,
+    exclude: Sequence[str] = (),
+    min_should_match: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full-evaluation scoring over one segment (CheckHits-style ground
-    truth for WAND; also the fast path for small/medium partitions)."""
+    truth for WAND; also the fast path for small/medium partitions).
+
+    Kinds (BooleanQuery clause semantics, reference BooleanWeight.java +
+    ReqExclScorer.java + MultiTermQuery CONSTANT_SCORE_REWRITE, branch_8x):
+    - ``term``/``or``: SHOULD disjunction, ``min_should_match`` matching
+      clauses required (default 1);
+    - ``and``: MUST conjunction;
+    - ``prefix``: terms are prefixes, expanded against this segment's term
+      dictionary; constant score 1.0 per matching doc (Lucene's
+      constant-score rewrite), tie → lowest docID;
+    - any kind may carry ``exclude`` (MUST_NOT): matching docs are removed
+      before top-k selection.
+    """
+    n_docs = reader.num_docs
+    if kind == "prefix":
+        matched = np.zeros(n_docs, dtype=bool)
+        for prefix in terms:
+            lo, hi = reader.prefix_range(prefix)
+            for o in range(lo, hi):
+                matched[reader.postings(o).docids] = True
+        cand = np.nonzero(matched)[0]
+        scores_c = np.ones(len(cand), dtype=np.float32)
+    else:
+        scores = np.zeros(n_docs, dtype=np.float32)
+        hits = np.zeros(n_docs, dtype=np.uint16)
+        n_terms = len(terms)
+        missing = False
+        for term in terms:
+            o = reader.lookup(term)
+            if o < 0:
+                missing = True
+                continue
+            tp = reader.postings(o)
+            contrib = sim.score_freqs(
+                weights[term], tp.freqs, reader.norms[tp.docids], cache_inv
+            )
+            scores[tp.docids] += contrib
+            hits[tp.docids] += 1
+        if kind == "and":
+            if missing:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            cand = np.nonzero(hits == n_terms)[0]
+        else:
+            cand = np.nonzero(hits >= max(1, min_should_match))[0]
+        scores_c = scores[cand]
+    if len(exclude) and len(cand):
+        banned = np.zeros(n_docs, dtype=bool)
+        for term in exclude:
+            o = reader.lookup(term)
+            if o >= 0:
+                banned[reader.postings(o).docids] = True
+        keep = ~banned[cand]
+        cand, scores_c = cand[keep], scores_c[keep]
+    return topk_select(cand, scores_c, k)
+
+
+def _score_query_cached(
+    reader: SegmentReader,
+    terms: Sequence[str],
+    kind: str,
+    tcache: dict,
+    k: int,
+    exclude: Sequence[str] = (),
+    min_should_match: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """score_query_exhaustive with per-term (docids, contrib) reuse —
+    bit-identical results (same contribs, same float32 accumulation order)."""
     n_docs = reader.num_docs
     scores = np.zeros(n_docs, dtype=np.float32)
     hits = np.zeros(n_docs, dtype=np.uint16)
     n_terms = len(terms)
     missing = False
     for term in terms:
-        o = reader.lookup(term)
-        if o < 0:
+        e = tcache[term]
+        if e is None:
             missing = True
             continue
-        tp = reader.postings(o)
-        contrib = sim.score_freqs(weights[term], tp.freqs, reader.norms[tp.docids], cache_inv)
-        scores[tp.docids] += contrib
-        hits[tp.docids] += 1
+        docids, contrib = e
+        scores[docids] += contrib
+        hits[docids] += 1
     if kind == "and":
         if missing:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         cand = np.nonzero(hits == n_terms)[0]
     else:
-        cand = np.nonzero(hits)[0]
-    return topk_select(cand, scores[cand], k)
+        cand = np.nonzero(hits >= max(1, min_should_match))[0]
+    scores_c = scores[cand]
+    if len(exclude) and len(cand):
+        banned = np.zeros(n_docs, dtype=bool)
+        for term in exclude:
+            e = tcache.get(term)
+            if e is not None:
+                banned[e[0]] = True
+        keep = ~banned[cand]
+        cand, scores_c = cand[keep], scores_c[keep]
+    return topk_select(cand, scores_c, k)
 
 
 def lookup_urls(seg_dir: str, local_docids: np.ndarray) -> List[str]:
@@ -121,12 +197,49 @@ class SearcherStage:
         self.sim = Bm25Similarity.from_config(ctx.get("sim"))
         self.cache_inv = self.sim.norm_inverse_cache(self.avgdl)
         self._readers: Dict[str, SegmentReader] = {}
+        self._term_caches: Dict[str, dict] = {}
 
     def _reader(self, seg_dir: str) -> SegmentReader:
         r = self._readers.get(seg_dir)
         if r is None:
             r = self._readers[seg_dir] = SegmentReader(seg_dir)
         return r
+
+    def _term_cache(self, reader: SegmentReader):
+        """Per-(reader, query-set) cache: each unique query term's postings
+        decoded ONCE and its BM25 contribution array computed ONCE — the
+        analog of Solr's documentCache/filterCache hot-term reuse
+        (reference: solr/core/src/java/org/apache/solr/search/
+        SolrIndexSearcher.java caches, branch_8x). Contributions depend only
+        on (term, doc), not on the query, so they are shared by every query
+        in the batch; per-query float32 sums still accumulate in query term
+        order, keeping results bit-identical to the uncached path."""
+        cache = self._term_caches.get(reader.seg_dir)
+        if cache is None:
+            cache = {}
+            # positive terms first (they need contributions), then excludes
+            for q in self.queries:
+                if q["kind"] == "prefix":
+                    continue
+                for term in q["terms"]:
+                    if term in cache:
+                        continue
+                    o = reader.lookup(term)
+                    if o < 0:
+                        cache[term] = None
+                        continue
+                    tp = reader.postings(o)
+                    contrib = self.sim.score_freqs(
+                        self.weights[term], tp.freqs, reader.norms[tp.docids], self.cache_inv
+                    )
+                    cache[term] = (tp.docids, contrib)
+            for q in self.queries:
+                for term in q.get("exclude", ()):
+                    if term not in cache:
+                        o = reader.lookup(term)
+                        cache[term] = (reader.postings(o).docids, None) if o >= 0 else None
+            self._term_caches[reader.seg_dir] = cache
+        return cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .wand import score_query_wand
@@ -140,11 +253,29 @@ class SearcherStage:
             use_wand = self.method == "wand" or (
                 self.method == "auto" and reader.num_docs > 4_000_000
             )
+            tcache = None if use_wand else self._term_cache(reader)
             for q in self.queries:
-                fn = score_query_wand if use_wand else score_query_exhaustive
-                docids, scores = fn(
-                    reader, q["terms"], q["kind"], self.weights, self.cache_inv, self.sim, self.k
-                )
+                exclude = q.get("exclude", ())
+                msm = int(q.get("min_should_match", 1))
+                # WAND covers plain term/and/or; the extended clauses
+                # (MUST_NOT, minShouldMatch>1, prefix) score exhaustively
+                plain = q["kind"] in ("term", "and", "or") and not exclude and msm <= 1
+                if use_wand and plain:
+                    docids, scores = score_query_wand(
+                        reader, q["terms"], q["kind"], self.weights,
+                        self.cache_inv, self.sim, self.k,
+                    )
+                elif tcache is not None and q["kind"] != "prefix":
+                    docids, scores = _score_query_cached(
+                        reader, q["terms"], q["kind"], tcache, self.k,
+                        exclude=exclude, min_should_match=msm,
+                    )
+                else:
+                    docids, scores = score_query_exhaustive(
+                        reader, q["terms"], q["kind"], self.weights,
+                        self.cache_inv, self.sim, self.k,
+                        exclude=exclude, min_should_match=msm,
+                    )
                 out_qid.extend([q["query_id"]] * len(docids))
                 out_pid.extend([pid] * len(docids))
                 out_doc.extend(docids.tolist())

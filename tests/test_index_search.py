@@ -113,6 +113,40 @@ def test_resume_skips_done_partitions(ray_session, small_corpus, tmp_path_factor
     assert root_c["resumed_partitions"] == []
 
 
+def test_extended_boolean_kinds(built_indexes, small_corpus, corpus_queries):
+    """MUST_NOT / minShouldMatch / prefix vs the oracle, and P=1 == P=4
+    (SURVEY.md §2.3 BooleanQuery clauses, §2.7 ReqExclScorer, PrefixQuery)."""
+    idx1, idx4 = built_indexes
+    base_terms = sorted({t for q in corpus_queries for t in q["terms"]})[:4]
+    ext_queries = [
+        {"query_id": 0, "kind": "or", "terms": base_terms[:3], "exclude": [base_terms[3]]},
+        {"query_id": 1, "kind": "and", "terms": base_terms[:2], "exclude": [base_terms[2]]},
+        {"query_id": 2, "kind": "or", "terms": base_terms[:3], "min_should_match": 2},
+        {"query_id": 3, "kind": "or", "terms": base_terms[:4], "min_should_match": 3},
+        {"query_id": 4, "kind": "prefix", "terms": [base_terms[0][:3]]},
+        {"query_id": 5, "kind": "term", "terms": base_terms[:1], "exclude": ["zzz_ghost"]},
+    ]
+    r1 = search(idx1, ext_queries, k=10)
+    r4 = search(idx4, ext_queries, k=10)
+    assert _frame(r1).equals(_frame(r4))
+    rows = []
+    for p in small_corpus:
+        rows.extend(pq.read_table(p).to_pylist())
+    oracle = OracleIndex(rows)
+    got = _frame(r4)
+    exp = oracle.search(ext_queries, k=10)
+    assert got[["query_id", "rank", "url"]].equals(
+        exp[["query_id", "rank", "url"]].astype({"query_id": got["query_id"].dtype, "rank": got["rank"].dtype})
+    )
+    assert np.array_equal(
+        got["score"].to_numpy().astype(np.float32), exp["score"].to_numpy()
+    )
+    # sanity: msm/exclude actually constrain
+    assert set(r4[r4.query_id == 2]["url"]) <= set(
+        search(idx4, [{"query_id": 0, "kind": "or", "terms": base_terms[:3]}], k=10**6)["url"]
+    )
+
+
 def test_ghost_terms(built_indexes):
     _, idx4 = built_indexes
     res = search(
