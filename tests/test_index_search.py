@@ -147,6 +147,22 @@ def test_extended_boolean_kinds(built_indexes, small_corpus, corpus_queries):
     )
 
 
+def test_searcher_service_identical(built_indexes, corpus_queries):
+    """Persistent SearcherService (raw-actor scatter/gather) must be
+    bit-identical to the Dataset search path across repeated calls."""
+    from lucene_solr_ray.search.service import SearcherService
+
+    _, idx4 = built_indexes
+    expected = _frame(search(idx4, corpus_queries, k=10))
+    svc = SearcherService(idx4, num_searchers=2)
+    try:
+        for _ in range(2):
+            got = _frame(svc.search(corpus_queries, k=10))
+            assert got.equals(expected)
+    finally:
+        svc.shutdown()
+
+
 def test_ghost_terms(built_indexes):
     _, idx4 = built_indexes
     res = search(
