@@ -268,7 +268,23 @@ class SegmentReader:
         self.dl = n["dl"].to_numpy()
         self.num_docs = len(self.norms)
 
+        # tombstones (Lucene .liv analog): docs shadowed by a newer append
+        # generation. Term stats (df/total_tf) deliberately still include
+        # them — Lucene's docFreq is not adjusted for deletes until merge.
+        self.deleted = None  # None = all live; else bool mask len num_docs
+        del_path = os.path.join(seg_dir, "deletes.parquet")
+        if os.path.exists(del_path):
+            ids = pq.read_table(del_path)["local_docid"].to_numpy()
+            if len(ids):
+                mask = np.zeros(self.num_docs, dtype=bool)
+                mask[ids] = True
+                self.deleted = mask
+
         self.post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
+
+    @property
+    def num_live_docs(self) -> int:
+        return self.num_docs - (int(self.deleted.sum()) if self.deleted is not None else 0)
 
     def lookup(self, term: str) -> int:
         """Binary search the sorted term dictionary → ordinal or -1."""

@@ -116,6 +116,9 @@ def score_query_exhaustive(
                 banned[reader.postings(o).docids] = True
         keep = ~banned[cand]
         cand, scores_c = cand[keep], scores_c[keep]
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores_c = cand[keep], scores_c[keep]
     return topk_select(cand, scores_c, k)
 
 

@@ -37,7 +37,7 @@ import pandas as pd
 import ray
 
 from ..state.manifest import read_root_manifest, segment_dir
-from .topk import merge_topk_group
+from .topk import merge_topk_all
 
 __all__ = ["SearcherService"]
 
@@ -120,12 +120,7 @@ class SearcherService:
         cand = pd.concat([f for f in frames if len(f)], ignore_index=True) if frames else pd.DataFrame()
         if len(cand) == 0:
             return cand
-        merged = (
-            cand.groupby("query_id", group_keys=False, sort=True)
-            .apply(lambda g: merge_topk_group(g, k))
-            .reset_index(drop=True)
-        )
-        return merged.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return merge_topk_all(cand, k)
 
     def shutdown(self):
         for a in self.actors:

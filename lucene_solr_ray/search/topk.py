@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["merge_topk_group"]
+__all__ = ["merge_topk_group", "merge_topk_all"]
 
 
 def merge_topk_group(group: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -33,3 +33,26 @@ def merge_topk_group(group: pd.DataFrame, k: int) -> pd.DataFrame:
     g = g.reset_index(drop=True)
     g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
     return g
+
+
+def merge_topk_all(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized merge over ALL queries at once: one lexsort by
+    (query_id asc, score desc, url asc), then per-query head-k via a
+    cumulative rank — no per-group Python. Identical output to applying
+    merge_topk_group per query (same total order)."""
+    if len(cand) == 0:
+        return cand
+    urls = cand["url"].to_numpy()
+    order = np.lexsort(
+        (urls, -cand["score"].to_numpy().astype(np.float64), cand["query_id"].to_numpy())
+    )
+    g = cand.iloc[order].reset_index(drop=True)
+    qid = g["query_id"].to_numpy()
+    new_q = np.ones(len(g), dtype=bool)
+    new_q[1:] = qid[1:] != qid[:-1]
+    # rank within query = index - index_of_query_start + 1
+    start = np.maximum.accumulate(np.where(new_q, np.arange(len(g)), 0))
+    rank = np.arange(len(g)) - start + 1
+    g["rank"] = rank.astype(np.int32)
+    out = g[rank <= k].reset_index(drop=True)
+    return out

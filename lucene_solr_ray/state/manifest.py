@@ -23,6 +23,8 @@ FORMAT_VERSION = 1
 __all__ = [
     "FORMAT_VERSION",
     "segment_dir",
+    "partition_segments",
+    "next_gen_dir",
     "write_segment_manifest",
     "read_segment_manifest",
     "valid_segment",
@@ -35,6 +37,34 @@ __all__ = [
 
 def segment_dir(index_root: str, partition_id: int) -> str:
     return os.path.join(index_root, "segments", f"part-{partition_id:05d}")
+
+
+def partition_segments(index_root: str, partition_id: int) -> List[str]:
+    """All live segment dirs of a partition, oldest first: the base
+    ``part-XXXXX`` plus any append generations ``part-XXXXX.gN`` (the
+    multi-segment-per-shard state between appends and merges — Lucene's
+    per-core segment list, SegmentInfos analog)."""
+    base = segment_dir(index_root, partition_id)
+    out = []
+    if os.path.exists(os.path.join(base, "manifest.json")):
+        out.append(base)
+    gen = 1
+    while True:
+        d = f"{base}.g{gen}"
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            break
+        out.append(d)
+        gen += 1
+    return out
+
+
+def next_gen_dir(index_root: str, partition_id: int) -> str:
+    """Next append-generation dir name for a partition."""
+    base = segment_dir(index_root, partition_id)
+    gen = 1
+    while os.path.exists(os.path.join(f"{base}.g{gen}", "manifest.json")):
+        gen += 1
+    return f"{base}.g{gen}"
 
 
 def write_segment_manifest(seg_dir: str, manifest: Dict[str, Any]) -> None:
