@@ -129,16 +129,37 @@ def check_segment(seg_dir: str) -> List[str]:
         f"{seg_dir}: docmap urls not strictly sorted (docid order broken)",
         errors,
     )
+
+    # tombstones (.liv analog): in-range, unique, strictly ascending
+    del_path = os.path.join(seg_dir, "deletes.parquet")
+    if os.path.exists(del_path):
+        ids = pq.read_table(del_path)["local_docid"].to_numpy()
+        _require(
+            len(ids) == 0 or (0 <= ids[0] and ids[-1] < r.num_docs),
+            f"{seg_dir}: deleted docid out of range",
+            errors,
+        )
+        _require(
+            bool((np.diff(ids) > 0).all()) if len(ids) > 1 else True,
+            f"{seg_dir}: deletes not strictly ascending/unique",
+            errors,
+        )
     return errors
 
 
 def check_index(index_root: str) -> List[str]:
+    from ..state.manifest import partition_segments
+
     errors: List[str] = []
     root = read_root_manifest(index_root)
-    seg_dirs = sorted(glob.glob(os.path.join(index_root, "segments", "part-*")))
+    seg_dirs = [
+        seg
+        for pid in range(root["num_partitions"])
+        for seg in partition_segments(index_root, pid)
+    ]
     _require(
-        len(seg_dirs) == root["num_partitions"],
-        f"{index_root}: segment dir count != num_partitions",
+        len(seg_dirs) >= root["num_partitions"],
+        f"{index_root}: fewer segment dirs than partitions",
         errors,
     )
     tot_docs = tot_dl = 0

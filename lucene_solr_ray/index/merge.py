@@ -1,0 +1,198 @@
+"""Segment merging: fold a partition's append generations into one segment.
+
+Re-creates the semantics of Lucene's SegmentMerger under TieredMergePolicy
+(reference: lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java,
+TieredMergePolicy.java, MergeState.java#DocMap, branch_8x; SURVEY.md §3.1
+step 8, §4 "merge scheduling"): term streams of the input segments merge
+into one sorted dictionary, docIDs are remapped through a DocMap, and
+tombstoned (deleted) docs are reclaimed — after a full merge the segment is
+byte-equivalent to a fresh build over the surviving docs.
+
+Ray-Data-native execution: one merge task per partition, fanned out with
+``map_batches`` over the partition list (partitions are independent — the
+merge never shuffles across partitions; the only cross-partition term work
+is the global-stats pass, SURVEY.md §7.3). Deterministic: merged docIDs
+are assigned in url sort order, like the fresh build.
+
+Policy: ``merge_policy="full"`` merges every generation (forceMerge(1)
+analog). ``max_segments`` triggers auto-merge from append_index when a
+partition's segment count exceeds it (segsPerTier analog).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any, Dict, List
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..state.manifest import (
+    partition_segments,
+    read_segment_manifest,
+    segment_dir,
+)
+from .segment import SegmentReader, write_segment_artifact
+
+__all__ = ["merge_partition", "merge_index"]
+
+
+def _decode_all_postings(reader: SegmentReader):
+    """Flat (tid, docid, freq) arrays of a whole segment (term-major)."""
+    n_terms = len(reader.terms)
+    docid_chunks, freq_chunks = [], []
+    for o in range(n_terms):
+        tp = reader.postings(o)
+        docid_chunks.append(tp.docids)
+        freq_chunks.append(tp.freqs)
+    tids = np.repeat(np.arange(n_terms, dtype=np.int64), reader.df.astype(np.int64))
+    docids = (
+        np.concatenate(docid_chunks) if docid_chunks else np.empty(0, dtype=np.int64)
+    )
+    freqs = np.concatenate(freq_chunks) if freq_chunks else np.empty(0, dtype=np.int64)
+    return tids, docids.astype(np.int64), freqs.astype(np.uint32)
+
+
+def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge all of a partition's segments (+ reclaim deletes) into one.
+
+    No-op if the partition already has a single segment without deletes.
+    Publish order is crash-safe: the merged base segment (whose manifest
+    records ``merged_gens``) replaces part-XXXXX atomically FIRST; stale
+    .gN dirs are removed after and ignored by discovery if removal is
+    interrupted (partition_segments consults merged_gens)."""
+    segs = partition_segments(index_root, partition_id)
+    readers = [SegmentReader(s) for s in segs]
+    if len(segs) <= 1 and (not readers or readers[0].deleted is None):
+        m = read_segment_manifest(segs[0]) if segs else {}
+        return {**(m or {}), "merged": False}
+    t0 = time.perf_counter()
+
+    # DocMap: live docs of every segment, re-sorted by url
+    urls_all, ts_all, dl_all, seg_maps = [], [], [], []
+    for r in readers:
+        import pyarrow.parquet as pq
+
+        dm = pq.read_table(os.path.join(r.seg_dir, "docmap.parquet"))
+        live = (
+            np.ones(r.num_docs, dtype=bool) if r.deleted is None else ~r.deleted
+        )
+        urls = np.asarray(dm["url"].to_pandas(), dtype=object)
+        ts = dm["warc_ts"].to_pandas().to_numpy()
+        urls_all.append(urls[live])
+        ts_all.append(ts[live])
+        dl_all.append(r.dl[live].astype(np.int64))
+        seg_maps.append(live)
+    urls_cat = np.concatenate(urls_all)
+    ts_cat = np.concatenate(ts_all)
+    dl_cat = np.concatenate(dl_all)
+    order = np.argsort(urls_cat)  # urls unique across segs (older are deleted)
+    merged_urls = urls_cat[order]
+    merged_ts = ts_cat[order]
+    merged_dl = dl_cat[order]
+    n_docs = len(merged_urls)
+
+    # per-segment old docid -> merged docid (-1 = deleted)
+    docmaps = []
+    for r, live, urls in zip(readers, seg_maps, urls_all):
+        m = np.full(r.num_docs, -1, dtype=np.int64)
+        m[np.nonzero(live)[0]] = np.searchsorted(merged_urls, urls)
+        docmaps.append(m)
+
+    # merged vocabulary (terms whose postings all died are dropped below)
+    vocab_cat = np.concatenate([r.terms for r in readers])
+    merged_vocab = np.unique(vocab_cat)
+
+    tid_chunks, docid_chunks, freq_chunks = [], [], []
+    for r, dmap in zip(readers, docmaps):
+        tids, docids, freqs = _decode_all_postings(r)
+        new_docids = dmap[docids]
+        keep = new_docids >= 0
+        tid_map = np.searchsorted(merged_vocab, r.terms)
+        tid_chunks.append(tid_map[tids[keep]])
+        docid_chunks.append(new_docids[keep])
+        freq_chunks.append(freqs[keep])
+    tids = np.concatenate(tid_chunks) if tid_chunks else np.empty(0, dtype=np.int64)
+    docids = np.concatenate(docid_chunks) if docid_chunks else np.empty(0, dtype=np.int64)
+    freqs = np.concatenate(freq_chunks) if freq_chunks else np.empty(0, dtype=np.uint32)
+
+    # drop now-empty terms, compact ordinals
+    live_tids = np.unique(tids)
+    if len(live_tids) < len(merged_vocab):
+        remap = np.full(len(merged_vocab), -1, dtype=np.int64)
+        remap[live_tids] = np.arange(len(live_tids))
+        tids = remap[tids]
+        merged_vocab = merged_vocab[live_tids]
+
+    post_order = np.lexsort((docids, tids))
+    # cumulative: gens folded now ∪ gens folded by earlier merges (their
+    # dirs may survive an interrupted cleanup and must stay shadowed)
+    prev = read_segment_manifest(segment_dir(index_root, partition_id)) or {}
+    gens = sorted(
+        set(prev.get("merged_gens") or [])
+        | {
+            int(os.path.basename(s).rsplit(".g", 1)[1])
+            for s in segs
+            if ".g" in os.path.basename(s)
+        }
+    )
+    summary = write_segment_artifact(
+        segment_dir(index_root, partition_id),
+        partition_id,
+        merged_vocab,
+        tids[post_order],
+        docids[post_order],
+        freqs[post_order],
+        merged_dl,
+        pa.array(list(merged_urls), type=pa.string()),
+        pa.array(list(merged_ts), type=pa.timestamp("us")),
+        lineage,
+        t0,
+        extra_manifest={
+            "merged_gens": gens,
+            "merged_from": [os.path.basename(s) for s in segs],
+        },
+    )
+    # reclaim stale generation dirs (discovery ignores them if this is
+    # interrupted, via merged_gens in the base manifest)
+    for s in segs:
+        if ".g" in os.path.basename(s):
+            shutil.rmtree(s, ignore_errors=True)
+    return {**summary, "merged": True}
+
+
+def merge_index(index_root: str, concurrency: int = None) -> Dict[str, Any]:
+    """Merge every partition (one Ray task per partition), then refresh
+    global stats and the root manifest."""
+    from ..index.stats import compute_global_stats
+    from ..pipelines.build import refresh_root_manifest
+    from ..state.manifest import read_root_manifest
+
+    root = read_root_manifest(index_root)
+    P = root["num_partitions"]
+    lineage = {
+        "input_fingerprint": root.get("input_fingerprint"),
+        "analyzer_hash": root.get("analyzer_hash"),
+        "num_partitions": P,
+    }
+
+    def do_merge(batch: pa.Table) -> pa.Table:
+        merged = []
+        for pid in batch["pid"].to_pylist():
+            s = merge_partition(index_root, int(pid), lineage)
+            merged.append(bool(s.get("merged")))
+        return pa.table({"merged": pa.array(merged)})
+
+    ds = ray.data.from_items([{"pid": p} for p in range(P)], override_num_blocks=P)
+    n_merged = sum(
+        int(b["merged"].to_numpy(zero_copy_only=False).sum())
+        for b in ds.map_batches(do_merge, batch_size=1, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    compute_global_stats(index_root, P)
+    new_root = refresh_root_manifest(index_root, P, root)
+    return {**new_root, "partitions_merged": n_merged}

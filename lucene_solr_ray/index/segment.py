@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import time
 import zlib
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -40,7 +40,7 @@ from ..analysis.smallfloat import int_to_byte4
 from ..state.manifest import publish_segment, segment_dir, write_segment_manifest
 from .postings import BLOCK, decode_term_postings, encode_postings_batch
 
-__all__ = ["build_segment", "SegmentReader", "DOCMAP_ROW_GROUP"]
+__all__ = ["build_segment", "write_segment_artifact", "SegmentReader", "DOCMAP_ROW_GROUP"]
 
 DOCMAP_ROW_GROUP = 8192
 
@@ -71,11 +71,21 @@ def build_segment(
     url:string, warc_ts:timestamp[us], terms:list<string> (unique per doc),
     freqs:list<int32>, dl:int32.
     """
+    return build_segment_at(
+        table, partition_id, segment_dir(index_root, partition_id), lineage
+    )
+
+
+def build_segment_at(
+    table: pa.Table, partition_id: int, final_dir: str, lineage: Dict[str, Any]
+) -> Dict[str, Any]:
+    """build_segment targeting an explicit dir (used for append-generation
+    segments, which live beside the base partition dir)."""
     t0 = time.perf_counter()
     table = _dedup_sort(table)
     n_docs = table.num_rows
     if n_docs == 0:
-        return _build_empty_segment(partition_id, index_root, lineage, t0)
+        return _build_empty_segment_at(partition_id, final_dir, lineage, t0)
 
     terms_col = table["terms"].combine_chunks()
     if isinstance(terms_col, pa.ChunkedArray):
@@ -104,21 +114,56 @@ def build_segment(
 
     docids = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
     dl = table["dl"].to_numpy().astype(np.int64)
-    norms = int_to_byte4(dl)
 
     post_order = np.argsort(tids, kind="stable")  # (term, docid) order
     tids_s = tids[post_order]
     docids_s = docids[post_order]
     freqs_s = flat_freqs[post_order]
 
+    return write_segment_artifact(
+        final_dir,
+        partition_id,
+        sorted_vocab,
+        tids_s,
+        docids_s,
+        freqs_s,
+        dl,
+        table["url"],
+        table["warc_ts"],
+        lineage,
+        t0,
+    )
+
+
+def write_segment_artifact(
+    final_dir: str,
+    partition_id: int,
+    sorted_vocab: np.ndarray,
+    tids_s: np.ndarray,
+    docids_s: np.ndarray,
+    freqs_s: np.ndarray,
+    dl: np.ndarray,
+    urls,
+    warc_ts,
+    lineage: Dict[str, Any],
+    t0: float,
+    extra_manifest: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Encode + atomically publish one segment from (term, docid)-sorted
+    posting arrays — shared by the fresh build and the merge paths."""
+    n_docs = len(dl)
+    n_terms = len(sorted_vocab)
+    norms = int_to_byte4(dl)
+
     blob, t_off, t_nbytes, skips = encode_postings_batch(
         tids_s, docids_s, freqs_s, n_terms, norm_bytes=norms[docids_s]
     )
     df = np.bincount(tids_s, minlength=n_terms).astype(np.int32)
-    total_tf = np.bincount(tids_s, weights=freqs_s.astype(np.float64), minlength=n_terms).astype(np.int64)
+    total_tf = np.bincount(
+        tids_s, weights=freqs_s.astype(np.float64), minlength=n_terms
+    ).astype(np.int64)
     nblocks = ((df.astype(np.int64) + BLOCK - 1) // BLOCK).astype(np.int32)
 
-    final_dir = segment_dir(index_root, partition_id)
     tmp_dir = final_dir + ".tmp"
     if os.path.exists(tmp_dir):
         import shutil
@@ -151,8 +196,8 @@ def build_segment(
         pa.table(
             {
                 "local_docid": np.arange(n_docs, dtype=np.int32),
-                "url": table["url"],
-                "warc_ts": table["warc_ts"],
+                "url": urls,
+                "warc_ts": warc_ts,
             }
         ),
         os.path.join(tmp_dir, "docmap.parquet"),
@@ -169,13 +214,12 @@ def build_segment(
         "checksum_crc32": zlib.crc32(blob),
         "build_sec": round(time.perf_counter() - t0, 3),
     }
-    write_segment_manifest(tmp_dir, {**summary, **lineage})
+    write_segment_manifest(tmp_dir, {**summary, **lineage, **(extra_manifest or {})})
     publish_segment(tmp_dir, final_dir)
     return summary
 
 
-def _build_empty_segment(partition_id, index_root, lineage, t0):
-    final_dir = segment_dir(index_root, partition_id)
+def _build_empty_segment_at(partition_id, final_dir, lineage, t0):
     tmp_dir = final_dir + ".tmp"
     if os.path.exists(tmp_dir):
         import shutil

@@ -78,14 +78,25 @@ def sharded_sum_groupby(ds: "ray.data.Dataset", key: str, sum_cols: list, num_sh
     )
 
 
-def compute_global_stats(index_root: str, num_partitions: int, num_shards: int = None) -> str:
+def compute_global_stats(
+    index_root: str, num_partitions: int, num_shards: int = None
+) -> str:
     """Aggregate per-segment term tables → stats/global_stats/ parquet dir.
 
     Runs as a Ray Data pipeline: read only (term, df, total_tf) columns of
-    every segment's terms.parquet (column pruning at the read), shard-keyed
-    shuffle, vectorized per-shard sum, write partitioned parquet (streamed,
-    never materialized on the driver)."""
-    seg_glob = sorted(glob.glob(os.path.join(index_root, "segments", "part-*", "terms.parquet")))
+    every LIVE segment's terms.parquet (column pruning at the read;
+    discovery via partition_segments so stale merged generations are never
+    double-counted), shard-keyed shuffle, vectorized per-shard sum, write
+    partitioned parquet (streamed, never materialized on the driver).
+    Deleted (tombstoned) docs still count — Lucene's docFreq is not
+    adjusted for deletes until merge reclaims them."""
+    from ..state.manifest import partition_segments
+
+    seg_glob = [
+        os.path.join(seg, "terms.parquet")
+        for pid in range(num_partitions)
+        for seg in partition_segments(index_root, pid)
+    ]
     stats_dir = os.path.join(index_root, "stats", "global_stats")
     if num_shards is None:
         num_shards = max(8, num_partitions // 8)

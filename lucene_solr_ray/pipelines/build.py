@@ -42,12 +42,15 @@ from ..index.stats import compute_global_stats
 from ..stages.analyzer import DEFAULT_SPEC, AnalyzerStage, analyzer_spec_hash
 from ..state.manifest import (
     list_valid_partitions,
+    next_gen_dir,
+    partition_segments,
+    read_root_manifest,
     read_segment_manifest,
     segment_dir,
     write_root_manifest,
 )
 
-__all__ = ["build_index", "input_fingerprint"]
+__all__ = ["build_index", "append_index", "refresh_root_manifest", "input_fingerprint"]
 
 
 def input_fingerprint(paths: List[str]) -> str:
@@ -189,33 +192,229 @@ def build_index(
 
     compute_global_stats(index_root, P)
 
-    # fold all partition metrics (fresh + resumed) into the root manifest
+    root = refresh_root_manifest(
+        index_root,
+        P,
+        {
+            "analyzer_spec": spec,
+            "lang_filter": lang,
+            "build_wall_sec": round(time.perf_counter() - t0, 3),
+            "resumed_partitions": sorted(done_set),
+            **lineage,
+        },
+    )
+    return root
+
+
+def append_index(
+    input_paths: List[str],
+    index_root: str,
+    lang: Optional[str] = "en",
+    analyzer_batch_size: int = 1024,
+    max_segments_per_partition: Optional[int] = None,
+) -> Dict:
+    """Incrementally add documents to an existing index (NRT ingest analog,
+    SURVEY.md §2.10): each touched partition gains one append-generation
+    segment; urls that already exist in older segments are tombstoned there
+    (Lucene updateDocument = delete-by-term + add — the append always wins,
+    reference lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
+    #updateDocument, branch_8x). When a partition's segment count exceeds
+    ``max_segments_per_partition``, it is merged down to one (the
+    TieredMergePolicy segsPerTier trigger)."""
+    import pyarrow.parquet as _pq
+
+    t0 = time.perf_counter()
+    root = read_root_manifest(index_root)
+    P = root["num_partitions"]
+    lineage = {
+        "input_fingerprint": input_fingerprint(input_paths),
+        "analyzer_hash": root["analyzer_hash"],
+        "num_partitions": P,
+    }
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ds = ray.data.read_parquet(
+        input_paths,
+        columns=["url", "warc_ts", "text", "lang"],
+        override_num_blocks=max(4 * ncpu, 64),
+    )
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+        )
+    ds = ds.drop_columns(["lang"])
+
+    def route(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch["url"].to_pylist(), P)
+        return batch.append_column("part_key", pa.array(pk))
+
+    ds = ds.map_batches(route, batch_format="pyarrow")
+    conc = max(2, ncpu - 4) if ncpu > 8 else max(2, ncpu - 1)
+    ds = ds.map_batches(
+        AnalyzerStage,
+        fn_constructor_kwargs={"num_partitions": P},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=analyzer_batch_size,
+        concurrency=conc,
+    )
+
+    def _add_deletes(seg: str, docids) -> None:
+        if not len(docids):
+            return
+        dpath = os.path.join(seg, "deletes.parquet")
+        prev = (
+            set(_pq.read_table(dpath)["local_docid"].to_pylist())
+            if os.path.exists(dpath)
+            else set()
+        )
+        merged = sorted(prev | set(int(d) for d in docids))
+        if merged != sorted(prev):
+            tmp = dpath + ".tmp"
+            _pq.write_table(
+                pa.table({"local_docid": pa.array(merged, type=pa.int32())}), tmp
+            )
+            os.replace(tmp, dpath)
+
+    def write_gen(group: pa.Table) -> pa.Table:
+        from ..index.segment import build_segment_at
+
+        pid = int(group["part_key"][0].as_py())
+        gen_dir = next_gen_dir(index_root, pid)
+        summary = build_segment_at(group, pid, gen_dir, lineage)
+        # version resolution per url across generations, mirroring the
+        # fresh build's last-wins order (max (warc_ts, dl)): the LOSING
+        # side gets the tombstone, so an incrementally built index merges
+        # down to exactly the fresh-build result
+        ndm = _pq.read_table(
+            os.path.join(gen_dir, "docmap.parquet"), columns=["local_docid", "url", "warc_ts"]
+        )
+        n_norm = _pq.read_table(os.path.join(gen_dir, "norms.parquet"), columns=["dl"])
+        new_urls = ndm["url"].to_pylist()
+        new_key = {
+            u: (int(ts), int(dl), int(d))
+            for u, ts, dl, d in zip(
+                new_urls,
+                ndm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                n_norm["dl"].to_numpy(),
+                ndm["local_docid"].to_numpy(),
+            )
+        }
+        gen_tombs: list = []
+        for seg in partition_segments(index_root, pid):
+            if os.path.abspath(seg) == os.path.abspath(gen_dir):
+                continue
+            dm = _pq.read_table(seg + "/docmap.parquet", columns=["local_docid", "url", "warc_ts"])
+            nn = _pq.read_table(os.path.join(seg, "norms.parquet"), columns=["dl"])
+            dpath = os.path.join(seg, "deletes.parquet")
+            already_dead = (
+                set(_pq.read_table(dpath)["local_docid"].to_pylist())
+                if os.path.exists(dpath)
+                else set()
+            )
+            old_tombs = []
+            for d, u, ts, dl in zip(
+                dm["local_docid"].to_pylist(),
+                dm["url"].to_pylist(),
+                dm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                nn["dl"].to_numpy(),
+            ):
+                if d in already_dead:
+                    continue
+                nk = new_key.get(u)
+                if nk is None:
+                    continue
+                if (int(ts), int(dl)) > (nk[0], nk[1]):
+                    gen_tombs.append(nk[2])  # old version wins; new doc dies
+                else:
+                    old_tombs.append(d)
+            _add_deletes(seg, old_tombs)
+        _add_deletes(gen_dir, gen_tombs)
+        return pa.table({k: [v] for k, v in summary.items()})
+
+    ds.groupby("part_key").map_groups(write_gen, batch_format="pyarrow").materialize()
+
+    if max_segments_per_partition:
+        from ..index.merge import merge_partition
+
+        def maybe_merge(batch: pa.Table) -> pa.Table:
+            out = []
+            for pid in batch["pid"].to_pylist():
+                if len(partition_segments(index_root, int(pid))) > max_segments_per_partition:
+                    merge_partition(index_root, int(pid), lineage)
+                    out.append(True)
+                else:
+                    out.append(False)
+            return pa.table({"merged": pa.array(out)})
+
+        ray.data.from_items([{"pid": p} for p in range(P)], override_num_blocks=P).map_batches(
+            maybe_merge, batch_size=1, batch_format="pyarrow"
+        ).materialize()
+
+    compute_global_stats(index_root, P)
+    return refresh_root_manifest(
+        index_root,
+        P,
+        {
+            "analyzer_spec": root.get("analyzer_spec"),
+            "lang_filter": lang,
+            "build_wall_sec": round(time.perf_counter() - t0, 3),
+            "analyzer_hash": root["analyzer_hash"],
+            "input_fingerprint": root.get("input_fingerprint"),
+            "num_partitions": P,
+            "last_append_fingerprint": lineage["input_fingerprint"],
+        },
+    )
+
+
+def refresh_root_manifest(index_root: str, P: int, base_info: Dict) -> Dict:
+    """Scan every partition's live segments (base + append generations) and
+    write the root MANIFEST.json (the segments_N commit point analog).
+
+    ``num_docs``/``sum_dl`` include tombstoned docs — they still count for
+    scoring (Lucene's N/avgdl are not adjusted for deletes until merge);
+    ``num_live_docs`` reports the reclaimable view."""
+    base_info = {
+        k: v
+        for k, v in base_info.items()
+        if k not in ("partitions", "num_docs", "sum_dl", "num_live_docs", "format_version")
+    }
     partitions = []
     for pid in range(P):
-        m = read_segment_manifest(segment_dir(index_root, pid)) or {}
+        segs = partition_segments(index_root, pid)
+        docs = terms = postings = sum_dl = pbytes = deleted = 0
+        for seg in segs:
+            m = read_segment_manifest(seg) or {}
+            docs += m.get("docs", 0)
+            terms += m.get("terms", 0)
+            postings += m.get("postings", 0)
+            sum_dl += m.get("sum_dl", 0)
+            pbytes += m.get("postings_bytes", 0)
+            dpath = os.path.join(seg, "deletes.parquet")
+            if os.path.exists(dpath):
+                import pyarrow.parquet as _pq
+
+                deleted += _pq.ParquetFile(dpath).metadata.num_rows
         partitions.append(
             {
                 "partition_id": pid,
-                "docs": m.get("docs", 0),
-                "terms": m.get("terms", 0),
-                "postings": m.get("postings", 0),
-                "sum_dl": m.get("sum_dl", 0),
-                "postings_bytes": m.get("postings_bytes", 0),
-                "resumed": pid in done_set,
+                "segments": [os.path.basename(s) for s in segs],
+                "docs": docs,
+                "deleted_docs": deleted,
+                "terms": terms,
+                "postings": postings,
+                "sum_dl": sum_dl,
+                "postings_bytes": pbytes,
+                "resumed": pid in set(base_info.get("resumed_partitions", [])),
             }
         )
     n_docs = sum(p["docs"] for p in partitions)
-    sum_dl = sum(p["sum_dl"] for p in partitions)
     root = {
         "num_partitions": P,
         "num_docs": n_docs,
-        "sum_dl": sum_dl,
-        "analyzer_spec": spec,
-        "lang_filter": lang,
-        "build_wall_sec": round(time.perf_counter() - t0, 3),
-        "resumed_partitions": sorted(done_set),
+        "num_live_docs": n_docs - sum(p["deleted_docs"] for p in partitions),
+        "sum_dl": sum(p["sum_dl"] for p in partitions),
         "partitions": partitions,
-        **lineage,
+        **base_info,
     }
     write_root_manifest(index_root, root)
     return root

@@ -28,7 +28,7 @@ from ..index.stats import read_query_term_stats
 from ..search.searcher import SearcherStage
 from ..search.similarity import Bm25Similarity
 from ..search.topk import merge_topk_group
-from ..state.manifest import read_root_manifest, segment_dir
+from ..state.manifest import partition_segments, read_root_manifest
 
 __all__ = ["search", "prepare_search_context"]
 
@@ -83,9 +83,9 @@ def search(
     ctx_ref = ray.put(ctx)
 
     parts = [
-        {"partition_id": pid, "seg_dir": segment_dir(index_root, pid)}
+        {"partition_id": pid, "seg_dir": seg}
         for pid in range(P)
-        if os.path.exists(os.path.join(segment_dir(index_root, pid), "manifest.json"))
+        for seg in partition_segments(index_root, pid)
     ]
     ds = ray.data.from_items(parts)
 

@@ -161,6 +161,9 @@ def _score_query_cached(
                 banned[e[0]] = True
         keep = ~banned[cand]
         cand, scores_c = cand[keep], scores_c[keep]
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores_c = cand[keep], scores_c[keep]
     return topk_select(cand, scores_c, k)
 
 
@@ -248,11 +251,13 @@ class SearcherStage:
         from .wand import score_query_wand
 
         out_qid, out_pid, out_doc, out_score = [], [], [], []
+        self._emit_ranges = []  # (seg_dir, start, end) into the out arrays
         for row in batch.to_pylist():
             seg_dir, pid = row["seg_dir"], row["partition_id"]
             reader = self._reader(seg_dir)
             if reader.num_docs == 0:
                 continue
+            seg_emit_start = len(out_doc)
             use_wand = self.method == "wand" or (
                 self.method == "auto" and reader.num_docs > 4_000_000
             )
@@ -283,6 +288,7 @@ class SearcherStage:
                 out_pid.extend([pid] * len(docids))
                 out_doc.extend(docids.tolist())
                 out_score.extend(scores.tolist())
+            self._emit_ranges.append((seg_dir, seg_emit_start, len(out_doc)))
 
         # attach urls for the (few) winners — needed for the deterministic
         # global tie-break and the final result payload
@@ -290,15 +296,17 @@ class SearcherStage:
         pid = np.array(out_pid, dtype=np.int32)
         doc = np.array(out_doc, dtype=np.int64)
         urls: List[str] = [""] * len(doc)
-        for seg_dir_u in {r["seg_dir"] for r in batch.to_pylist()}:
-            pid_of_dir = int(os.path.basename(seg_dir_u).split("-")[1])
-            mask = pid == pid_of_dir
-            if mask.any():
-                ids = doc[mask]
-                order = np.argsort(ids)
-                fetched = lookup_urls(seg_dir_u, ids[order])
-                for j, u in zip(np.nonzero(mask)[0][order], fetched):
-                    urls[j] = u
+        # resolve urls per segment dir over ITS OWN emitted row range (a
+        # partition can have several segments after appends, so pid alone
+        # is ambiguous)
+        for seg_dir_u, lo, hi in self._emit_ranges:
+            if hi <= lo:
+                continue
+            ids = doc[lo:hi]
+            order = np.argsort(ids)
+            fetched = lookup_urls(seg_dir_u, ids[order])
+            for j, u in zip(np.arange(lo, hi)[order], fetched):
+                urls[j] = u
         return pa.table(
             {
                 "query_id": qid,

@@ -48,11 +48,11 @@ class _ShardSearcher:
 
     def __init__(self, index_root: str, partition_ids: List[int]):
         from ..index.segment import SegmentReader
+        from ..state.manifest import partition_segments
 
         self.readers = []
         for pid in partition_ids:
-            seg = segment_dir(index_root, pid)
-            if os.path.exists(os.path.join(seg, "manifest.json")):
+            for seg in partition_segments(index_root, pid):
                 r = SegmentReader(seg)
                 if r.num_docs:
                     self.readers.append((pid, r))

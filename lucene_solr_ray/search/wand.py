@@ -171,7 +171,11 @@ def score_query_wand(
         w = it.weight
         return f32(w - w / (f32(1.0) + f32(it.freq()) * ni))
 
+    deleted = reader.deleted  # liveDocs filter (tombstoned docs never score)
+
     def offer(docid: int, score: np.float32) -> None:
+        if deleted is not None and deleted[docid]:
+            return
         if len(heap) < k:
             heapq.heappush(heap, (score, -docid))
         elif score > heap[0][0]:

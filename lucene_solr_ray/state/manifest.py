@@ -43,25 +43,36 @@ def partition_segments(index_root: str, partition_id: int) -> List[str]:
     """All live segment dirs of a partition, oldest first: the base
     ``part-XXXXX`` plus any append generations ``part-XXXXX.gN`` (the
     multi-segment-per-shard state between appends and merges — Lucene's
-    per-core segment list, SegmentInfos analog)."""
+    per-core segment list, SegmentInfos analog). Generations recorded in
+    the base manifest's ``merged_gens`` are already folded into the base —
+    they are skipped even if an interrupted merge left their dirs behind."""
+    import glob as _glob
+
     base = segment_dir(index_root, partition_id)
     out = []
+    folded = set()
     if os.path.exists(os.path.join(base, "manifest.json")):
         out.append(base)
-    gen = 1
-    while True:
-        d = f"{base}.g{gen}"
-        if not os.path.exists(os.path.join(d, "manifest.json")):
-            break
-        out.append(d)
-        gen += 1
+        m = read_segment_manifest(base) or {}
+        folded = set(m.get("merged_gens") or [])
+    gens = []
+    for d in _glob.glob(f"{base}.g*"):
+        suffix = d.rsplit(".g", 1)[1]
+        if suffix.isdigit() and os.path.exists(os.path.join(d, "manifest.json")):
+            gens.append(int(suffix))
+    for gen in sorted(gens):
+        if gen not in folded:
+            out.append(f"{base}.g{gen}")
     return out
 
 
 def next_gen_dir(index_root: str, partition_id: int) -> str:
-    """Next append-generation dir name for a partition."""
+    """Next append-generation dir name for a partition: past every existing
+    generation AND every generation already folded by a merge (gen numbers
+    are never reused, so merged_gens can never shadow a later append)."""
     base = segment_dir(index_root, partition_id)
-    gen = 1
+    m = read_segment_manifest(base) or {}
+    gen = max([0] + list(m.get("merged_gens") or [])) + 1
     while os.path.exists(os.path.join(f"{base}.g{gen}", "manifest.json")):
         gen += 1
     return f"{base}.g{gen}"

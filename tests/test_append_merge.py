@@ -1,0 +1,120 @@
+"""Incremental ingest + segment merge gates (SURVEY.md §2.10 NRT analog,
+§3.1 step 8 TieredMergePolicy): append-wins update semantics via
+tombstones, multi-segment search correctness, and the merge invariant —
+a fully merged incrementally-built index returns results rank- and
+score-identical to a fresh build over the final corpus."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.index.merge import merge_index
+from lucene_solr_ray.pipelines.build import append_index, build_index
+from lucene_solr_ray.pipelines.query import search
+from lucene_solr_ray.state.manifest import partition_segments, read_root_manifest
+
+
+def _frame(df):
+    return df[["query_id", "rank", "url", "score"]].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, small_corpus, tmp_path_factory):
+    """Split the 2000-doc corpus: batch A = first file, batch B = second
+    file PLUS updated versions (newer warc_ts, different text) of 50 urls
+    from batch A."""
+    base = tmp_path_factory.mktemp("append")
+    a_path, b_path = small_corpus[0], small_corpus[1]
+    ta = pq.read_table(a_path)
+
+    en_idx = [i for i, l in enumerate(ta["lang"].to_pylist()) if l == "en"][:50]
+    upd = ta.take(pa.array(en_idx))
+    # +10^13 µs (~4 months) so the update outranks ANY in-corpus duplicate
+    # version of the same url (last-wins is by warc_ts, not by append order)
+    new_ts = pa.array(
+        (upd["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64) + 10**13).astype(
+            "datetime64[us]"
+        ),
+        type=pa.timestamp("us"),
+    )
+    new_text = pa.array([f"updated fresh body {i} zqupdated" for i in range(len(en_idx))])
+    upd = (
+        upd.set_column(upd.schema.get_field_index("warc_ts"), "warc_ts", new_ts)
+        .set_column(upd.schema.get_field_index("text"), "text", new_text)
+    )
+    b_plus = pa.concat_tables([pq.read_table(b_path), upd], promote_options="default")
+    b_plus_path = str(base / "batch_b.parquet")
+    pq.write_table(b_plus, b_plus_path)
+    return str(a_path), b_plus_path, str(base)
+
+
+@pytest.fixture(scope="module")
+def incremental_index(corpora, corpus_queries):
+    a_path, b_plus_path, base = corpora
+    idx = os.path.join(base, "idx_incr")
+    build_index([a_path], idx, num_partitions=4)
+    append_index([b_plus_path], idx)
+    return idx
+
+
+def test_append_creates_generations_and_tombstones(incremental_index):
+    root = read_root_manifest(incremental_index)
+    segs = [s for pid in range(4) for s in partition_segments(incremental_index, pid)]
+    assert any(".g1" in s for s in segs), "append did not create generations"
+    assert root["num_docs"] > root["num_live_docs"], "updates must tombstone old docs"
+    assert check_index(incremental_index) == []
+
+
+def test_append_update_wins(incremental_index):
+    """The updated doc version (batch B) must be the one returned; the
+    tombstoned original must never appear."""
+    res = search(
+        incremental_index,
+        [{"query_id": 0, "kind": "term", "terms": ["zqupdated"]}],
+        k=60,
+    )
+    assert len(res) == 50, "every updated doc matches its new unique term"
+
+
+def test_multi_segment_search_matches_service(incremental_index, corpus_queries):
+    from lucene_solr_ray.search.service import SearcherService
+
+    r_ds = _frame(search(incremental_index, corpus_queries, k=10))
+    svc = SearcherService(incremental_index, num_searchers=2)
+    try:
+        r_svc = _frame(svc.search(corpus_queries, k=10))
+    finally:
+        svc.shutdown()
+    assert r_ds.equals(r_svc)
+
+
+def test_merge_equals_fresh_build(corpora, incremental_index, corpus_queries, tmp_path_factory):
+    """forceMerge(1): after merging, results == a fresh build over the
+    union corpus (last-wins per url) — scores AND ranks identical."""
+    a_path, b_plus_path, base = corpora
+    merged = merge_index(incremental_index)
+    assert merged["partitions_merged"] >= 1
+    assert merged["num_docs"] == merged["num_live_docs"], "merge reclaims tombstones"
+    segs = [s for pid in range(4) for s in partition_segments(incremental_index, pid)]
+    assert all(".g" not in os.path.basename(s) for s in segs)
+    assert check_index(incremental_index) == []
+
+    fresh = os.path.join(base, "idx_fresh")
+    build_index([a_path, b_plus_path], fresh, num_partitions=4)
+    queries = list(corpus_queries) + [
+        {"query_id": 9001, "kind": "term", "terms": ["zqupdated"]}
+    ]
+    r_merged = _frame(search(incremental_index, queries, k=10))
+    r_fresh = _frame(search(fresh, queries, k=10))
+    assert r_merged.equals(r_fresh)
+
+    # append after merge: generation numbering must not collide with
+    # folded generations
+    append_index([b_plus_path], incremental_index)
+    segs = [s for pid in range(4) for s in partition_segments(incremental_index, pid)]
+    assert any(".g" in os.path.basename(s) for s in segs)
+    assert check_index(incremental_index) == []
