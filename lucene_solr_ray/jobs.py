@@ -1,0 +1,128 @@
+"""``ray job submit`` entry points for the index lifecycle.
+
+The north_rule requires the build to run "via ray job submit on a
+fixed-size multi-node Ray cluster". On a cluster:
+
+    ray job submit --working-dir . -- \
+        python -m lucene_solr_ray.jobs build \
+            --input '/data/pages/*.parquet' --index-root /data/index --partitions 4096
+
+Subcommands: build | append | merge | search | check | bench. Each owns
+its Ray session (guarded init: inside ``ray job submit`` the cluster
+address comes from the environment; standalone it starts local).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto" if "RAY_JOB_ID" in os.environ else "local"))
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _expand(patterns):
+    paths = []
+    for p in patterns:
+        hits = sorted(glob.glob(p))
+        paths.extend(hits if hits else [p])
+    return paths
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lucene_solr_ray.jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build (resumable)")
+    b.add_argument("--input", nargs="+", required=True)
+    b.add_argument("--index-root", required=True)
+    b.add_argument("--partitions", type=int, required=True)
+    b.add_argument("--lang", default="en")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--check-extraction", action="store_true")
+
+    a = sub.add_parser("append", help="incremental ingest (NRT analog)")
+    a.add_argument("--input", nargs="+", required=True)
+    a.add_argument("--index-root", required=True)
+    a.add_argument("--lang", default="en")
+    a.add_argument("--max-segments", type=int, default=None,
+                   help="auto-merge partitions above this segment count")
+
+    m = sub.add_parser("merge", help="forceMerge(1) every partition")
+    m.add_argument("--index-root", required=True)
+
+    s = sub.add_parser("search", help="run a query file, write results parquet")
+    s.add_argument("--index-root", required=True)
+    s.add_argument("--queries", required=True, help="JSON list of query dicts")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--out", default=None)
+
+    c = sub.add_parser("check", help="CheckIndex invariants")
+    c.add_argument("--index-root", required=True)
+
+    args = ap.parse_args(argv)
+    _init_ray()
+
+    if args.cmd == "build":
+        from .pipelines.build import build_index
+
+        root = build_index(
+            _expand(args.input),
+            args.index_root,
+            num_partitions=args.partitions,
+            lang=None if args.lang in ("", "none") else args.lang,
+            resume=not args.no_resume,
+            check_extraction=args.check_extraction,
+        )
+        print(json.dumps({k: root[k] for k in
+                          ("num_docs", "num_live_docs", "sum_dl", "num_partitions",
+                           "build_wall_sec", "resumed_partitions")}))
+    elif args.cmd == "append":
+        from .pipelines.build import append_index
+
+        root = append_index(
+            _expand(args.input),
+            args.index_root,
+            lang=None if args.lang in ("", "none") else args.lang,
+            max_segments_per_partition=args.max_segments,
+        )
+        print(json.dumps({k: root[k] for k in
+                          ("num_docs", "num_live_docs", "build_wall_sec")}))
+    elif args.cmd == "merge":
+        from .index.merge import merge_index
+
+        root = merge_index(args.index_root)
+        print(json.dumps({k: root[k] for k in
+                          ("num_docs", "num_live_docs", "partitions_merged")}))
+    elif args.cmd == "search":
+        from .pipelines.query import search
+
+        with open(args.queries) as f:
+            queries = json.load(f)
+        res = search(args.index_root, queries, k=args.k)
+        if args.out:
+            res.to_parquet(args.out, index=False)
+            print(json.dumps({"rows": len(res), "out": args.out}))
+        else:
+            print(res.to_string())
+    elif args.cmd == "check":
+        from .index.checkindex import check_index
+
+        errors = check_index(args.index_root)
+        print(json.dumps({"errors": errors}))
+        sys.exit(1 if errors else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,8 @@ def append_index(
     lang: Optional[str] = "en",
     analyzer_batch_size: int = 1024,
     max_segments_per_partition: Optional[int] = None,
+    dataset=None,
+    fingerprint: Optional[str] = None,
 ) -> Dict:
     """Incrementally add documents to an existing index (NRT ingest analog,
     SURVEY.md §2.10): each touched partition gains one append-generation
@@ -227,16 +229,19 @@ def append_index(
     root = read_root_manifest(index_root)
     P = root["num_partitions"]
     lineage = {
-        "input_fingerprint": input_fingerprint(input_paths),
+        "input_fingerprint": fingerprint or input_fingerprint(input_paths),
         "analyzer_hash": root["analyzer_hash"],
         "num_partitions": P,
     }
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    ds = ray.data.read_parquet(
-        input_paths,
-        columns=["url", "warc_ts", "text", "lang"],
-        override_num_blocks=max(4 * ncpu, 64),
-    )
+    if dataset is not None:
+        ds = dataset
+    else:
+        ds = ray.data.read_parquet(
+            input_paths,
+            columns=["url", "warc_ts", "text", "lang"],
+            override_num_blocks=max(4 * ncpu, 64),
+        )
     if lang is not None:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"

@@ -456,6 +456,49 @@ SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE '{FT_PREFIX}%'
 """
 
 
+def q_ft_incremental_stats(sf_dir: str) -> pd.DataFrame:
+    """Incremental lifecycle (SURVEY.md §2.10 NRT + §3.1 merge): build over
+    the first half of documents, append the second half, forceMerge(1) —
+    the merged index must hold exactly the full corpus (count + token sum
+    checked against SQL over the whole table)."""
+    import shutil
+    import tempfile
+
+    from ..index.merge import merge_index
+
+    ds = _docs_as_pages(sf_dir)
+    half = ds.map_batches(
+        lambda t: t.append_column(
+            "half", pa.array((_url_to_doc_id(t["url"].to_pylist()) % 2).astype(np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    tmp = tempfile.mkdtemp(prefix="lsr_incr_")
+    try:
+        a = half.filter(expr="half == 0").drop_columns(["half"])
+        b = half.filter(expr="half == 1").drop_columns(["half"])
+        idx = os.path.join(tmp, "idx")
+        build_index([], idx, num_partitions=FT_PARTITIONS, lang=None,
+                    dataset=a, fingerprint="incr-a")
+        from ..pipelines.build import append_index
+
+        append_index([], idx, lang=None, dataset=b, fingerprint="incr-b")
+        root = merge_index(idx)
+        return pd.DataFrame(
+            {"n_docs": [root["num_live_docs"]], "sum_dl": [root["sum_dl"]]}
+        ).astype(np.int64)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sql_ft_incremental_stats() -> str:
+    return """
+SELECT count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+FROM documents
+"""
+
+
 # ============================================================= text stats ==
 def q_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1026,6 +1069,256 @@ LIMIT 100
 """
 
 
+def q_significant_terms(sf_dir: str):
+    """significantTerms stream analog (SURVEY.md §2.8): terms
+    over-represented in the foreground set (docs containing 'query') —
+    top-10 co-occurring terms by foreground doc count, term asc tie."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for term in set((t or "").split(" ")):
+                if term:
+                    ids.append(d)
+                    terms.append(term)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "term": pa.array(terms, type=pa.string())})
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    fg_ids = set()
+    for b in pairs.filter(expr="term == 'query'").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        fg_ids.update(b["doc_id"].to_pylist())
+    ref = ray.put(frozenset(fg_ids))
+    fg_pairs = rel.semi_join_broadcast(pairs, ref, on="doc_id")
+    counts = (
+        fg_pairs.map_batches(
+            lambda t: t.filter(pc.field("term") != "query"), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .count()
+    )
+    out = counts.sort(["count()", "term"], descending=[True, False]).limit(10)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch["term"], "fg_docs": batch["count()"].cast(pa.int64())}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_significant_terms() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+fg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'query')
+SELECT term, count(*) AS fg_docs
+FROM toks JOIN fg USING (doc_id)
+WHERE term <> 'query' AND term <> ''
+GROUP BY term
+ORDER BY fg_docs DESC, term ASC
+LIMIT 10
+"""
+
+
+def q_cartesian_region_pairs(sf_dir: str):
+    """cartesianProduct() stream (SURVEY.md §2.8) via flat_map: every
+    ordered region pair."""
+    regions = _read(sf_dir, "region", columns=["r_name"])
+    names = sorted(
+        n for b in regions.iter_batches(batch_size=None, batch_format="pyarrow")
+        for n in b["r_name"].to_pylist()
+    )
+    ref = ray.put(names)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        other = ray.get(ref)
+        left, right = [], []
+        for a in batch["r_name"].to_pylist():
+            for b in other:
+                left.append(a)
+                right.append(b)
+        return pa.table({"r_a": pa.array(left), "r_b": pa.array(right)})
+
+    return regions.map_batches(cross, batch_format="pyarrow")
+
+
+def sql_cartesian_region_pairs() -> str:
+    return """
+SELECT a.r_name AS r_a, b.r_name AS r_b FROM region a CROSS JOIN region b
+"""
+
+
+def q_intersect_customers(sf_dir: str):
+    """intersect() stream (SURVEY.md §2.8): customers with orders in BOTH
+    1995 and 1996."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def year_keys(target_year):
+        keys = set()
+        for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            yrs = b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+            keys.update(
+                int(k) for k, y in zip(b["o_custkey"].to_pylist(), yrs) if y == target_year
+            )
+        return keys
+
+    both = year_keys(1995) & year_keys(1996)
+    ref = ray.put(frozenset(both))
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    return rel.semi_join_broadcast(cust, ref, on="c_custkey")
+
+
+def sql_intersect_customers() -> str:
+    return """
+SELECT c_custkey FROM customer WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+"""
+
+
+def q_complement_customers(sf_dir: str):
+    """complement() stream (SURVEY.md §2.8): customers with no 1995
+    orders — broadcast anti-join."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        yrs = b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        keys.update(
+            int(k) for k, y in zip(b["o_custkey"].to_pylist(), yrs) if y == 1995
+        )
+    ref = ray.put(frozenset(keys))
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    return rel.semi_join_broadcast(cust, ref, on="c_custkey", anti=True)
+
+
+def sql_complement_customers() -> str:
+    return """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+"""
+
+
+def q_fetch_enrich_orders(sf_dir: str):
+    """fetch() stream (SURVEY.md §2.5): enrich orders with customer
+    mktsegment via a BROADCAST lookup (ray.put once, probed per batch —
+    the HashJoinStream analog), first 20 orders by key."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    small = cust.to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    ref = ray.put(small)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = rel.hash_join_broadcast(
+        orders, ref, on="o_custkey", select={"c_mktsegment": "mktsegment"}
+    )
+    return joined.sort("o_orderkey").limit(20).select_columns(
+        ["o_orderkey", "o_custkey", "mktsegment"]
+    )
+
+
+def sql_fetch_enrich_orders() -> str:
+    return """
+SELECT o_orderkey, o_custkey, c_mktsegment AS mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey LIMIT 20
+"""
+
+
+def q_function_scale_recip(sf_dir: str):
+    """Function-query scalars (SURVEY.md §2.9 ValueSourceParser: scale,
+    recip): o_totalprice scaled to [0,1] and recip(1,1,1) of it, integer-
+    scaled; first 15 orders by key. Two-pass: global min/max aggregate,
+    then a vectorized map."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    agg = orders.aggregate(
+        ray.data.aggregate.Min("o_totalprice"), ray.data.aggregate.Max("o_totalprice")
+    )
+    lo, hi = float(agg["min(o_totalprice)"]), float(agg["max(o_totalprice)"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy()
+        scaled = (x - lo) / (hi - lo)
+        recip = 1.0 / (1.0 * scaled + 1.0)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "scaled_e6": np.floor(scaled * 1e6).astype(np.int64),
+                "recip_e6": np.floor(recip * 1e6).astype(np.int64),
+            }
+        )
+
+    return orders.map_batches(fn, batch_format="pyarrow").sort("o_orderkey").limit(15)
+
+
+def sql_function_scale_recip() -> str:
+    return """
+WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT o_orderkey,
+       CAST(floor((o_totalprice - lo) / (hi - lo) * 1000000) AS BIGINT) AS scaled_e6,
+       CAST(floor(1.0 / ((o_totalprice - lo) / (hi - lo) + 1.0) * 1000000) AS BIGINT) AS recip_e6
+FROM orders CROSS JOIN mm
+ORDER BY o_orderkey LIMIT 15
+"""
+
+
+_HLL_P = 12  # 4096 registers
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def q_hll_distinct_custkey(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct (SURVEY.md §2.6 hll/UniqueAgg):
+    per-batch register maxima → groupby(register) max → driver estimate.
+    Mergeable sketch; the shuffle moves 4096 rows regardless of scale.
+    Rows-only driver check (an estimate has no SQL-exact oracle); the
+    pytest suite asserts <2% error vs exact."""
+    m = 1 << _HLL_P
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def registers(batch: pa.Table) -> pa.Table:
+        h = _splitmix64(batch["o_custkey"].to_numpy().astype(np.int64))
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = h << np.uint64(_HLL_P)
+        # rho = leading zeros of remaining 64-P bits + 1
+        lz = np.full(len(h), 64 - _HLL_P, dtype=np.int64)
+        v = rest.copy()
+        nz = v != 0
+        shift = np.zeros(len(h), dtype=np.int64)
+        vv = v[nz]
+        cnt = np.zeros(vv.shape, dtype=np.int64)
+        for b in (32, 16, 8, 4, 2, 1):
+            mask = vv < (np.uint64(1) << np.uint64(64 - b))
+            cnt[mask] += b
+            vv[mask] = vv[mask] << np.uint64(b)
+        lz[nz] = cnt
+        rho = np.minimum(lz, 64 - _HLL_P) + 1
+        t = pa.table({"reg": pa.array(reg), "rho": pa.array(rho)})
+        return (
+            t.group_by("reg").aggregate([("rho", "max")]).rename_columns(["reg", "rho"])
+        )
+
+    regs = orders.map_batches(registers, batch_format="pyarrow")
+    final = regs.groupby("reg").max("rho")
+    M = np.zeros(m, dtype=np.float64)
+    for b in final.iter_batches(batch_size=None, batch_format="pyarrow"):
+        M[b["reg"].to_numpy()] = b["max(rho)"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = int((M == 0).sum())
+    if E <= 2.5 * m and zeros:
+        E = m * np.log(m / zeros)  # linear counting, small-range correction
+    return pd.DataFrame({"estimate": [int(E)]}).astype(np.int64)
+
+
 def q_percentile_totalprice(sf_dir: str):
     """Discrete percentiles via distributed sort + index selection (the
     PercentileAgg analog with exact quantile_disc semantics)."""
@@ -1060,6 +1353,7 @@ QUERIES = {
     "ft_not_topk": q_ft_not_topk,
     "ft_msm_topk": q_ft_msm_topk,
     "ft_prefix_count": q_ft_prefix_count,
+    "ft_incremental_stats": q_ft_incremental_stats,
     # text analysis (§2.2 + training-data extensions)
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1090,6 +1384,13 @@ QUERIES = {
     "union_order_status": q_union_order_status,
     "export_sorted": q_export_sorted,
     "percentile_totalprice": q_percentile_totalprice,
+    "significant_terms": q_significant_terms,
+    "cartesian_region_pairs": q_cartesian_region_pairs,
+    "intersect_customers": q_intersect_customers,
+    "complement_customers": q_complement_customers,
+    "fetch_enrich_orders": q_fetch_enrich_orders,
+    "function_scale_recip": q_function_scale_recip,
+    "hll_distinct_custkey": q_hll_distinct_custkey,
 }
 
 ORACLES = {
@@ -1100,6 +1401,7 @@ ORACLES = {
     "ft_not_topk": sql_ft_not_topk(),
     "ft_msm_topk": sql_ft_msm_topk(),
     "ft_prefix_count": sql_ft_prefix_count(),
+    "ft_incremental_stats": sql_ft_incremental_stats(),
     "token_counts": sql_token_counts(),
     "doc_fingerprints": sql_doc_fingerprints(),
     "doc_stats": sql_doc_stats(),
@@ -1121,4 +1423,10 @@ ORACLES = {
     "union_order_status": sql_union_order_status(),
     "export_sorted": sql_export_sorted(),
     "percentile_totalprice": sql_percentile_totalprice(),
+    "significant_terms": sql_significant_terms(),
+    "cartesian_region_pairs": sql_cartesian_region_pairs(),
+    "intersect_customers": sql_intersect_customers(),
+    "complement_customers": sql_complement_customers(),
+    "fetch_enrich_orders": sql_fetch_enrich_orders(),
+    "function_scale_recip": sql_function_scale_recip(),
 }
