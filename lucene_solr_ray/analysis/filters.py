@@ -1,0 +1,105 @@
+"""Composable token-filter registry — the analysis-factory SPI analog.
+
+Re-creates the extension surface of Lucene's TokenFilterFactory SPI
+(reference: lucene/core/src/java/org/apache/lucene/analysis/util/
+TokenFilterFactory.java + analysis/common factories, branch_8x; SURVEY.md
+§2.2, §2.11): an analyzer spec is a JSON-able dict naming the tokenizer
+and an ordered filter list; the spec hash is part of index lineage, so a
+config change invalidates resume.
+
+A filter is ``(token: str) -> str | None`` (None drops the token, like
+StopFilter). Filters run AFTER tokenize+lowercase, applied vocabulary-wise
+(once per unique term per batch, memoized per actor) rather than
+token-wise — same result, ~100x less work on Zipf text.
+
+Registry: ``stop`` (args: words), ``porter_stem``, ``ascii_folding``
+(common Latin-1/Latin-A diacritics, the head of Lucene's
+ASCIIFoldingFilter table), ``length`` (args: min,max), ``truncate``
+(args: length).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+__all__ = ["build_filter_chain", "FILTER_BUILDERS"]
+
+_FOLD = {}
+for src, dst in [
+    ("àáâãäåāăą", "a"), ("çćĉċč", "c"), ("ďđ", "d"), ("èéêëēĕėęě", "e"),
+    ("ĝğġģ", "g"), ("ĥħ", "h"), ("ìíîïĩīĭįı", "i"), ("ĵ", "j"), ("ķ", "k"),
+    ("ĺļľŀł", "l"), ("ñńņňŉ", "n"), ("òóôõöøōŏő", "o"), ("ŕŗř", "r"),
+    ("śŝşš", "s"), ("ţťŧ", "t"), ("ùúûüũūŭůűų", "u"), ("ŵ", "w"),
+    ("ýÿŷ", "y"), ("źżž", "z"), ("æ", "ae"), ("œ", "oe"), ("ß", "ss"),
+    ("þ", "th"), ("ð", "d"),
+]:
+    for ch in src:
+        _FOLD[ch] = dst
+
+
+def _ascii_fold(token: str) -> str:
+    if all(ord(c) < 128 for c in token):
+        return token
+    return "".join(_FOLD.get(c, c) for c in token)
+
+
+def _build_stop(args: dict) -> Callable[[str], Optional[str]]:
+    words = frozenset(args.get("words", ()))
+    return lambda t: None if t in words else t
+
+
+def _build_porter(args: dict) -> Callable[[str], Optional[str]]:
+    from .porter import porter_stem
+
+    return porter_stem
+
+
+def _build_length(args: dict) -> Callable[[str], Optional[str]]:
+    lo, hi = int(args.get("min", 1)), int(args.get("max", 255))
+    return lambda t: t if lo <= len(t) <= hi else None
+
+
+def _build_truncate(args: dict) -> Callable[[str], Optional[str]]:
+    n = int(args.get("length", 10))
+    return lambda t: t[:n]
+
+
+FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
+    "stop": _build_stop,
+    "porter_stem": _build_porter,
+    "ascii_folding": lambda args: _ascii_fold,
+    "length": _build_length,
+    "truncate": _build_truncate,
+}
+
+
+def build_filter_chain(spec_filters: List) -> Optional[Callable[[str], Optional[str]]]:
+    """Compose the post-lowercase filters of an analyzer spec into one
+    ``token -> token|None`` callable (None once any stage drops).
+
+    Spec entries are either a bare name or ``{"name": ..., **args}``;
+    ``lowercase`` is handled by the tokenizer fast path and skipped here.
+    Unknown names raise (a misspelled spec must not silently no-op)."""
+    fns = []
+    for entry in spec_filters:
+        if isinstance(entry, str):
+            name, args = entry, {}
+        else:
+            entry = dict(entry)
+            name, args = entry.pop("name"), entry
+        if name == "lowercase":
+            continue
+        if name not in FILTER_BUILDERS:
+            raise KeyError(f"unknown token filter: {name!r}")
+        fns.append(FILTER_BUILDERS[name](args))
+    if not fns:
+        return None
+
+    def chain(token: str) -> Optional[str]:
+        for fn in fns:
+            token = fn(token)
+            if token is None or token == "":
+                return None
+        return token
+
+    return chain

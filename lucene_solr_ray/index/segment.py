@@ -324,7 +324,11 @@ class SegmentReader:
                 mask[ids] = True
                 self.deleted = mask
 
-        self.post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
+        post_path = os.path.join(seg_dir, "postings.bin")
+        if os.path.getsize(post_path):
+            self.post = np.memmap(post_path, dtype=np.uint8, mode="r")
+        else:
+            self.post = np.empty(0, dtype=np.uint8)  # mmap rejects empty files
 
     @property
     def num_live_docs(self) -> int:

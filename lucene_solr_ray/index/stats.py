@@ -118,6 +118,8 @@ def read_query_term_stats(index_root: str, terms: list) -> dict:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    if not terms:
+        return {}
     dset = pads.dataset(os.path.join(index_root, "stats", "global_stats"))
     t = dset.to_table(filter=pc.field("term").isin(list(set(terms))))
     return {

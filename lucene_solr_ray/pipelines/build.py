@@ -95,15 +95,19 @@ def build_index(
     analyzer_batch_size: int = 1024,
     dataset=None,
     fingerprint: Optional[str] = None,
+    analyzer_spec: Optional[Dict] = None,
 ) -> Dict:
     """Build (or resume) the full index; returns the root manifest dict.
 
     ``dataset``: an already-constructed pages Dataset (adapter output)
     instead of reading ``input_paths`` — then ``fingerprint`` must identify
-    the upstream input for resume lineage."""
+    the upstream input for resume lineage.
+    ``analyzer_spec``: tokenizer + filter-chain config (analysis/filters.py
+    registry); its hash is part of lineage, so changing it invalidates
+    resumed partitions."""
     t0 = time.perf_counter()
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
-    spec = dict(DEFAULT_SPEC)
+    spec = dict(analyzer_spec or DEFAULT_SPEC)
     lineage = {
         "input_fingerprint": fingerprint or input_fingerprint(input_paths),
         "analyzer_hash": analyzer_spec_hash(spec),
@@ -157,7 +161,7 @@ def build_index(
         analyzer_concurrency = max(2, ncpu - 4) if ncpu > 8 else max(2, ncpu - 1)
     ds = ds.map_batches(
         AnalyzerStage,
-        fn_constructor_kwargs={"num_partitions": P},
+        fn_constructor_kwargs={"num_partitions": P, "spec": spec},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=analyzer_batch_size,
@@ -256,7 +260,7 @@ def append_index(
     conc = max(2, ncpu - 4) if ncpu > 8 else max(2, ncpu - 1)
     ds = ds.map_batches(
         AnalyzerStage,
-        fn_constructor_kwargs={"num_partitions": P},
+        fn_constructor_kwargs={"num_partitions": P, "spec": root.get("analyzer_spec")},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=analyzer_batch_size,

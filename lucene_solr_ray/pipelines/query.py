@@ -44,6 +44,33 @@ def prepare_search_context(
     sum_dl = root["sum_dl"]
     sim = Bm25Similarity.from_config(sim_config)
     avgdl = sim.avgdl(sum_dl, max(n_docs, 1))
+
+    # query terms pass through the index's analyzer chain (lowercase +
+    # configured filters) — Lucene analyzes query text with the field
+    # analyzer; a filter-dropped term (stopword) drops its clause
+    from ..analysis.filters import build_filter_chain
+    from ..analysis.tokenizer import lowercase
+
+    chain = build_filter_chain((root.get("analyzer_spec") or {}).get("filters", []))
+
+    def norm_term(t):
+        t = lowercase(t)
+        return chain(t) if chain is not None else t
+
+    queries = [
+        dict(
+            q,
+            terms=[nt for nt in (norm_term(t) for t in q["terms"]) if nt is not None]
+            if q.get("kind") != "prefix"
+            else [lowercase(t) for t in q["terms"]],
+            **(
+                {"exclude": [nt for nt in (norm_term(t) for t in q.get("exclude", ())) if nt is not None]}
+                if q.get("exclude")
+                else {}
+            ),
+        )
+        for q in queries
+    ]
     all_terms = sorted({t for q in queries for t in q["terms"]})
     stats = read_query_term_stats(index_root, all_terms)
     weights: Dict[str, np.floating] = {}

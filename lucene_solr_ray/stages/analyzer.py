@@ -21,6 +21,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analysis.tokenizer import StandardTokenizer
 from ..index.partitioner import part_keys
@@ -165,12 +166,78 @@ def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions:
     )
 
 
-class AnalyzerStage:
-    """Callable class → Ray actor pool; tokenizer compiled once per actor."""
+def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
+    """Apply a post-lowercase filter chain to the analyzer output table,
+    VOCABULARY-wise: each unique term maps through the chain once (memoized
+    across batches in ``memo``); dropped terms shrink dl, collapsed terms
+    (stemming) merge their freqs."""
+    terms_col = table["terms"].combine_chunks()
+    values = pc.list_flatten(terms_col)
+    offsets = np.asarray(pc.list_value_length(terms_col).to_numpy(), dtype=np.int64)
+    doc_ids = np.repeat(np.arange(len(table), dtype=np.int64), offsets)
+    freqs = pc.list_flatten(table["freqs"].combine_chunks()).to_numpy()
 
-    def __init__(self, num_partitions: int, max_token_length: int = 255):
-        self.tokenizer = StandardTokenizer(max_token_length=max_token_length)
+    enc = pc.dictionary_encode(values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    mapped = []
+    for t in vocab:
+        m = memo.get(t, False)
+        if m is False:
+            m = chain(t)
+            memo[t] = m
+        mapped.append(m)
+
+    keep_vocab = np.array([m is not None for m in mapped])
+    keep = keep_vocab[codes]
+    doc_ids_k, freqs_k, codes_k = doc_ids[keep], freqs[keep], codes[keep]
+    # re-encode mapped strings (stemming can collapse distinct terms)
+    out_strings = pa.array([m if m is not None else "" for m in mapped], type=pa.string())
+    out_enc = pc.dictionary_encode(out_strings)
+    new_code_of = out_enc.indices.to_numpy().astype(np.int64)
+    new_dict = out_enc.dictionary
+    key = (doc_ids_k << 32) | new_code_of[codes_k]
+    order = np.argsort(key, kind="stable")
+    key_s, freqs_s = key[order], freqs_k[order]
+    boundary = np.ones(len(key_s), dtype=bool)
+    boundary[1:] = key_s[1:] != key_s[:-1]
+    grp = np.cumsum(boundary.view(np.int8), dtype=np.int64) - 1
+    uniq_key = key_s[boundary]
+    sum_freq = np.bincount(grp, weights=freqs_s.astype(np.float64)).astype(np.int32)
+    u_docs = (uniq_key >> 32).astype(np.int64)
+    u_codes = (uniq_key & 0xFFFFFFFF).astype(np.int64)
+    n = len(table)
+    list_off = np.searchsorted(u_docs, np.arange(n + 1, dtype=np.int64))
+    out_values = new_dict.take(pa.array(u_codes))
+    dl = np.bincount(doc_ids_k, weights=freqs_k.astype(np.float64), minlength=n).astype(np.int32)
+
+    terms_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), out_values)
+    freqs_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), pa.array(sum_freq))
+    out = table.set_column(table.schema.get_field_index("terms"), "terms", terms_arr)
+    out = out.set_column(out.schema.get_field_index("freqs"), "freqs", freqs_arr)
+    return out.set_column(out.schema.get_field_index("dl"), "dl", pa.array(dl))
+
+
+class AnalyzerStage:
+    """Callable class → Ray actor pool; tokenizer + filter chain compiled
+    once per actor (the Analyzer.ReuseStrategy analog); term→filtered-term
+    results memoized across batches."""
+
+    def __init__(self, num_partitions: int, max_token_length: int = 255, spec: dict = None):
+        from ..analysis.filters import build_filter_chain
+
+        spec = spec or DEFAULT_SPEC
+        self.tokenizer = StandardTokenizer(
+            max_token_length=int(spec.get("max_token_length", max_token_length))
+        )
         self.num_partitions = num_partitions
+        self.chain = build_filter_chain(spec.get("filters", []))
+        self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return analyze_table(batch, self.tokenizer, self.num_partitions)
+        out = analyze_table(batch, self.tokenizer, self.num_partitions)
+        if self.chain is not None:
+            out = apply_token_filters(out, self.chain, self._memo)
+        return out

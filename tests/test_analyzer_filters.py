@@ -1,0 +1,105 @@
+"""Analyzer extension surface (SURVEY.md §2.2 stemmers/StopFilter, §2.11
+analysis-factory SPI): filter registry correctness, vocab-wise application
+== token-wise reference, spec-dependent lineage, query-time analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.analysis.filters import build_filter_chain
+from lucene_solr_ray.analysis.porter import porter_stem
+from lucene_solr_ray.analysis.tokenizer import StandardTokenizer
+from lucene_solr_ray.stages.analyzer import (
+    AnalyzerStage,
+    _analyze_rows_regex,
+    analyze_table,
+    apply_token_filters,
+)
+
+
+def test_porter_golden():
+    golden = {
+        "caresses": "caress", "ponies": "poni", "motoring": "motor",
+        "hopping": "hop", "relational": "relat", "conditional": "condit",
+        "digitizer": "digit", "operator": "oper", "replacement": "replac",
+        "triplicate": "triplic", "electriciti": "electr", "rate": "rate",
+        "controll": "control", "roll": "roll", "agreed": "agre",
+    }
+    for w, e in golden.items():
+        assert porter_stem(w) == e, (w, porter_stem(w), e)
+
+
+def test_filter_chain_vocab_equals_tokenwise():
+    """apply_token_filters (vocab-wise, memoized) must equal applying the
+    chain token-by-token then recounting."""
+    texts = [
+        "the running runner runs quickly over the hills",
+        "stopwords and stemming interact in surprising ways",
+        "the the the only stopwords here the",
+        "",
+        "caresses ponies ties caress cats",
+    ]
+    spec_filters = [{"name": "stop", "words": ["the", "and", "in"]}, "porter_stem"]
+    chain = build_filter_chain(spec_filters)
+    tok = StandardTokenizer()
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa.array([0] * len(texts), type=pa.timestamp("us")),
+            "text": pa.array(texts),
+        }
+    )
+    base = analyze_table(t, tok, 4)
+    out = apply_token_filters(base, chain, {})
+    for i, text in enumerate(texts):
+        expect = {}
+        for raw in tok.tokenize_lower(text):
+            m = chain(raw)
+            if m is not None:
+                expect[m] = expect.get(m, 0) + 1
+        got = dict(zip(out["terms"][i].as_py(), out["freqs"][i].as_py()))
+        assert got == expect, (i, got, expect)
+        assert out["dl"][i].as_py() == sum(expect.values())
+
+
+def test_stemmed_index_search(ray_session, tmp_path):
+    """Build with porter+stop spec: morphological variants match; the spec
+    hash invalidates resume; query terms are analyzed."""
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    pages = pa.table(
+        {
+            "url": [f"u://{i:03d}" for i in range(4)],
+            "warc_ts": pa.array([1, 2, 3, 4], type=pa.timestamp("us")),
+            "text": pa.array(
+                [
+                    "the runner was running fast",
+                    "she runs daily",
+                    "nothing related here at all",
+                    "run with the pack",
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    spec = {
+        "tokenizer": "standard_uax29",
+        "max_token_length": 255,
+        "filters": ["lowercase", {"name": "stop", "words": ["the", "was", "she", "with", "at"]}, "porter_stem"],
+    }
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2, analyzer_spec=spec)
+
+    # query with a surface form: "RUNNING" → lowercase → stem "run"
+    res = search(idx, [{"query_id": 0, "kind": "term", "terms": ["RUNNING"]}], k=10)
+    assert sorted(res["url"]) == ["u://000", "u://001", "u://003"]
+    # stopword-only query → clause dropped → no results
+    res2 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["the"]}], k=10)
+    assert len(res2) == 0
+
+    # different spec ⇒ resume must invalidate
+    root2 = build_index([p], idx, num_partitions=2)
+    assert root2["resumed_partitions"] == []
