@@ -96,6 +96,7 @@ def build_index(
     dataset=None,
     fingerprint: Optional[str] = None,
     analyzer_spec: Optional[Dict] = None,
+    max_docs_per_segment: Optional[int] = None,
 ) -> Dict:
     """Build (or resume) the full index; returns the root manifest dict.
 
@@ -158,7 +159,7 @@ def build_index(
         # a few for the read tasks: a pool that reserves every CPU starves
         # the upstream ReadParquet tasks and deadlocks the streaming
         # executor on a small node
-        analyzer_concurrency = max(2, ncpu - 4) if ncpu > 8 else max(2, ncpu - 1)
+        analyzer_concurrency = max(2, ncpu - 4) if ncpu > 8 else max(1, ncpu - 1)
     ds = ds.map_batches(
         AnalyzerStage,
         fn_constructor_kwargs={"num_partitions": P, "spec": spec},
@@ -169,9 +170,51 @@ def build_index(
     )
 
     def write_partition(group: pa.Table) -> pa.Table:
+        from ..index.segment import _dedup_sort, build_segment_at
+
         pid = int(group["part_key"][0].as_py())
+        if max_docs_per_segment and group.num_rows > max_docs_per_segment:
+            # memory-bounded flush (SURVEY.md §4 "memory pressure": spill a
+            # too-big partition to multiple url-range segments — the DWPT
+            # flush-at-ramBufferSizeMB analog). Dedup/sort ONCE so ranges
+            # are disjoint; each chunk becomes base + generation segments,
+            # searched exactly like append generations.
+            sorted_tbl = _dedup_sort(group)
+            n = sorted_tbl.num_rows
+            chunks = [
+                sorted_tbl.slice(s, min(max_docs_per_segment, n - s))
+                for s in range(0, n, max_docs_per_segment)
+            ]
+            _cleanup_stale_gens(pid, keep_below=len(chunks))
+            extra = []
+            for i, chunk in enumerate(chunks[1:], start=1):
+                extra.append(
+                    build_segment_at(
+                        chunk, pid, segment_dir(index_root, pid) + f".g{i}", lineage
+                    )
+                )
+            # base LAST: its manifest is the partition's validity marker, so
+            # a crash mid-split leaves the partition invalid → fully rebuilt
+            summary = build_segment(chunks[0], pid, index_root, lineage)
+            for s in extra:
+                for k in ("docs", "terms", "postings", "sum_dl", "postings_bytes"):
+                    summary[k] += s[k]
+            return pa.table({k: [v] for k, v in summary.items()})
+        _cleanup_stale_gens(pid, keep_below=1)
         summary = build_segment(group, pid, index_root, lineage)
         return pa.table({k: [v] for k, v in summary.items()})
+
+    def _cleanup_stale_gens(pid: int, keep_below: int) -> None:
+        """A rebuilt partition owns its whole dir family: generation dirs at
+        or above the new split count are leftovers of an older run."""
+        import glob as _glob
+        import shutil as _shutil
+
+        base = segment_dir(index_root, pid)
+        for d in _glob.glob(f"{base}.g*"):
+            suffix = d.rsplit(".g", 1)[1]
+            if suffix.isdigit() and int(suffix) >= keep_below:
+                _shutil.rmtree(d, ignore_errors=True)
 
     summaries = ds.groupby("part_key").map_groups(
         write_partition, batch_format="pyarrow"
@@ -257,7 +300,7 @@ def append_index(
         return batch.append_column("part_key", pa.array(pk))
 
     ds = ds.map_batches(route, batch_format="pyarrow")
-    conc = max(2, ncpu - 4) if ncpu > 8 else max(2, ncpu - 1)
+    conc = max(2, ncpu - 4) if ncpu > 8 else max(1, ncpu - 1)
     ds = ds.map_batches(
         AnalyzerStage,
         fn_constructor_kwargs={"num_partitions": P, "spec": root.get("analyzer_spec")},

@@ -118,3 +118,25 @@ def test_merge_equals_fresh_build(corpora, incremental_index, corpus_queries, tm
     segs = [s for pid in range(4) for s in partition_segments(incremental_index, pid)]
     assert any(".g" in os.path.basename(s) for s in segs)
     assert check_index(incremental_index) == []
+
+
+def test_split_build_matches_unsplit(ray_session, small_corpus, corpus_queries, tmp_path_factory):
+    """max_docs_per_segment: an oversized partition flushes to multiple
+    url-range segments (DWPT spill analog) — results identical to the
+    single-segment build, CheckIndex green, and merge folds it back."""
+    base = tmp_path_factory.mktemp("split")
+    idx_a = str(base / "one_seg")
+    idx_b = str(base / "split_seg")
+    build_index(small_corpus, idx_a, num_partitions=2)
+    build_index(small_corpus, idx_b, num_partitions=2, max_docs_per_segment=200)
+    segs = [s for pid in range(2) for s in partition_segments(idx_b, pid)]
+    assert len(segs) > 2, "expected url-range split segments"
+    assert check_index(idx_b) == []
+    ra = _frame(search(idx_a, corpus_queries, k=10))
+    rb = _frame(search(idx_b, corpus_queries, k=10))
+    assert ra.equals(rb)
+    merge_index(idx_b)
+    segs = [s for pid in range(2) for s in partition_segments(idx_b, pid)]
+    assert len(segs) == 2
+    assert check_index(idx_b) == []
+    assert ra.equals(_frame(search(idx_b, corpus_queries, k=10)))
