@@ -189,22 +189,26 @@ def tokens_to_string_array(
 
 
 def doc_tf_from_tokens(
-    tokens: pa.Array, doc_ids: np.ndarray, n_docs: int
-) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    tokens: pa.Array, doc_ids: np.ndarray, n_docs: int, want_positions: bool = False
+):
     """Per-doc term-frequency accumulation, fully vectorized.
 
     Returns (unique terms values array, list offsets int64[n_docs+1],
-    freqs int32, dl int32): doc d's unique terms are
-    values[offsets[d]:offsets[d+1]] with matching freqs.
+    freqs int32, dl int32[, flat positions int32]): doc d's unique terms
+    are values[offsets[d]:offsets[d+1]] with matching freqs. With
+    ``want_positions``, also returns the within-doc token positions of
+    every (doc, term) pair, flattened in (doc, term, position) order —
+    inner list lengths are exactly ``freqs``.
     """
     dl = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)
     if len(tokens) == 0:
-        return (
+        empty = (
             pa.array([], type=pa.string()),
             np.zeros(n_docs + 1, dtype=np.int64),
             np.empty(0, dtype=np.int32),
             dl,
         )
+        return empty + (np.empty(0, dtype=np.int32),) if want_positions else empty
     enc = pc.dictionary_encode(tokens)
     codes = enc.indices.to_numpy().astype(np.int64)
     key = (doc_ids.astype(np.int64) << 32) | codes
@@ -213,4 +217,14 @@ def doc_tf_from_tokens(
     u_codes = (uniq & 0xFFFFFFFF).astype(np.int64)
     offsets = np.searchsorted(u_docs, np.arange(n_docs + 1, dtype=np.int64))
     values = enc.dictionary.take(pa.array(u_codes))
-    return values, offsets, counts.astype(np.int32), dl
+    if not want_positions:
+        return values, offsets, counts.astype(np.int32), dl
+    # token position within its doc, then tokens regrouped by (doc, term)
+    # in ascending position order (np.argsort stable keeps token order)
+    doc_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(dl.astype(np.int64), out=doc_start[1:])
+    tok_pos = (np.arange(len(tokens), dtype=np.int64) - doc_start[doc_ids]).astype(
+        np.int32
+    )
+    order = np.argsort(key, kind="stable")
+    return values, offsets, counts.astype(np.int32), dl, tok_pos[order]

@@ -120,6 +120,22 @@ def build_segment_at(
     docids_s = docids[post_order]
     freqs_s = flat_freqs[post_order]
 
+    positions_s = None
+    if "positions" in table.column_names:
+        # per-entry position ranges, reordered to (term, docid) postings
+        # order — the .pos file contents (positions within a posting stay
+        # ascending; inner lengths == freqs)
+        pos_col = table["positions"].combine_chunks()
+        flat_pos = pc.list_flatten(pos_col).to_numpy().astype(np.int32)
+        src_off = np.zeros(len(flat_freqs) + 1, dtype=np.int64)
+        np.cumsum(flat_freqs.astype(np.int64), out=src_off[1:])
+        out_off = np.zeros(len(freqs_s) + 1, dtype=np.int64)
+        np.cumsum(freqs_s.astype(np.int64), out=out_off[1:])
+        gather = np.arange(int(out_off[-1]), dtype=np.int64) + np.repeat(
+            src_off[post_order] - out_off[:-1], freqs_s
+        )
+        positions_s = flat_pos[gather]
+
     return write_segment_artifact(
         final_dir,
         partition_id,
@@ -132,6 +148,7 @@ def build_segment_at(
         table["warc_ts"],
         lineage,
         t0,
+        positions_s=positions_s,
     )
 
 
@@ -148,9 +165,13 @@ def write_segment_artifact(
     lineage: Dict[str, Any],
     t0: float,
     extra_manifest: Optional[Dict[str, Any]] = None,
+    positions_s: Optional[np.ndarray] = None,
 ) -> Dict[str, Any]:
     """Encode + atomically publish one segment from (term, docid)-sorted
-    posting arrays — shared by the fresh build and the merge paths."""
+    posting arrays — shared by the fresh build and the merge paths.
+    ``positions_s``: flat int32 positions in (term, docid, pos) order
+    (inner lengths == freqs_s) → positions.bin (the .pos analog; stored
+    raw int32 v1, not FOR — positions are read per candidate doc only)."""
     n_docs = len(dl)
     n_terms = len(sorted_vocab)
     norms = int_to_byte4(dl)
@@ -173,6 +194,11 @@ def write_segment_artifact(
 
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(blob)
+
+    has_positions = positions_s is not None
+    if has_positions:
+        with open(os.path.join(tmp_dir, "positions.bin"), "wb") as f:
+            f.write(positions_s.astype("<i4").tobytes())
 
     pq.write_table(
         pa.table(
@@ -212,6 +238,7 @@ def write_segment_artifact(
         "sum_dl": int(dl.sum()),
         "postings_bytes": len(blob),
         "checksum_crc32": zlib.crc32(blob),
+        "positions": bool(has_positions),
         "build_sec": round(time.perf_counter() - t0, 3),
     }
     write_segment_manifest(tmp_dir, {**summary, **lineage, **(extra_manifest or {})})
@@ -329,6 +356,26 @@ class SegmentReader:
             self.post = np.memmap(post_path, dtype=np.uint8, mode="r")
         else:
             self.post = np.empty(0, dtype=np.uint8)  # mmap rejects empty files
+
+        # optional .pos analog: flat int32 positions in (term, docid, pos)
+        # order; term t's slice starts at cumsum(total_tf)[t-1]
+        pos_path = os.path.join(seg_dir, "positions.bin")
+        self.has_positions = os.path.exists(pos_path)
+        if self.has_positions and os.path.getsize(pos_path):
+            self.pos = np.memmap(pos_path, dtype="<i4", mode="r")
+            self._pos_start = np.concatenate(
+                ([0], np.cumsum(self.total_tf.astype(np.int64)))
+            )
+        elif self.has_positions:
+            self.pos = np.empty(0, dtype=np.int32)
+            self._pos_start = np.zeros(len(self.total_tf) + 1, dtype=np.int64)
+
+    def positions(self, ordinal: int) -> np.ndarray:
+        """Flat positions of one term across its postings (split per doc
+        with cumsum of that term's freqs)."""
+        s = int(self._pos_start[ordinal])
+        e = int(self._pos_start[ordinal + 1])
+        return np.asarray(self.pos[s:e])
 
     @property
     def num_live_docs(self) -> int:

@@ -97,6 +97,7 @@ def build_index(
     fingerprint: Optional[str] = None,
     analyzer_spec: Optional[Dict] = None,
     max_docs_per_segment: Optional[int] = None,
+    store_positions: bool = False,
 ) -> Dict:
     """Build (or resume) the full index; returns the root manifest dict.
 
@@ -111,7 +112,7 @@ def build_index(
     spec = dict(analyzer_spec or DEFAULT_SPEC)
     lineage = {
         "input_fingerprint": fingerprint or input_fingerprint(input_paths),
-        "analyzer_hash": analyzer_spec_hash(spec),
+        "analyzer_hash": analyzer_spec_hash({**spec, "positions": store_positions}),
         "num_partitions": num_partitions,
     }
 
@@ -162,7 +163,11 @@ def build_index(
         analyzer_concurrency = max(2, ncpu - 4) if ncpu > 8 else max(1, ncpu - 1)
     ds = ds.map_batches(
         AnalyzerStage,
-        fn_constructor_kwargs={"num_partitions": P, "spec": spec},
+        fn_constructor_kwargs={
+            "num_partitions": P,
+            "spec": spec,
+            "store_positions": store_positions,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=analyzer_batch_size,
@@ -245,6 +250,7 @@ def build_index(
         {
             "analyzer_spec": spec,
             "lang_filter": lang,
+            "store_positions": store_positions,
             "build_wall_sec": round(time.perf_counter() - t0, 3),
             "resumed_partitions": sorted(done_set),
             **lineage,

@@ -411,6 +411,58 @@ LIMIT 10
     )
 
 
+FT_PHRASE = ["query", "join"]
+
+
+def ensure_ft_pos_index(sf_dir: str) -> str:
+    """Positions-enabled index over documents (for phrase queries); cached
+    separately from the main ft index."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:pos"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key and root.get("store_positions"):
+                return index_root
+        except Exception:
+            pass
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=_docs_as_pages(sf_dir),
+        fingerprint=key,
+        store_positions=True,
+    )
+    return index_root
+
+
+def q_ft_phrase_count(sf_dir: str) -> pd.DataFrame:
+    """Exact PhraseQuery cardinality (SURVEY.md §2.3 ExactPhraseMatcher):
+    docs containing the exact consecutive phrase, via the positions-enabled
+    index + distributed phrase matcher."""
+    idx = ensure_ft_pos_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "phrase", "terms": FT_PHRASE}],
+        k=10**9,
+        method="exhaustive",
+    )
+    return pd.DataFrame({"n_docs": [len(res)]}).astype(np.int64)
+
+
+def sql_ft_phrase_count() -> str:
+    phrase = " ".join(FT_PHRASE)
+    return f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE ' ' || text || ' ' LIKE '% {phrase} %'
+"""
+
+
 FT_PREFIX = "qu"
 
 
@@ -1353,6 +1405,7 @@ QUERIES = {
     "ft_not_topk": q_ft_not_topk,
     "ft_msm_topk": q_ft_msm_topk,
     "ft_prefix_count": q_ft_prefix_count,
+    "ft_phrase_count": q_ft_phrase_count,
     "ft_incremental_stats": q_ft_incremental_stats,
     # text analysis (§2.2 + training-data extensions)
     "token_counts": q_token_counts,
@@ -1401,6 +1454,7 @@ ORACLES = {
     "ft_not_topk": sql_ft_not_topk(),
     "ft_msm_topk": sql_ft_msm_topk(),
     "ft_prefix_count": sql_ft_prefix_count(),
+    "ft_phrase_count": sql_ft_phrase_count(),
     "ft_incremental_stats": sql_ft_incremental_stats(),
     "token_counts": sql_token_counts(),
     "doc_fingerprints": sql_doc_fingerprints(),

@@ -52,6 +52,7 @@ class OracleIndex:
         self.k1, self.b = k1, b
 
         self.postings: Dict[str, List[Tuple[int, int]]] = {}
+        self.positions: Dict[str, Dict[int, List[int]]] = {}
         self.norm_bytes: List[int] = []
         sum_dl = 0
         for docid, url in enumerate(self.urls):
@@ -59,8 +60,9 @@ class OracleIndex:
             sum_dl += len(toks)
             self.norm_bytes.append(_int_to_byte4_scalar(len(toks)))
             tf: Dict[str, int] = {}
-            for t in toks:
+            for p, t in enumerate(toks):
                 tf[t] = tf.get(t, 0) + 1
+                self.positions.setdefault(t, {}).setdefault(docid, []).append(p)
             for t, f in tf.items():
                 self.postings.setdefault(t, []).append((docid, f))
         self.sum_dl = sum_dl
@@ -98,7 +100,28 @@ class OracleIndex:
 
         Kinds mirror the engine: term/or (SHOULD + minShouldMatch), and
         (MUST), prefix (constant-score 1.0); ``exclude`` = MUST_NOT."""
-        if kind == "prefix":
+        if kind == "phrase":
+            doc_scores = {}
+            cands = []
+            docsets = [set(self.positions.get(t, {})) for t in terms]
+            if not docsets or not all(docsets):
+                return []
+            common = set.intersection(*docsets)
+            w = F32(0)
+            for t in terms:
+                w = F32(w + self.idf(t))
+            for d in sorted(common):
+                match = set(self.positions[terms[0]][d])
+                for i, t in enumerate(terms[1:], start=1):
+                    match &= {p - i for p in self.positions[t][d]}
+                    if not match:
+                        break
+                if match:
+                    freq = len(match)
+                    ni = self.cache[self.norm_bytes[d]]
+                    doc_scores[d] = F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
+                    cands.append(d)
+        elif kind == "prefix":
             docs = set()
             for p in terms:
                 for t, plist in self.postings.items():

@@ -122,6 +122,83 @@ def score_query_exhaustive(
     return topk_select(cand, scores_c, k)
 
 
+def score_query_phrase(
+    reader: SegmentReader,
+    terms: Sequence[str],
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    exclude: Sequence[str] = (),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact PhraseQuery (reference: lucene/core/src/java/org/apache/
+    lucene/search/ExactPhraseMatcher.java + PhraseWeight, branch_8x;
+    SURVEY.md §2.3): candidate docs from the posting conjunction, then
+    position verification — doc matches where ∩_i (positions(term_i) − i)
+    is non-empty, phrase freq = |intersection|. Scored like a single
+    pseudo-term: weight = Σ idf(term_i) (Lucene sums TermStatistics idfs),
+    score = w − w/(1 + freq·normInverse)."""
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            f"phrase query requires an index built with store_positions=True "
+            f"({reader.seg_dir} has no positions.bin)"
+        )
+    ords, plists, posits = [], [], []
+    for term in terms:
+        o = reader.lookup(term)
+        if o < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        ords.append(o)
+        plists.append(reader.postings(o))
+        posits.append(reader.positions(o))
+    cand = plists[0].docids
+    for tp in plists[1:]:
+        cand = np.intersect1d(cand, tp.docids, assume_unique=True)
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    # per-term: index of each candidate doc in that term's posting list,
+    # and the doc's position-slice boundaries within the term's flat array
+    slices = []
+    for tp, flat in zip(plists, posits):
+        starts = np.concatenate(([0], np.cumsum(tp.freqs.astype(np.int64))))
+        idx = np.searchsorted(tp.docids, cand)
+        slices.append((flat, starts, idx))
+    phrase_freq = np.zeros(len(cand), dtype=np.int64)
+    for ci in range(len(cand)):
+        flat, starts, idx = slices[0]
+        j = int(idx[ci])
+        inter = flat[starts[j] : starts[j + 1]].astype(np.int64)
+        for off, (flat_i, starts_i, idx_i) in enumerate(slices[1:], start=1):
+            ji = int(idx_i[ci])
+            nxt = flat_i[starts_i[ji] : starts_i[ji + 1]].astype(np.int64) - off
+            inter = np.intersect1d(inter, nxt, assume_unique=True)
+            if len(inter) == 0:
+                break
+        phrase_freq[ci] = len(inter)
+    hit = phrase_freq > 0
+    cand, phrase_freq = cand[hit], phrase_freq[hit]
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    w = np.float32(0.0)
+    for term in terms:
+        w = np.float32(w + weights[term])
+    scores = sim.score_freqs(w, phrase_freq.astype(np.uint32), reader.norms[cand], cache_inv)
+    if len(exclude):
+        banned = np.zeros(reader.num_docs, dtype=bool)
+        for term in exclude:
+            o = reader.lookup(term)
+            if o >= 0:
+                banned[reader.postings(o).docids] = True
+        keep = ~banned[cand]
+        cand, scores = cand[keep], scores[keep]
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    return topk_select(cand, scores, k)
+
+
 def _score_query_cached(
     reader: SegmentReader,
     terms: Sequence[str],
@@ -266,9 +343,15 @@ class SearcherStage:
                 exclude = q.get("exclude", ())
                 msm = int(q.get("min_should_match", 1))
                 # WAND covers plain term/and/or; the extended clauses
-                # (MUST_NOT, minShouldMatch>1, prefix) score exhaustively
+                # (MUST_NOT, minShouldMatch>1, prefix, phrase) score
+                # exhaustively
                 plain = q["kind"] in ("term", "and", "or") and not exclude and msm <= 1
-                if use_wand and plain:
+                if q["kind"] == "phrase":
+                    docids, scores = score_query_phrase(
+                        reader, q["terms"], self.weights, self.cache_inv,
+                        self.sim, self.k, exclude=exclude,
+                    )
+                elif use_wand and plain:
                     docids, scores = score_query_wand(
                         reader, q["terms"], q["kind"], self.weights,
                         self.cache_inv, self.sim, self.k,

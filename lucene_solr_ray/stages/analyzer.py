@@ -39,13 +39,15 @@ DEFAULT_SPEC = {"tokenizer": "standard_uax29", "max_token_length": 255, "filters
 
 
 def _analyze_rows_regex(
-    texts: list, tokenizer: StandardTokenizer
+    texts: list, tokenizer: StandardTokenizer, want_positions: bool = False
 ) -> tuple:
     """Reference regex path for a list of texts → (per-doc term lists,
-    per-doc freq arrays, dl array). Exact; used for non-ASCII docs."""
+    per-doc freq arrays, dl array[, per-doc flat position arrays]).
+    Exact; used for non-ASCII docs."""
     n = len(texts)
     terms_per_doc: list = []
     freqs_per_doc: list = []
+    pos_per_doc: list = []
     dl = np.empty(n, dtype=np.int32)
     tokenize = tokenizer.tokenize_lower
     for i, text in enumerate(texts):
@@ -54,12 +56,28 @@ def _analyze_rows_regex(
         dl[i] = len(toks)
         terms_per_doc.append(list(tf.keys()))
         freqs_per_doc.append(np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
+        if want_positions:
+            posmap = {t: [] for t in tf}
+            for p, t in enumerate(toks):
+                posmap[t].append(p)
+            flat = [p for t in tf for p in posmap[t]]  # same term order as tf
+            pos_per_doc.append(np.asarray(flat, dtype=np.int32))
+    if want_positions:
+        return terms_per_doc, freqs_per_doc, dl, pos_per_doc
     return terms_per_doc, freqs_per_doc, dl
 
 
-def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions: int) -> pa.Table:
+def analyze_table(
+    table: pa.Table,
+    tokenizer: StandardTokenizer,
+    num_partitions: int,
+    want_positions: bool = False,
+) -> pa.Table:
     """Pure function core (also used by tests without Ray): pages table
-    (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl).
+    (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl
+    [, positions]). ``positions``: per doc, the within-doc token positions
+    of its terms flattened in term-list order (inner lengths == freqs) —
+    the .pos data PhraseQuery needs.
 
     Pure-ASCII docs run through the vectorized numpy/Arrow fast path
     (analysis/fast_tokenizer.py); docs with any non-ASCII byte use the
@@ -83,16 +101,23 @@ def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions:
     ascii_mask = ascii_doc_mask(text_col) if n else np.zeros(0, dtype=bool)
     m = tokenizer.max_token_length
 
+    flat_pos = None
     if n == 0:
         empty_off = pa.array(np.zeros(1, dtype=np.int32))
         terms_arr = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
         freqs_arr = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
         dl = np.empty(0, dtype=np.int32)
+        flat_pos = np.empty(0, dtype=np.int32)
     elif ascii_mask.all():
         data, offs = _string_buffers(text_col)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        values, list_off, freqs, dl = doc_tf_from_tokens(tokens, doc_ids, n)
+        if want_positions:
+            values, list_off, freqs, dl, flat_pos = doc_tf_from_tokens(
+                tokens, doc_ids, n, want_positions=True
+            )
+        else:
+            values, list_off, freqs, dl = doc_tf_from_tokens(tokens, doc_ids, n)
         terms_arr = pa.ListArray.from_arrays(
             pa.array(list_off, type=pa.int32()), values
         )
@@ -108,9 +133,18 @@ def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions:
         data, offs = _string_buffers(sub)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        a_values, a_off, a_freqs, a_dl = doc_tf_from_tokens(tokens, doc_ids, len(sub))
-        fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
-        f_terms, f_freqs, f_dl = _analyze_rows_regex(fb_texts, tokenizer)
+        if want_positions:
+            a_values, a_off, a_freqs, a_dl, a_pos = doc_tf_from_tokens(
+                tokens, doc_ids, len(sub), want_positions=True
+            )
+            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
+            f_terms, f_freqs, f_dl, f_pos = _analyze_rows_regex(
+                fb_texts, tokenizer, want_positions=True
+            )
+        else:
+            a_values, a_off, a_freqs, a_dl = doc_tf_from_tokens(tokens, doc_ids, len(sub))
+            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
+            f_terms, f_freqs, f_dl = _analyze_rows_regex(fb_texts, tokenizer)
 
         fb_values = pa.array(
             [t for ts in f_terms for t in ts], type=pa.string()
@@ -151,19 +185,40 @@ def analyze_table(table: pa.Table, tokenizer: StandardTokenizer, num_partitions:
         freqs_arr = pa.ListArray.from_arrays(
             pa.array(list_off, type=pa.int32()), pa.array(flat_freqs)
         )
+        if want_positions:
+            # positions follow the SAME entry reorder as terms: gather each
+            # entry's [src_off, src_off+freq) range from the combined flat
+            # position array
+            combined_pos = np.concatenate(
+                [a_pos] + list(f_pos)
+            ).astype(np.int32) if (len(a_pos) or f_pos) else np.empty(0, dtype=np.int32)
+            src_pos_off = np.zeros(len(combined_freqs) + 1, dtype=np.int64)
+            np.cumsum(combined_freqs.astype(np.int64), out=src_pos_off[1:])
+            out_pos_off = np.zeros(len(flat_freqs) + 1, dtype=np.int64)
+            np.cumsum(flat_freqs.astype(np.int64), out=out_pos_off[1:])
+            total_pos = int(out_pos_off[-1])
+            gather = np.arange(total_pos, dtype=np.int64) + np.repeat(
+                src_pos_off[take_idx] - out_pos_off[:-1], flat_freqs
+            )
+            flat_pos = combined_pos[gather]
 
     urls = table["url"].to_pylist()
     pk = part_keys(urls, num_partitions)
-    return pa.table(
-        {
-            "url": table["url"],
-            "warc_ts": table["warc_ts"],
-            "part_key": pk,
-            "terms": terms_arr,
-            "freqs": freqs_arr,
-            "dl": dl,
-        }
-    )
+    cols = {
+        "url": table["url"],
+        "warc_ts": table["warc_ts"],
+        "part_key": pk,
+        "terms": terms_arr,
+        "freqs": freqs_arr,
+        "dl": dl,
+    }
+    if want_positions:
+        pos_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dl.astype(np.int64), out=pos_off[1:])
+        cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(pos_off, type=pa.int32()), pa.array(flat_pos)
+        )
+    return pa.table(cols)
 
 
 def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
@@ -225,7 +280,13 @@ class AnalyzerStage:
     once per actor (the Analyzer.ReuseStrategy analog); term→filtered-term
     results memoized across batches."""
 
-    def __init__(self, num_partitions: int, max_token_length: int = 255, spec: dict = None):
+    def __init__(
+        self,
+        num_partitions: int,
+        max_token_length: int = 255,
+        spec: dict = None,
+        store_positions: bool = False,
+    ):
         from ..analysis.filters import build_filter_chain
 
         spec = spec or DEFAULT_SPEC
@@ -234,10 +295,20 @@ class AnalyzerStage:
         )
         self.num_partitions = num_partitions
         self.chain = build_filter_chain(spec.get("filters", []))
+        if store_positions and self.chain is not None:
+            raise ValueError(
+                "store_positions with post-lowercase token filters is "
+                "unsupported (filters drop/merge tokens; position increments "
+                "over holes are not tracked yet)"
+            )
+        self.store_positions = store_positions
         self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = analyze_table(batch, self.tokenizer, self.num_partitions)
+        out = analyze_table(
+            batch, self.tokenizer, self.num_partitions,
+            want_positions=self.store_positions,
+        )
         if self.chain is not None:
             out = apply_token_filters(out, self.chain, self._memo)
         return out

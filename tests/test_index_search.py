@@ -177,3 +177,63 @@ def test_ghost_terms(built_indexes):
     got_qids = set(res.query_id) if len(res) else set()
     assert 1 not in got_qids and 2 not in got_qids
     assert 3 in got_qids
+
+
+def test_phrase_query(ray_session, small_corpus, corpus_queries, tmp_path_factory):
+    """Exact PhraseQuery over a positions-enabled index: engine == oracle
+    == P=1 (SURVEY.md §2.3 ExactPhraseMatcher semantics; phrase scored as
+    one pseudo-term with summed idf)."""
+    base = tmp_path_factory.mktemp("phrase")
+    idx1, idx4 = str(base / "p1"), str(base / "p4")
+    build_index(small_corpus, idx1, num_partitions=1, store_positions=True)
+    build_index(small_corpus, idx4, num_partitions=4, store_positions=True)
+
+    # phrases that actually occur: take bigrams from corpus texts
+    rows = []
+    for p in small_corpus:
+        rows.extend(pq.read_table(p).to_pylist())
+    from lucene_solr_ray.analysis.tokenizer import tokenize_lower
+
+    bigrams = []
+    for r in rows[:40]:
+        toks = tokenize_lower(r["text"])
+        if len(toks) >= 6:
+            bigrams.append(toks[2:4])
+            if len(toks) >= 10:
+                bigrams.append(toks[5:8])  # a trigram too
+    seen, phrases = set(), []
+    for bg in bigrams:
+        key = tuple(bg)
+        if key not in seen:
+            seen.add(key)
+            phrases.append(list(bg))
+        if len(phrases) == 12:
+            break
+    queries = [
+        {"query_id": i, "kind": "phrase", "terms": ph} for i, ph in enumerate(phrases)
+    ] + [{"query_id": 999, "kind": "phrase", "terms": ["zzz_ghost", "w000000"]}]
+
+    r1 = _frame(search(idx1, queries, k=10))
+    r4 = _frame(search(idx4, queries, k=10))
+    assert len(r1) > 0, "no phrase produced hits"
+    assert r1.equals(r4)
+    oracle = OracleIndex(rows)
+    exp = oracle.search(queries, k=10)
+    got = r4
+    assert got[["query_id", "rank", "url"]].reset_index(drop=True).equals(
+        exp[["query_id", "rank", "url"]].astype(
+            {"query_id": got["query_id"].dtype, "rank": got["rank"].dtype}
+        )
+    )
+    assert np.array_equal(
+        got["score"].to_numpy().astype(np.float32), exp["score"].to_numpy()
+    )
+    assert 999 not in set(got["query_id"])
+
+    # an index without positions must refuse phrase queries loudly
+    import pytest as _pytest
+
+    no_pos = str(base / "nopos")
+    build_index(small_corpus, no_pos, num_partitions=1)
+    with _pytest.raises(Exception, match="positions"):
+        search(no_pos, queries[:1], k=10)
