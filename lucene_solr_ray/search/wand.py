@@ -240,14 +240,25 @@ def _wand_or(iters, heap, k, offer, contribution, f32):
         if pivot_idx < 0:
             return  # nothing can beat θ anymore
         pivot_doc = live[pivot_idx].cur
+        # extend the pivot over iterators tied at pivot_doc (Ding & Suel BMW
+        # pivot extension; Lucene WANDScorer's advanceAllTail analog) so the
+        # block-ub test below accounts for EVERY term that can hit pivot_doc
+        while pivot_idx + 1 < len(live) and live[pivot_idx + 1].cur == pivot_doc:
+            pivot_idx += 1
 
         # block-max refinement over the prefix
         prefix = live[: pivot_idx + 1]
         block_ub = sum(it.block_ub_at(pivot_doc) for it in prefix)
         if block_ub <= theta:
-            # skip: jump past the earliest block boundary among the prefix
+            # skip: jump past the earliest block boundary among the prefix,
+            # CLAMPED to the first non-prefix iterator's current docid — a
+            # doc there may still gain contributions from prefix terms, so
+            # the lead must not be advanced past it (BMW d' = min(boundary+1,
+            # d_{pivot+1}); Lucene WANDScorer skip-target clamp)
             boundary = min(it.block_last_at(pivot_doc) for it in prefix)
             target = max(pivot_doc + 1, boundary + 1)
+            if pivot_idx + 1 < len(live):
+                target = min(target, live[pivot_idx + 1].cur)
             # advance the lead (smallest cur) — standard WAND advance choice
             prefix[0].advance(target)
             continue
