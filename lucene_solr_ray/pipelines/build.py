@@ -98,6 +98,8 @@ def build_index(
     analyzer_spec: Optional[Dict] = None,
     max_docs_per_segment: Optional[int] = None,
     store_positions: bool = False,
+    shuffle: str = "runs",
+    spill_batch_rows: int = 32768,
 ) -> Dict:
     """Build (or resume) the full index; returns the root manifest dict.
 
@@ -106,7 +108,16 @@ def build_index(
     the upstream input for resume lineage.
     ``analyzer_spec``: tokenizer + filter-chain config (analysis/filters.py
     registry); its hash is part of lineage, so changing it invalidates
-    resumed partitions."""
+    resumed partitions.
+    ``shuffle``: how analyzed rows reach their partition's segment writer.
+    ``"runs"`` (default) streams map-side spill files per partition under
+    ``index_root/_runs/`` — the classic M×P shuffle-file exchange through
+    shared storage (index_root already must be shared on a real cluster) —
+    then builds each partition from its run files as an independent task:
+    no global sort barrier, no all-to-all through the object store, and
+    spilling overlaps analysis. ``"groupby"`` is the old sort-based
+    ``groupby(part_key).map_groups`` path (kept for A/B benchmarking; its
+    sort barrier was a ~12s constant floor that capped scaling)."""
     t0 = time.perf_counter()
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     spec = dict(analyzer_spec or DEFAULT_SPEC)
@@ -174,10 +185,11 @@ def build_index(
         concurrency=analyzer_concurrency,
     )
 
-    def write_partition(group: pa.Table) -> pa.Table:
+    def write_partition(group: pa.Table, pid: Optional[int] = None) -> pa.Table:
         from ..index.segment import _dedup_sort, build_segment_at
 
-        pid = int(group["part_key"][0].as_py())
+        if pid is None:
+            pid = int(group["part_key"][0].as_py())
         if max_docs_per_segment and group.num_rows > max_docs_per_segment:
             # memory-bounded flush (SURVEY.md §4 "memory pressure": spill a
             # too-big partition to multiple url-range segments — the DWPT
@@ -221,28 +233,42 @@ def build_index(
             if suffix.isdigit() and int(suffix) >= keep_below:
                 _shutil.rmtree(d, ignore_errors=True)
 
-    summaries = ds.groupby("part_key").map_groups(
-        write_partition, batch_format="pyarrow"
-    ).to_pandas()
+    phases: Dict[str, float] = {}
+    t_ph = time.perf_counter()
+    if shuffle == "groupby":
+        summaries = ds.groupby("part_key").map_groups(
+            write_partition, batch_format="pyarrow"
+        ).to_pandas()
+        phases["analyze_shuffle_write"] = round(time.perf_counter() - t_ph, 3)
+        # partitions that received no rows (or were resumed) still need
+        # artifacts
+        built = set(summaries["partition_id"].tolist()) if len(summaries) else set()
+        for pid in range(P):
+            if pid in built or pid in done_set:
+                continue
+            build_segment(_empty_analyzed_table(), pid, index_root, lineage)
+        t_ph = time.perf_counter()
+        compute_global_stats(index_root, P)
+        phases["global_stats"] = round(time.perf_counter() - t_ph, 3)
+    else:
+        import gc
+        import shutil as _sh
 
-    # partitions that received no rows (or were resumed) still need artifacts
-    built = set(summaries["partition_id"].tolist()) if len(summaries) else set()
-    for pid in range(P):
-        if pid in built or pid in done_set:
-            continue
-        empty = pa.table(
-            {
-                "url": pa.array([], type=pa.string()),
-                "warc_ts": pa.array([], type=pa.timestamp("us")),
-                "part_key": pa.array([], type=pa.int32()),
-                "terms": pa.array([], type=pa.list_(pa.string())),
-                "freqs": pa.array([], type=pa.list_(pa.int32())),
-                "dl": pa.array([], type=pa.int32()),
-            }
+        runs_dir = os.path.join(index_root, "_runs")
+        if os.path.exists(runs_dir):
+            _sh.rmtree(runs_dir)  # stale spill from a crashed build
+        os.makedirs(runs_dir)
+        _spill_runs(ds, runs_dir, P, spill_batch_rows)
+        # drop EVERY reference to the pipeline before the build wave: a
+        # finished-but-referenced Dataset keeps its actor pool's CPU
+        # reservation alive, which would starve the wave's tasks (measured:
+        # 1 of 2 CPUs held at num_cpus=2 until the object is GC'd)
+        ds = None
+        gc.collect()
+        phases["analyze_spill"] = round(time.perf_counter() - t_ph, 3)
+        _build_via_runs(
+            runs_dir, index_root, P, write_partition, phases, done_set
         )
-        build_segment(empty, pid, index_root, lineage)
-
-    compute_global_stats(index_root, P)
 
     root = refresh_root_manifest(
         index_root,
@@ -252,11 +278,203 @@ def build_index(
             "lang_filter": lang,
             "store_positions": store_positions,
             "build_wall_sec": round(time.perf_counter() - t0, 3),
+            "build_phases": phases,
             "resumed_partitions": sorted(done_set),
             **lineage,
         },
     )
     return root
+
+
+def _spill_runs(ds, runs_dir: str, P: int, spill_batch_rows: int) -> None:
+    """Map-side shuffle spill: stream analyzed batches into per-partition
+    run files under ``runs_dir/part-XXXXX/`` (the Spark-style M×P
+    shuffle-file exchange, using shared storage as the exchange medium —
+    the analog of Solr's hash-routed forward to the shard leader,
+    reference solr/core/src/java/org/apache/solr/update/processor/
+    DistributedUpdateProcessor.java, branch_8x). Spill tasks run as the
+    analyzer produces blocks — no sort, no barrier beyond the inherent
+    all-rows-before-segment-build one."""
+    import uuid
+
+    def spill(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([0], type=pa.int64())})
+        from pyarrow import feather as _ft
+
+        pk = batch["part_key"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        pks = pk[order]
+        bounds = np.nonzero(np.diff(pks))[0] + 1
+        starts = [0, *bounds.tolist(), len(pks)]
+        uid = uuid.uuid4().hex
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            pdir = os.path.join(runs_dir, f"part-{int(pks[s]):05d}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".{uid}.tmp")
+            # run files are transient (deleted after the build wave):
+            # feather/IPC + lz4 writes at near-memcpy speed — parquet's
+            # heavier encode was pure overhead on the critical path
+            _ft.write_feather(sorted_batch.slice(s, e - s), tmp, compression="lz4")
+            os.replace(tmp, os.path.join(pdir, f"run-{uid}.feather"))
+        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+    ds.map_batches(
+        spill, batch_format="pyarrow", batch_size=spill_batch_rows
+    ).materialize()
+
+
+def _empty_analyzed_table() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "warc_ts": pa.array([], type=pa.timestamp("us")),
+            "part_key": pa.array([], type=pa.int32()),
+            "terms": pa.array([], type=pa.list_(pa.string())),
+            "freqs": pa.array([], type=pa.list_(pa.int32())),
+            "dl": pa.array([], type=pa.int32()),
+        }
+    )
+
+
+def _term_shard_keys(terms, num_shards: int) -> np.ndarray:
+    """Vectorized deterministic shard key per term. Shard assignment only
+    controls stats file layout within one build (read-back filters by term
+    value), so any stable vectorized hash works; polars' hash kernel
+    replaces the old per-term Python crc32 loop."""
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(
+            terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        ).hash(seed=0)
+        return (h % num_shards).to_numpy().astype(np.int32)
+    except Exception:
+        import zlib
+
+        vals = terms.to_pylist()
+        return np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % num_shards for t in vals),
+            dtype=np.int32,
+            count=len(vals),
+        )
+
+
+def _spill_partition_stats(index_root: str, pid: int, stats_runs: str, num_shards: int) -> None:
+    """Map side of the global-stats aggregation, fused into the segment
+    build wave: pre-sum this partition's live segments' term tables (bounds
+    any term's global group to ≤ P rows — the primary head-term skew
+    defense) and append the result, split by term-hash shard, under
+    ``stats_runs/shard-SSSS/``."""
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import partition_segments
+
+    tabs = []
+    for seg in partition_segments(index_root, pid):
+        f = os.path.join(seg, "terms.parquet")
+        if os.path.exists(f):
+            t = _pq.read_table(f, columns=["term", "df", "total_tf"])
+            if t.num_rows:
+                tabs.append(t)
+    if not tabs:
+        return
+    t = pa.concat_tables(tabs)
+    if len(tabs) > 1:
+        t = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
+        t = t.rename_columns(["term", "df", "total_tf"])
+    sh = _term_shard_keys(t["term"], num_shards)
+    order = np.argsort(sh, kind="stable")
+    t = t.take(pa.array(order))
+    sh = sh[order]
+    bounds = np.nonzero(np.diff(sh))[0] + 1
+    starts = [0, *bounds.tolist(), len(sh)]
+    for i in range(len(starts) - 1):
+        s, e = starts[i], starts[i + 1]
+        sdir = os.path.join(stats_runs, f"shard-{int(sh[s]):04d}")
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, f".part-{pid:05d}.tmp")
+        _pq.write_table(t.slice(s, e - s), tmp)
+        os.replace(tmp, os.path.join(sdir, f"part-{pid:05d}.parquet"))
+
+
+def _build_via_runs(
+    runs_dir: str, index_root: str, P: int, write_partition,
+    phases: Dict, done_set: frozenset,
+) -> None:
+    """Runs-exchange segment build + fused global stats:
+
+    1. spill analyzed rows to per-partition run files (streams with the
+       analyzer — no sort barrier);
+    2. ONE wave of P independent tasks: build each partition's segment from
+       its runs (or an empty artifact, or skip if resumed) and emit its
+       pre-summed term-stats shards — the stats map-side re-read of
+       terms.parquet is page-cache-warm, so fusing it here removes a whole
+       extra Dataset pipeline over the index;
+    3. one small wave of S shard-reduce tasks → stats/global_stats/.
+
+    The waves are fixed-size sets of independent side-effecting tasks (each
+    writes its own artifact directory), so they run as plain ``ray.remote``
+    tasks rather than a Dataset pipeline — Dataset startup + block
+    accounting was a measurable constant floor at high parallelism, which
+    is exactly what the N→4N scaling bar punishes."""
+    import shutil
+
+    t_ph = time.perf_counter()
+    has_runs = frozenset(
+        int(d.rsplit("-", 1)[1]) for d in os.listdir(runs_dir) if d.startswith("part-")
+    )
+    num_shards = max(8, P // 8)
+    stats_runs = os.path.join(index_root, "_stats_runs")
+    shutil.rmtree(stats_runs, ignore_errors=True)
+    os.makedirs(stats_runs)
+
+    @ray.remote(num_cpus=1)
+    def build_one(pid: int) -> None:
+        import glob as _glob
+
+        if pid not in done_set:
+            if pid in has_runs:
+                from pyarrow import feather as _ft
+
+                pdir = os.path.join(runs_dir, f"part-{pid:05d}")
+                files = sorted(_glob.glob(os.path.join(pdir, "run-*.feather")))
+                group = pa.concat_tables([_ft.read_table(f) for f in files])
+                write_partition(group, pid=pid)
+            else:
+                write_partition(_empty_analyzed_table(), pid=pid)
+        _spill_partition_stats(index_root, pid, stats_runs, num_shards)
+
+    ray.get([build_one.remote(pid) for pid in range(P)])
+    shutil.rmtree(runs_dir, ignore_errors=True)
+    phases["segment_build"] = round(time.perf_counter() - t_ph, 3)
+    t_ph = time.perf_counter()
+
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir)
+
+    @ray.remote(num_cpus=1)
+    def reduce_shard(s: int) -> None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(stats_runs, f"shard-{s:04d}", "*.parquet")))
+        if not files:
+            return
+        t = pa.concat_tables([_pq.read_table(f) for f in files])
+        agg = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
+        agg = agg.rename_columns(["term", "df", "total_tf"])
+        tmp = os.path.join(stats_dir, f".shard-{s:04d}.tmp")
+        _pq.write_table(agg, tmp)
+        os.replace(tmp, os.path.join(stats_dir, f"shard-{s:04d}.parquet"))
+
+    ray.get([reduce_shard.remote(s) for s in range(num_shards)])
+    shutil.rmtree(stats_runs, ignore_errors=True)
+    phases["global_stats"] = round(time.perf_counter() - t_ph, 3)
 
 
 def append_index(
