@@ -194,6 +194,12 @@ def run_scaling():
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LSR_SKIP_TABLES="1")
+        # scaling legs use a larger corpus than the plain bench (protocol
+        # §3: sized so the LOW leg takes well over 60 s) — at the plain
+        # 200k-doc size the engine now finishes a leg in ~25 s and fixed
+        # per-worker costs (page-faulting fresh buffers, actor spin-up)
+        # dominate what the bar is meant to measure
+        env.setdefault("LSR_BENCH_DOCS", str(int(os.environ.get("LSR_SCALE_DOCS", 500_000))))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

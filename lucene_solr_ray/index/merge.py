@@ -106,7 +106,19 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
     vocab_cat = np.concatenate([r.terms for r in readers])
     merged_vocab = np.unique(vocab_cat)
 
-    tid_chunks, docid_chunks, freq_chunks = [], [], []
+    # positions survive the merge iff every input segment carries them
+    # (Lucene's SegmentMerger preserves the .pos stream; mixed inputs are a
+    # broken index state and refused loudly rather than silently dropped)
+    pos_flags = [bool(getattr(r, "has_positions", False)) for r in readers]
+    store_positions = all(pos_flags)
+    if any(pos_flags) and not store_positions:
+        raise ValueError(
+            f"partition {partition_id}: segments disagree on positions "
+            f"({dict(zip([os.path.basename(s) for s in segs], pos_flags))}) — "
+            "cannot merge without silently dropping phrase capability"
+        )
+
+    tid_chunks, docid_chunks, freq_chunks, pos_chunks = [], [], [], []
     for r, dmap in zip(readers, docmaps):
         tids, docids, freqs = _decode_all_postings(r)
         new_docids = dmap[docids]
@@ -115,6 +127,20 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
         tid_chunks.append(tid_map[tids[keep]])
         docid_chunks.append(new_docids[keep])
         freq_chunks.append(freqs[keep])
+        if store_positions:
+            # the segment's flat positions array is term-major in exactly
+            # the (tids, docids, freqs) entry order — gather the kept
+            # entries' position slices
+            flat = np.asarray(r.pos)
+            src_off = np.zeros(len(freqs) + 1, dtype=np.int64)
+            np.cumsum(freqs.astype(np.int64), out=src_off[1:])
+            kept_freqs = freqs[keep].astype(np.int64)
+            out_off = np.zeros(len(kept_freqs) + 1, dtype=np.int64)
+            np.cumsum(kept_freqs, out=out_off[1:])
+            gather = np.arange(int(out_off[-1]), dtype=np.int64) + np.repeat(
+                src_off[:-1][keep] - out_off[:-1], kept_freqs
+            )
+            pos_chunks.append(flat[gather])
     tids = np.concatenate(tid_chunks) if tid_chunks else np.empty(0, dtype=np.int64)
     docids = np.concatenate(docid_chunks) if docid_chunks else np.empty(0, dtype=np.int64)
     freqs = np.concatenate(freq_chunks) if freq_chunks else np.empty(0, dtype=np.uint32)
@@ -128,6 +154,24 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
         merged_vocab = merged_vocab[live_tids]
 
     post_order = np.lexsort((docids, tids))
+    positions_s = None
+    if store_positions:
+        # reorder the concatenated per-entry position slices into the
+        # merged (term, docid) posting order — same DocMap-style gather the
+        # fresh build uses (segment.py build_segment_at)
+        flat_cat = (
+            np.concatenate(pos_chunks) if pos_chunks else np.empty(0, dtype=np.int32)
+        )
+        f64 = freqs.astype(np.int64)
+        src_off = np.zeros(len(f64) + 1, dtype=np.int64)
+        np.cumsum(f64, out=src_off[1:])
+        ordered_freqs = f64[post_order]
+        out_off = np.zeros(len(ordered_freqs) + 1, dtype=np.int64)
+        np.cumsum(ordered_freqs, out=out_off[1:])
+        gather = np.arange(int(out_off[-1]), dtype=np.int64) + np.repeat(
+            src_off[:-1][post_order] - out_off[:-1], ordered_freqs
+        )
+        positions_s = flat_cat[gather]
     # cumulative: gens folded now ∪ gens folded by earlier merges (their
     # dirs may survive an interrupted cleanup and must stay shadowed)
     prev = read_segment_manifest(segment_dir(index_root, partition_id)) or {}
@@ -155,6 +199,7 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
             "merged_gens": gens,
             "merged_from": [os.path.basename(s) for s in segs],
         },
+        positions_s=positions_s,
     )
     # reclaim stale generation dirs (discovery ignores them if this is
     # interrupted, via merged_gens in the base manifest)

@@ -525,9 +525,18 @@ def append_index(
 
     ds = ds.map_batches(route, batch_format="pyarrow")
     conc = max(2, ncpu - 4) if ncpu > 8 else max(1, ncpu - 1)
+    # positions flag comes from the ROOT manifest: append generations on a
+    # positions-enabled index must carry positions too, or phrase queries
+    # would start failing on the appended segments (the root analyzer_hash
+    # already encodes the flag, so lineage stays consistent)
+    store_positions = bool(root.get("store_positions", False))
     ds = ds.map_batches(
         AnalyzerStage,
-        fn_constructor_kwargs={"num_partitions": P, "spec": root.get("analyzer_spec")},
+        fn_constructor_kwargs={
+            "num_partitions": P,
+            "spec": root.get("analyzer_spec"),
+            "store_positions": store_positions,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=analyzer_batch_size,
@@ -633,6 +642,7 @@ def append_index(
         {
             "analyzer_spec": root.get("analyzer_spec"),
             "lang_filter": lang,
+            "store_positions": store_positions,
             "build_wall_sec": round(time.perf_counter() - t0, 3),
             "analyzer_hash": root["analyzer_hash"],
             "input_fingerprint": root.get("input_fingerprint"),

@@ -49,11 +49,19 @@ def partition_segments(index_root: str, partition_id: int) -> List[str]:
     import glob as _glob
 
     base = segment_dir(index_root, partition_id)
+    live_base = base
+    if not os.path.exists(os.path.join(base, "manifest.json")) and os.path.exists(
+        os.path.join(base + ".old", "manifest.json")
+    ):
+        # publish crashed between rename-aside and rename-into-place: the
+        # pre-publish segment survives at .old — serve it (read-only
+        # recovery; the next successful publish cleans it up)
+        live_base = base + ".old"
     out = []
     folded = set()
-    if os.path.exists(os.path.join(base, "manifest.json")):
-        out.append(base)
-        m = read_segment_manifest(base) or {}
+    if os.path.exists(os.path.join(live_base, "manifest.json")):
+        out.append(live_base)
+        m = read_segment_manifest(live_base) or {}
         folded = set(m.get("merged_gens") or [])
     gens = []
     for d in _glob.glob(f"{base}.g*"):
@@ -113,12 +121,23 @@ def valid_segment(seg_dir: str, lineage: Dict[str, Any]) -> bool:
 
 
 def publish_segment(tmp_dir: str, final_dir: str) -> None:
-    """Atomic publish: the temp dir (manifest already inside) replaces any
-    stale final dir in one rename."""
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
+    """Crash-safe publish: the stale final dir (if any) is renamed ASIDE
+    (atomic) before the temp dir is renamed into place (atomic), then the
+    aside copy is deleted. A crash between the two renames leaves
+    ``final_dir + ".old"`` recoverable — discovery (partition_segments)
+    falls back to it — instead of losing the old segment outright, which
+    the previous rmtree-then-replace did (a merge crash in that window
+    would have silently served a partial partition)."""
     os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    old = final_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a completed earlier publish
+    had_old = os.path.exists(final_dir)
+    if had_old:
+        os.replace(final_dir, old)
     os.replace(tmp_dir, final_dir)
+    if had_old:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def write_root_manifest(index_root: str, manifest: Dict[str, Any]) -> None:

@@ -140,3 +140,44 @@ def test_split_build_matches_unsplit(ray_session, small_corpus, corpus_queries, 
     assert len(segs) == 2
     assert check_index(idx_b) == []
     assert ra.equals(_frame(search(idx_b, corpus_queries, k=10)))
+
+
+def test_positions_survive_append_and_merge(corpora, corpus_queries, tmp_path_factory):
+    """Regression: append generations and merges on a positions-enabled
+    index must carry positions (Lucene's SegmentMerger preserves the .pos
+    stream) — phrase queries stay answerable and rank/score-identical to a
+    fresh positions build over the union corpus."""
+    from lucene_solr_ray.analysis.tokenizer import tokenize_lower
+
+    a_path, b_plus_path, base = corpora
+    idx = os.path.join(base, "idx_pos")
+    build_index([a_path], idx, num_partitions=4, store_positions=True)
+    append_index([b_plus_path], idx)
+    root = read_root_manifest(idx)
+    assert root["store_positions"] is True, "append dropped the positions flag"
+
+    # phrases drawn from BOTH batches, including an updated-doc phrase
+    rows = pq.read_table(a_path).to_pylist() + pq.read_table(b_plus_path).to_pylist()
+    phrases = []
+    for r in rows[:30]:
+        toks = tokenize_lower(r["text"])
+        if len(toks) >= 5:
+            phrases.append(toks[1:3])
+        if len(phrases) == 6:
+            break
+    queries = [
+        {"query_id": i, "kind": "phrase", "terms": ph} for i, ph in enumerate(phrases)
+    ] + [{"query_id": 100, "kind": "phrase", "terms": ["updated", "fresh", "body"]}]
+
+    r_appended = _frame(search(idx, queries, k=10))
+    assert 100 in set(r_appended["query_id"]), "appended docs must answer phrases"
+
+    merge_index(idx)
+    segs = [s for pid in range(4) for s in partition_segments(idx, pid)]
+    assert all(".g" not in os.path.basename(s) for s in segs)
+    r_merged = _frame(search(idx, queries, k=10))
+
+    fresh = os.path.join(base, "idx_pos_fresh")
+    build_index([a_path, b_plus_path], fresh, num_partitions=4, store_positions=True)
+    r_fresh = _frame(search(fresh, queries, k=10))
+    assert r_merged.equals(r_fresh)
