@@ -21,7 +21,25 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_cosine_topk", "lsh_cosine_topk"]
+__all__ = ["brute_force_cosine_topk", "lsh_cosine_topk", "decode_fixed_dim"]
+
+
+def decode_fixed_dim(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy decode of a ``list<float>`` embedding column with a fixed
+    dimension into a (B, d) matrix: ``combine_chunks → flatten → reshape``
+    instead of ``to_pylist`` (which boxes every float into a Python
+    object)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    d = len(flat) // n
+    lens = np.diff(col.offsets.to_numpy())
+    if not (lens == d).all():
+        raise ValueError("embedding column is ragged — fixed dim required")
+    return flat.reshape(n, d).astype(dtype, copy=False)
 
 
 def _batch_topk_rows(sims, ids, qids, k):
@@ -69,7 +87,7 @@ def brute_force_cosine_topk(
             else query_matrix_ref
         )
         ids = batch[id_col].to_numpy()
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = decode_fixed_dim(batch[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
@@ -131,7 +149,7 @@ def lsh_cosine_topk(
         )
         qb = q_buckets(Q)  # (T, Q)
         ids = batch[id_col].to_numpy()
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = decode_fixed_dim(batch[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         matn = mat / norms[:, None]

@@ -10,18 +10,28 @@ Shuffle discipline (SURVEY.md §4): every variant reduces to ONE
 ``groupby`` on a bounded-cardinality key — exact: the content hash;
 MinHash: (band_id, band_hash) buckets; SimHash: rotated prefix buckets —
 and candidate verification happens inside the group. Signatures are
-computed batch-local (vectorized / per-actor state), so the shuffle moves
-16-64 byte signatures, not documents.
+computed batch-local fully vectorized (arrow split → polars 64-bit token
+hash → numpy rolling shingle mix → reduceat min / bit-count), so the
+shuffle moves 16-byte signatures, not documents, and no hot loop touches
+Python per token. Candidate-pair texts are fetched back by two hash JOINS
+on the pair ids — never a whole-corpus broadcast.
+
+Skew: LSH buckets are CAPPED at ``max_bucket`` members (all-pairs in a
+pathological bucket is O(n²)); overflow is counted in a ``truncated``
+diagnostic printed from the reducer, never silently dropped. Collapsing
+exact duplicates first (exact_dedup) is the standard pre-pass that keeps
+buckets small.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "add_content_hash",
@@ -31,47 +41,102 @@ __all__ = [
     "SimHashStage",
     "simhash_near_dup_pairs",
     "ngram_jaccard",
+    "token_hashes_batch",
 ]
 
-
-# ---------------------------------------------------------------- exact ----
-def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
-    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constants
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX3 = np.uint64(0x165667B19E3779F9)
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per distinct content: hash → groupby → first.
-    (groupby on the 32-hex hash: uniform, unskewed key.)"""
+def token_hashes_batch(texts: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized 64-bit token hashes for a batch of texts.
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    arrow ``utf8_split_whitespace`` → flatten → polars hash kernel (one C
+    call for every token in the batch). Returns ``(flat_hashes, offsets)``
+    with ``offsets`` of length n_docs+1 delimiting each doc's tokens."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.coalesce(texts, ""))
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    try:
+        import polars as pl
 
-    return (
-        ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-    )
-
-
-# -------------------------------------------------------------- minhash ----
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    n = max(len(toks) - k + 1, 1)
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        sh = " ".join(toks[i : i + k])
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(), "little")
+        h = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:  # pragma: no cover - polars is baked into the image
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                for t in flat.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(flat),
         )
-    return out
+    return h, offsets
+
+
+def _shingle_hashes_batch(
+    tok_h: np.ndarray, offsets: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rolling k-token shingle hashes over the flat token-hash array,
+    per-doc (shingles never cross doc boundaries). Docs shorter than k
+    collapse to ONE shingle mixing all their tokens. Returns
+    ``(flat_shingles, shingle_offsets)``."""
+    n_docs = len(offsets) - 1
+    lens = np.diff(offsets)
+    n_sh = np.maximum(lens - k + 1, 1)
+    sh_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_off[1:])
+    total = int(sh_off[-1])
+    out = np.zeros(total, dtype=np.uint64)
+
+    # vectorized rolling mix over the whole flat array: candidate shingle
+    # at flat pos p combines h[p..p+k-1] with position-weighted constants
+    T = len(tok_h)
+    if T:
+        with np.errstate(over="ignore"):
+            cand = np.zeros(T, dtype=np.uint64)
+            for j in range(k):
+                seg = np.zeros(T, dtype=np.uint64)
+                upto = T - j
+                if upto > 0:
+                    seg[:upto] = tok_h[j:]
+                cand = (cand * _MIX1) ^ (seg * _MIX2 + _MIX3)
+        # gather the valid positions per doc (first len-k+1 of each doc)
+        long_docs = lens >= k
+        if long_docs.any():
+            starts = offsets[:-1][long_docs]
+            counts = n_sh[long_docs]
+            csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rel = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(csum, counts)
+            out[np.repeat(sh_off[:-1][long_docs], counts) + rel] = cand[
+                np.repeat(starts, counts) + rel
+            ]
+        # short docs: one shingle = mix of all their tokens. reduceat runs
+        # over EVERY doc's start (so each segment is exactly one doc), then
+        # the short docs' sums are selected; empty docs are zeroed (the
+        # reduceat identity quirk at repeated indices).
+        short = ~long_docs
+        if short.any():
+            with np.errstate(over="ignore"):
+                starts_all = np.minimum(offsets[:-1], max(T - 1, 0))
+                sums_all = np.add.reduceat(tok_h * _MIX2, starts_all)
+                sums = sums_all[short]
+                sums[lens[short] == 0] = np.uint64(0)
+            out[sh_off[:-1][short]] = sums
+    return out, sh_off
 
 
 class MinHashStage:
     """Per-actor state: the (a, b) permutation coefficients, drawn once from
-    a fixed seed. Emits one row per (doc, band): (band_id, band_hash)."""
+    a fixed seed. Emits one row per (doc, band): (band_id, band_hash).
+    Fully vectorized: one polars hash over the batch's tokens, 64 universal
+    hash rows with ``minimum.reduceat`` per doc, polynomial band mixing."""
 
     MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -86,36 +151,46 @@ class MinHashStage:
         self.shingle_k = shingle_k
         self.id_col, self.text_col = id_col, text_col
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_k)
-        # (num_perm, n_shingles) universal hashing, min per row
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        """(n_docs, num_perm) MinHash signature matrix for a batch."""
+        tok_h, offsets = token_hashes_batch(texts)
+        sh, sh_off = _shingle_hashes_batch(tok_h, offsets, self.shingle_k)
+        n_docs = len(sh_off) - 1
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        if len(sh) == 0:
+            sig.fill(0)
+            return sig
+        starts = sh_off[:-1]
         with np.errstate(over="ignore"):
-            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.MERSENNE
-        return vals.min(axis=1)
+            for p in range(self.num_perm):
+                vals = (self.a[p] * sh + self.b[p]) % self.MERSENNE
+                sig[:, p] = np.minimum.reduceat(vals, starts)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in enumerate(texts):
-            sig = self.signature(t)
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_hash.append(h)
+        sig = self.signatures(batch[self.text_col])
+        n_docs = len(ids)
+        # polynomial band mix → one int64 key per (doc, band)
+        v = sig.reshape(n_docs, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n_docs, self.bands), dtype=np.uint64)
+            for r in range(self.rows_per_band):
+                bh = bh * _MIX1 + (v[:, :, r] ^ _MIX3)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+                ),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    """Exact token-k-gram Jaccard — the candidate-pair verifier."""
+    """Exact token-k-gram Jaccard — the candidate-pair verifier (runs only
+    on the few LSH candidates, inside their group)."""
     sa = set(map(tuple, zip(*[a.split()[i:] for i in range(k)]))) if len(a.split()) >= k else {tuple(a.split())}
     sb = set(map(tuple, zip(*[b.split()[i:] for i in range(k)]))) if len(b.split()) >= k else {tuple(b.split())}
     if not sa and not sb:
@@ -123,31 +198,75 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def minhash_near_dup_pairs(ds, texts_lookup_ref, threshold: float = 0.8,
-                           num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                           id_col: str = "doc_id", text_col: str = "text",
-                           concurrency=4):
-    """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard.
-
-    ``texts_lookup_ref``: ``ray.put`` of {doc_id: text} for the verify step
-    (broadcast once; at 100 TB scale this becomes a second co-partitioned
-    join on candidate ids instead — documented partitioning assumption:
-    candidates per bucket are few, texts of a candidate PAIR fit memory).
-    Returns a Dataset of (a, b, jaccard_e6) with a < b, deduplicated."""
-    import ray
-
+def _bucket_pairs_capped(id_col: str, max_bucket: int):
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[id_col].tolist()))
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        if len(ids) > max_bucket:
+            # no silent caps: a pathological bucket (mass-duplicated spam)
+            # would go O(n²) — keep the deterministic first max_bucket ids
+            # and report the truncation in worker logs
+            print(
+                f"[dedup] LSH bucket truncated: {len(ids)} members > "
+                f"cap {max_bucket} ({len(ids) - max_bucket} dropped); "
+                "run exact_dedup first to collapse identical docs"
+            )
+            ids = ids[:max_bucket]
         a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"a": a, "b": b})
+        return pd.DataFrame({"a": np.asarray(a, dtype=np.int64),
+                             "b": np.asarray(b, dtype=np.int64)})
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_lookup_ref) if not isinstance(texts_lookup_ref, dict) else texts_lookup_ref
-        jac = [ngram_jaccard(texts[x], texts[y], shingle_k) for x, y in zip(batch.a, batch.b)]
-        batch = batch.assign(jaccard_e6=[int(j * 1_000_000) for j in jac])
-        return batch[batch.jaccard_e6 >= int(threshold * 1_000_000)]
+    return bucket_pairs
+
+
+# ---------------------------------------------------------------- exact ----
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id row per distinct content: hash → groupby → first.
+    (groupby on the 32-hex hash: uniform, unskewed key. md5 is kept for
+    byte-parity with the reference's MD5Signature / the SQL oracle.)"""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, content_hash) survivors via a NATIVE hash aggregate — min(id)
+    per content hash, no per-group Python. Use when only the surviving ids
+    are needed (the common curation case)."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    agg = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return agg
+
+
+def minhash_near_dup_pairs(ds, threshold: float = 0.8,
+                           num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency=4, max_bucket: int = 128,
+                           join_partitions: int = 4):
+    """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard.
+
+    Scale shape: signatures shuffle as (band_id, band_hash) rows; buckets
+    are capped at ``max_bucket``; candidate pairs get their texts back via
+    TWO co-partitioned hash joins on the pair ids (never a whole-corpus
+    broadcast). Returns a Dataset of (a, b, jaccard_e6) with a < b."""
 
     pairs = (
         ds.map_batches(
@@ -160,53 +279,80 @@ def minhash_near_dup_pairs(ds, texts_lookup_ref, threshold: float = 0.8,
             concurrency=concurrency,
         )
         .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs_capped("doc_id", max_bucket), batch_format="pandas")
     )
     # a pair can surface from multiple bands — dedup before verifying
     uniq = pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-    return uniq.map_batches(verify, batch_format="pandas")
+
+    texts = ds.select_columns([id_col, text_col])
+    t_a = texts.map_batches(
+        lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
+    )
+    t_b = texts.map_batches(
+        lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
+    )
+    with_a = uniq.join(t_a, join_type="inner", num_partitions=join_partitions, on=("a",))
+    with_b = with_a.join(t_b, join_type="inner", num_partitions=join_partitions, on=("b",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = [
+            ngram_jaccard(x, y, shingle_k)
+            for x, y in zip(batch.text_a, batch.text_b)
+        ]
+        batch = batch.assign(jaccard_e6=[int(j * 1_000_000) for j in jac])
+        keep = batch[batch.jaccard_e6 >= int(threshold * 1_000_000)]
+        return keep[["a", "b", "jaccard_e6"]]
+
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # -------------------------------------------------------------- simhash ----
 class SimHashStage:
     """64-bit SimHash over token hashes (public Charikar scheme); one row
-    per doc: (id, simhash as uint64-in-int64)."""
+    per doc: (id, simhash as uint64-in-int64). Vectorized: batch token
+    hashes → bit matrix → ±1 contributions → add.reduceat per doc."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
 
     @staticmethod
-    def simhash64(text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
+    def simhash_batch(texts: pa.Array) -> np.ndarray:
+        tok_h, offsets = token_hashes_batch(texts)
+        n_docs = len(offsets) - 1
+        if len(tok_h) == 0:
+            return np.zeros(n_docs, dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        one = np.uint64(1)
-        for t in toks:
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            )
-            bits = (h >> shifts) & one
-            acc += np.where(bits == one, 1, -1)
-        return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        # (T, 64) ±1 contributions, summed per doc in one reduceat
+        bits = ((tok_h[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+        contrib = (bits * 2 - 1).astype(np.int32)
+        starts = np.minimum(offsets[:-1], len(tok_h) - 1)
+        acc = np.add.reduceat(contrib, starts, axis=0)
+        lens = np.diff(offsets)
+        acc[lens == 0] = 0
+        sh = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        sh[lens == 0] = 0
+        return sh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
-        sh = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
+        sh = self.simhash_batch(batch[self.text_col])
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "simhash": pa.array(np.array(sh, dtype=np.uint64).view(np.int64)),
+                "simhash": pa.array(sh.view(np.int64)),
             }
         )
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                           text_col: str = "text", n_tables: int = 4, concurrency=4):
+                           text_col: str = "text", n_tables: int = 4, concurrency=4,
+                           max_bucket: int = 256):
     """Near-dup pairs with Hamming distance <= max_hamming: bucket by each
     of ``n_tables`` 16-bit slices (pigeonhole: any pair within distance 3
-    shares at least one exact slice when split into 4), verify in-bucket."""
+    shares at least one exact slice when split into 4), verify in-bucket
+    (vectorized XOR popcount), buckets capped at ``max_bucket``."""
 
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
@@ -216,32 +362,46 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         sh = batch["simhash"].to_numpy().view(np.uint64)
-        out_id, out_tbl, out_key, out_sig = [], [], [], []
-        for t in range(n_tables):
-            key = ((sh >> np.uint64(16 * t)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_id.extend(ids.tolist())
-            out_tbl.extend([t] * len(ids))
-            out_key.extend(key.tolist())
-            out_sig.extend(sh.view(np.int64).tolist())
+        n = len(ids)
+        tbl = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        rep_ids = np.tile(ids, n_tables)
+        rep_sh = np.tile(sh, n_tables)
+        key = ((rep_sh >> (np.uint64(16) * tbl.astype(np.uint64))) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "table_id": pa.array(out_tbl, type=pa.int32()),
-                "slice_key": pa.array(out_key, type=pa.int64()),
-                "simhash": pa.array(out_sig, type=pa.int64()),
+                "doc_id": pa.array(rep_ids, type=pa.int64()),
+                "table_id": pa.array(tbl),
+                "slice_key": pa.array(key),
+                "simhash": pa.array(rep_sh.view(np.int64)),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g.doc_id, g.simhash))
-        out: List[Tuple[int, int, int]] = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming and rows[i][0] != rows[j][0]:
-                    out.append((rows[i][0], rows[j][0], d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else pd.DataFrame(
-            {"a": [], "b": [], "hamming": []}
+        rows = sorted(set(zip(g.doc_id.astype(np.int64), g.simhash.astype(np.int64))))
+        if len(rows) > max_bucket:
+            print(
+                f"[dedup] simhash bucket truncated: {len(rows)} members > "
+                f"cap {max_bucket} ({len(rows) - max_bucket} dropped)"
+            )
+            rows = rows[:max_bucket]
+        if len(rows) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        sh = np.array([r[1] for r in rows], dtype=np.int64).view(np.uint64)
+        # vectorized all-pairs XOR popcount over the (small, capped) bucket
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        for s in range(0, 64, 8):
+            ham += np.unpackbits(
+                ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)[..., None], axis=-1
+            ).sum(axis=-1, dtype=np.int64)
+        iu = np.triu_indices(len(ids), k=1)
+        d = ham[iu]
+        keep = (d <= max_hamming) & (ids[iu[0]] != ids[iu[1]])
+        return pd.DataFrame(
+            {"a": ids[iu[0]][keep], "b": ids[iu[1]][keep], "hamming": d[keep]}
         )
 
     pairs = (

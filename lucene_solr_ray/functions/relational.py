@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 __all__ = [
     "rollup", "facet_counts", "top", "unique_stream", "having",
     "inner_join", "hash_join_broadcast", "semi_join_broadcast",
+    "semi_join", "distinct", "broadcast_table",
     "collapse", "stats_component", "select_stream", "merge_union",
 ]
 
@@ -84,25 +85,75 @@ def inner_join(ds_left, ds_right, on: Sequence[str], num_partitions: int = 8):
     )
 
 
+def broadcast_table(ds, max_rows: int = 2_000_000):
+    """Materialize a SMALL dataset as one Arrow table and ``ray.put`` it
+    for broadcast probing. Hard row cap: a side that exceeds it must go
+    through the shuffle join instead — broadcasting an unbounded side is
+    the classic driver-OOM at scale."""
+    import ray
+
+    tabs, n = [], 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+        if n > max_rows:
+            raise ValueError(
+                f"broadcast side exceeds {max_rows} rows — use inner_join/"
+                "semi_join (shuffle) for this side"
+            )
+        tabs.append(b)
+    small = pa.concat_tables(tabs) if tabs else None
+    return ray.put(small)
+
+
 def hash_join_broadcast(ds, small_table_ref, on: str, select: Dict[str, str]):
     """HashJoinStream (…/io/stream/HashJoinStream.java ~300 LoC): the small
     side is read fully into memory — here broadcast via ``ray.put`` once
-    and probed per batch with a pandas merge; no shuffle of the big side.
-    ``select``: {small_col: out_name} columns to attach."""
+    (``broadcast_table``) and probed per batch with Arrow ``index_in`` +
+    ``take`` (zero pandas round-trips; the plasma get is zero-copy).
+    The small side must be unique on ``on``; ``select``:
+    {small_col: out_name} columns to attach. Inner-join semantics."""
     import ray
 
     def probe(batch: pa.Table) -> pa.Table:
-        small: pd.DataFrame = (
+        small = (
             ray.get(small_table_ref)
-            if not isinstance(small_table_ref, pd.DataFrame)
+            if not isinstance(small_table_ref, pa.Table)
             else small_table_ref
         )
-        df = batch.to_pandas()
-        right = small[[on] + list(select)].rename(columns=select)
-        out = df.merge(right, on=on, how="inner")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        if small is None:
+            return batch.slice(0, 0)
+        idx = pc.index_in(batch[on], value_set=small[on])
+        keep = idx.is_valid()
+        batch = batch.filter(keep)
+        idx = idx.filter(keep)
+        for scol, out_name in select.items():
+            batch = batch.append_column(out_name, pc.take(small[scol], idx))
+        return batch
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def semi_join(ds_left, ds_right, on: str, right_on: Optional[str] = None,
+              num_partitions: int = 8, anti: bool = False):
+    """{!join} semi-join / complement() with BOTH sides distributed: Ray's
+    native hash ``left_semi`` / ``left_anti`` join (no driver key-set —
+    the right side is unbounded at scale). Duplicate right keys don't
+    multiply rows (semi-join semantics)."""
+    return ds_left.join(
+        ds_right,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def distinct(ds, cols: Sequence[str]):
+    """Distributed DISTINCT via hash groupby (map-side pre-agg + shuffle of
+    keys only) — the dataset-native replacement for collecting a key set
+    on the driver."""
+    cols = list(cols)
+    return ds.select_columns(cols).groupby(cols).count().drop_columns(["count()"])
 
 
 def semi_join_broadcast(ds, key_set_ref, on: str, anti: bool = False):

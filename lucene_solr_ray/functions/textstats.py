@@ -60,25 +60,38 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _split_tokens(texts, pattern: str = " "):
+    """(lens, flat_tokens, doc_index) via Arrow kernels — single-space
+    split to match the SQL ``string_split(text, ' ')`` oracle exactly."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, pattern)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return lens, flat, idx
+
+
 def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-doc term statistics: n_tokens, n_unique_tokens, max term freq."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_tok = np.empty(n, dtype=np.int64)
-    n_uniq = np.empty(n, dtype=np.int64)
-    max_f = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        n_tok[i] = len(toks)
-        if toks:
-            c = Counter(toks)
-            n_uniq[i] = len(c)
-            max_f[i] = max(c.values())
-        else:
-            n_uniq[i] = 0
-            max_f[i] = 0
+    """Per-doc term statistics: n_tokens, n_unique_tokens, max term freq —
+    one Arrow group_by over the batch's (doc, token) pairs instead of a
+    Python Counter per row."""
+    n = batch.num_rows
+    lens, flat, idx = _split_tokens(batch[text_col])
+    n_uniq = np.zeros(n, dtype=np.int64)
+    max_f = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        tf = (
+            pa.table({"i": idx, "t": flat})
+            .group_by(["i", "t"])
+            .aggregate([("t", "count")])
+        )
+        per = tf.group_by("i").aggregate([("t_count", "count"), ("t_count", "max")])
+        ii = per["i"].to_numpy()
+        n_uniq[ii] = per["t_count_count"].to_numpy()
+        max_f[ii] = per["t_count_max"].to_numpy()
     return (
-        batch.append_column("n_tokens", pa.array(n_tok))
+        batch.append_column("n_tokens", pa.array(lens))
         .append_column("n_unique", pa.array(n_uniq))
         .append_column("max_freq", pa.array(max_f))
     )
@@ -128,9 +141,14 @@ class LangIdStage:
         self.profiles = {
             lang: frozenset(grams) for lang, grams in self.PROFILES.items()
         }
+        # ordered (lang, gram) pairs compiled once per actor — scoring runs
+        # as one vectorized match_substring per profile gram (few dozen C
+        # kernel calls per batch instead of a Python trigram set per row)
+        self.scored_langs = [l for l, p in self.PROFILES.items() if p]
         self.cjk = re.compile(r"[一-鿿㐀-䶿]")
 
     def detect(self, text: str) -> str:
+        """Scalar reference path (kept for tests/debug)."""
         if self.cjk.search(text):
             return "zh"
         t = f" {text.lower()} "
@@ -145,31 +163,86 @@ class LangIdStage:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.detect(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * n), pc.utf8_lower(texts), pa.array([" "] * n), ""
+        )
+        scores = np.zeros((n, len(self.scored_langs)), dtype=np.int64)
+        for j, lang in enumerate(self.scored_langs):
+            for gram in self.PROFILES[lang]:
+                scores[:, j] += pc.match_substring(padded, gram).to_numpy(
+                    zero_copy_only=False
+                )
+        best_j = scores.argmax(axis=1)
+        best_s = scores[np.arange(n), best_j]
+        langs = np.array(self.scored_langs, dtype=object)
+        preds = np.where(best_s > 0, langs[best_j], "und")
+        is_cjk = pc.match_substring_regex(texts, r"[一-鿿㐀-䶿]").to_numpy(
+            zero_copy_only=False
+        )
+        preds = np.where(is_cjk, "zh", preds)
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), type=pa.string())
+        )
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality signals (Gopher/C4-style public heuristics):
     mean word length, stopword ratio, alpha ratio, repetition ratio —
-    emitted as integer-scaled columns (x1e6) for stable comparison."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
+    integer-scaled (x1e6). Fully vectorized: Arrow split/length/is_in
+    kernels + per-doc ``add.reduceat`` + one group_by for distincts (the
+    per-character Python loop was the slowest possible inner loop for a
+    map-heavy curation stage)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    lens, flat, idx = _split_tokens(texts)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
     mean_wl = np.zeros(n, dtype=np.int64)
     stop_r = np.zeros(n, dtype=np.int64)
     alpha_r = np.zeros(n, dtype=np.int64)
     rep_r = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            continue
-        total = len(toks)
-        mean_wl[i] = int(sum(map(len, toks)) * 1_000_000 // total)
-        stop_r[i] = int(sum(w in STOPWORDS for w in toks) * 1_000_000 // total)
-        alpha_chars = sum(c.isalpha() for c in t)
-        alpha_r[i] = int(alpha_chars * 1_000_000 // max(len(t), 1))
-        c = Counter(toks)
-        rep_r[i] = int((total - len(c)) * 1_000_000 // total)
+    if len(flat):
+        tok_len = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        is_stop = (
+            pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        safe_starts = np.minimum(starts, len(flat) - 1)
+        sum_len = np.add.reduceat(tok_len, safe_starts)
+        n_stop = np.add.reduceat(is_stop, safe_starts)
+        sum_len[lens == 0] = 0
+        n_stop[lens == 0] = 0
+        uniq = np.zeros(n, dtype=np.int64)
+        per = (
+            pa.table({"i": idx, "t": flat})
+            .group_by(["i", "t"])
+            .aggregate([])
+            .group_by("i")
+            .aggregate([("i", "count")])
+        )
+        uniq[per["i"].to_numpy()] = per["i_count"].to_numpy()
+        n_chars = pc.utf8_length(texts).to_numpy().astype(np.int64)
+        n_alpha = (
+            pc.utf8_length(pc.replace_substring_regex(texts, "[^a-z]", ""))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        total = np.maximum(lens, 1)
+        mean_wl = sum_len * 1_000_000 // total
+        stop_r = n_stop * 1_000_000 // total
+        alpha_r = n_alpha * 1_000_000 // np.maximum(n_chars, 1)
+        rep_r = (lens - uniq) * 1_000_000 // total
+        zero = lens == 0
+        mean_wl[zero] = 0
+        stop_r[zero] = 0
+        rep_r[zero] = 0
     return (
         batch.append_column("mean_word_len_e6", pa.array(mean_wl))
         .append_column("stopword_ratio_e6", pa.array(stop_r))

@@ -664,15 +664,11 @@ FROM documents GROUP BY text
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by n-gram Jaccard —
-    not SQL-expressible (banding); deterministic seed, rows-only check."""
-    import pyarrow.parquet as pq
-
+    not SQL-expressible (banding); deterministic seed, rows-only check.
+    Candidate texts come back via hash joins on the pair ids (no
+    whole-corpus broadcast)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    t = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    ref = ray.put(texts)
-    out = minhash_near_dup_pairs(ds, ref, threshold=0.5, concurrency=2)
-    return out
+    return minhash_near_dup_pairs(ds, threshold=0.5, concurrency=2)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -844,10 +840,9 @@ def q_join_nation_revenue(sf_dir: str):
         on=["o_custkey"],
         num_partitions=4,
     )
-    nation = (
-        pq.read_table(os.path.join(sf_dir, "nation.parquet"))
-        .to_pandas()
-        .rename(columns={"n_nationkey": "c_nationkey"})
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nation = nation.rename_columns(
+        ["c_nationkey" if c == "n_nationkey" else c for c in nation.column_names]
     )
     small_ref = ray.put(nation)
     enriched = rel.hash_join_broadcast(
@@ -1004,18 +999,17 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 
 def q_semi_join_building(sf_dir: str):
     """{!join} semi-join: BUILDING-segment customers that have orders —
-    broadcast key-set filter, no shuffle (SURVEY.md §2.5)."""
+    Ray-native hash LEFT SEMI join, both sides distributed (SURVEY.md
+    §2.5; no driver key-set — orders is unbounded at scale)."""
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    ref = ray.put(frozenset(keys))
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     filt = cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
         batch_format="pyarrow",
     )
-    return rel.semi_join_broadcast(filt, ref, on="c_custkey").select_columns(["c_custkey"])
+    return rel.semi_join(
+        filt, orders, on="c_custkey", right_on="o_custkey"
+    ).select_columns(["c_custkey"])
 
 
 def sql_semi_join_building() -> str:
@@ -1128,23 +1122,20 @@ def q_significant_terms(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, terms = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for term in set((t or "").split(" ")):
-                if term:
-                    ids.append(d)
-                    terms.append(term)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "term": pa.array(terms, type=pa.string())})
+        # vectorized: split → flatten with repeated doc_ids → local
+        # DISTINCT (docs never span batches, so per-batch pair dedup IS
+        # global pair dedup) — all Arrow C kernels, no Python per row
+        toks = pc.split_pattern(pc.coalesce(batch["text"], ""), " ")
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ids = np.repeat(batch["doc_id"].to_numpy(), n)
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        return t.group_by(["doc_id", "term"]).aggregate([])
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
-    fg_ids = set()
-    for b in pairs.filter(expr="term == 'query'").iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        fg_ids.update(b["doc_id"].to_pylist())
-    ref = ray.put(frozenset(fg_ids))
-    fg_pairs = rel.semi_join_broadcast(pairs, ref, on="doc_id")
+    fg_ids = pairs.filter(expr="term == 'query'").select_columns(["doc_id"])
+    fg_pairs = rel.semi_join(pairs, fg_ids, on="doc_id")
     counts = (
         fg_pairs.map_batches(
             lambda t: t.filter(pc.field("term") != "query"), batch_format="pyarrow"
@@ -1205,24 +1196,30 @@ SELECT a.r_name AS r_a, b.r_name AS r_b FROM region a CROSS JOIN region b
 """
 
 
-def q_intersect_customers(sf_dir: str):
-    """intersect() stream (SURVEY.md §2.8): customers with orders in BOTH
-    1995 and 1996."""
+def _orders_custkeys_of_year(sf_dir: str, year: int):
+    """Distributed key set: custkeys with ≥1 order in ``year`` (vectorized
+    year extraction, filter pushed before the shuffle)."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
-    def year_keys(target_year):
-        keys = set()
-        for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            yrs = b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
-            keys.update(
-                int(k) for k, y in zip(b["o_custkey"].to_pylist(), yrs) if y == target_year
-            )
-        return keys
+    def filt(batch: pa.Table) -> pa.Table:
+        yrs = batch["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        return batch.filter(pa.array(yrs == year)).select(["o_custkey"])
 
-    both = year_keys(1995) & year_keys(1996)
-    ref = ray.put(frozenset(both))
+    return orders.map_batches(filt, batch_format="pyarrow")
+
+
+def q_intersect_customers(sf_dir: str):
+    """intersect() stream (SURVEY.md §2.8): customers with orders in BOTH
+    1995 and 1996 — chained native hash semi-joins, nothing on the
+    driver (the old version iterated the orders table TWICE into Python
+    sets)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    return rel.semi_join_broadcast(cust, ref, on="c_custkey")
+    in_95 = rel.semi_join(
+        cust, _orders_custkeys_of_year(sf_dir, 1995), on="c_custkey", right_on="o_custkey"
+    )
+    return rel.semi_join(
+        in_95, _orders_custkeys_of_year(sf_dir, 1996), on="c_custkey", right_on="o_custkey"
+    )
 
 
 def sql_intersect_customers() -> str:
@@ -1236,17 +1233,12 @@ SELECT c_custkey FROM customer WHERE c_custkey IN (
 
 def q_complement_customers(sf_dir: str):
     """complement() stream (SURVEY.md §2.8): customers with no 1995
-    orders — broadcast anti-join."""
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        yrs = b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
-        keys.update(
-            int(k) for k, y in zip(b["o_custkey"].to_pylist(), yrs) if y == 1995
-        )
-    ref = ray.put(frozenset(keys))
+    orders — native hash LEFT ANTI join, both sides distributed."""
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    return rel.semi_join_broadcast(cust, ref, on="c_custkey", anti=True)
+    return rel.semi_join(
+        cust, _orders_custkeys_of_year(sf_dir, 1995),
+        on="c_custkey", right_on="o_custkey", anti=True,
+    )
 
 
 def sql_complement_customers() -> str:
@@ -1261,8 +1253,12 @@ def q_fetch_enrich_orders(sf_dir: str):
     mktsegment via a BROADCAST lookup (ray.put once, probed per batch —
     the HashJoinStream analog), first 20 orders by key."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    small = cust.to_pandas().rename(columns={"c_custkey": "o_custkey"})
-    ref = ray.put(small)
+    ref = rel.broadcast_table(
+        cust.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+    )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = rel.hash_join_broadcast(
         orders, ref, on="o_custkey", select={"c_mktsegment": "mktsegment"}
@@ -1372,18 +1368,35 @@ def q_hll_distinct_custkey(sf_dir: str) -> pd.DataFrame:
 
 
 def q_percentile_totalprice(sf_dir: str):
-    """Discrete percentiles via distributed sort + index selection (the
-    PercentileAgg analog with exact quantile_disc semantics)."""
+    """Discrete percentiles via a mergeable VALUE HISTOGRAM (PercentileAgg
+    analog, exact quantile_disc semantics): per-block (value, count)
+    partials combine map-side, one small groupby-sum shuffles counts (the
+    shuffle is bounded by the value-domain cardinality — cents prices —
+    not the row count), the cumulative walk picks the quantiles. Replaces
+    the previous full distributed sort + two split_at_indices passes; for
+    unbounded continuous domains use functions/sketches.py's t-digest."""
     ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
         _cents("o_totalprice"), batch_format="pyarrow"
     ).select_columns(["o_totalprice_c"])
-    n = ds.count()
-    s = ds.sort("o_totalprice_c")
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("o_totalprice_c").aggregate([("o_totalprice_c", "count")])
+        return t.rename_columns(["o_totalprice_c", "cnt"])
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("o_totalprice_c")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("o_totalprice_c")
+    )
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    vals = hist["o_totalprice_c"].to_numpy()
+    n = int(cum[-1])
     out = {}
     for q, name in [(0.5, "p50_c"), (0.9, "p90_c")]:
-        idx = max(int(np.ceil(q * n)) - 1, 0)
-        part = s.split_at_indices([idx, idx + 1])[1]
-        out[name] = int(part.take(1)[0]["o_totalprice_c"])
+        target = max(int(np.ceil(q * n)), 1)
+        out[name] = int(vals[int(np.searchsorted(cum, target))])
     return pd.DataFrame([out]).astype(np.int64)
 
 
