@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 __all__ = [
     "rollup", "facet_counts", "top", "unique_stream", "having",
     "inner_join", "hash_join_broadcast", "semi_join_broadcast",
-    "semi_join", "distinct", "broadcast_table",
+    "semi_join", "distinct", "broadcast_table", "left_outer_join", "cursor_page",
     "collapse", "stats_component", "select_stream", "merge_union",
 ]
 
@@ -172,6 +172,44 @@ def semi_join_broadcast(ds, key_set_ref, on: str, anti: bool = False):
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def left_outer_join(ds_left, ds_right, on: str, right_on: Optional[str] = None,
+                    num_partitions: int = 8):
+    """LeftOuterJoinStream (…/io/stream/LeftOuterJoinStream.java ~150 LoC):
+    native hash left-outer join; unmatched left rows keep nulls on the
+    right columns."""
+    return ds_left.join(
+        ds_right, join_type="left_outer", num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,) if right_on else None,
+    )
+
+
+def cursor_page(ds, sort_col: str, unique_col: str, k: int,
+                cursor: Optional[tuple] = None, descending: bool = False):
+    """cursorMark deep paging (solr/core/src/java/org/apache/solr/search/
+    CursorMark.java ~300 LoC): KEYSET pagination — the cursor is the last
+    row's (sort value, unique key); the next page filters strictly past it
+    BEFORE the sort+limit, so page N costs the same as page 1 (offset
+    pagination re-sorts and discards N·k rows). The sort order is totalized
+    with the unique key, exactly like Solr requires the uniqueKey as the
+    final sort field."""
+    out = ds
+    if cursor is not None:
+        sv, uv = cursor
+
+        def past_cursor(batch: pa.Table) -> pa.Table:
+            s = batch[sort_col]
+            u = batch[unique_col]
+            if descending:
+                strict = pc.less(s, sv)
+            else:
+                strict = pc.greater(s, sv)
+            tie = pc.and_(pc.equal(s, sv), pc.greater(u, uv))
+            return batch.filter(pc.or_(strict, tie))
+
+        out = out.map_batches(past_cursor, batch_format="pyarrow")
+    return out.sort([sort_col, unique_col], descending=[descending, False]).limit(k)
 
 
 def collapse(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool]):

@@ -44,7 +44,7 @@ from ..functions.textstats import (
 )
 from ..index.segment import SegmentReader
 from ..state.manifest import read_root_manifest, segment_dir
-from .build import build_index
+from .build import append_index, build_index
 from .query import search
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
@@ -1408,6 +1408,313 @@ FROM orders
 """
 
 
+
+
+# ===================================================== multiterm queries ==
+FT_WILDCARD = "s?an"          # matches scan/span-style terms
+FT_REGEXP = "(s|p)lan|h.sh"   # full-match regexp over the vocab
+FT_FUZZY = "quer"             # within Levenshtein 2, first char pinned
+
+
+def _ft_expand_count(sf_dir: str, kind: str, pattern: str) -> pd.DataFrame:
+    """Shared body for wildcard/regexp/fuzzy cardinality: expand the
+    pattern against each segment's sorted term dictionary (multiterm.py),
+    union matching postings, count docs partition-side, sum counts
+    (SURVEY.md §2.3 AutomatonQuery ∩ term dict; constant-score rewrite)."""
+    idx = ensure_ft_index(sf_dir)
+    root = read_root_manifest(idx)
+    parts = [
+        {"seg_dir": segment_dir(idx, pid)} for pid in range(root["num_partitions"])
+    ]
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        from ..search.multiterm import expand_fuzzy, expand_regexp, expand_wildcard
+
+        total = 0
+        for seg in batch["seg_dir"].to_pylist():
+            r = SegmentReader(seg)
+            if r.num_docs == 0:
+                continue
+            if kind == "wildcard":
+                ords = expand_wildcard(r, pattern)
+            elif kind == "regexp":
+                ords = expand_regexp(r, pattern)
+            else:
+                ords = expand_fuzzy(r, pattern, max_edits=2, prefix_len=1)
+            matched = np.zeros(r.num_docs, dtype=bool)
+            for o in ords:
+                matched[r.postings(int(o)).docids] = True
+            total += int(matched.sum())
+        return pa.table({"n_docs": pa.array([total], type=pa.int64())})
+
+    ds = ray.data.from_items(parts).map_batches(count_part, batch_format="pyarrow")
+    n = int(
+        sum(
+            b["n_docs"][0].as_py()
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    )
+    return pd.DataFrame({"n_docs": [n]}).astype(np.int64)
+
+
+def q_ft_wildcard_count(sf_dir: str) -> pd.DataFrame:
+    """WildcardQuery cardinality (SURVEY.md §2.3 WildcardQuery.java):
+    literal-prefix range scan + vectorized regex over the vocab slice."""
+    return _ft_expand_count(sf_dir, "wildcard", FT_WILDCARD)
+
+
+def sql_ft_wildcard_count() -> str:
+    like = FT_WILDCARD.replace("*", "%").replace("?", "_")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE '{like}'
+"""
+
+
+def q_ft_regexp_count(sf_dir: str) -> pd.DataFrame:
+    """RegexpQuery cardinality (SURVEY.md §2.3 RegexpQuery.java): anchored
+    RE2 over the whole sorted vocab, one vectorized kernel per segment."""
+    return _ft_expand_count(sf_dir, "regexp", FT_REGEXP)
+
+
+def sql_ft_regexp_count() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+WHERE regexp_full_match(term, '{FT_REGEXP}')
+"""
+
+
+def q_ft_fuzzy_count(sf_dir: str) -> pd.DataFrame:
+    """FuzzyQuery cardinality (SURVEY.md §2.3 FuzzyQuery.java): vectorized
+    banded Levenshtein over the prefix-narrowed vocab (maxEdits=2,
+    prefixLength=1; plain Levenshtein, no transpositions — pinned by the
+    SQL levenshtein() oracle)."""
+    return _ft_expand_count(sf_dir, "fuzzy", FT_FUZZY)
+
+
+def sql_ft_fuzzy_count() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+WHERE left(term, 1) = left('{FT_FUZZY}', 1)
+  AND levenshtein(term, '{FT_FUZZY}') <= 2
+"""
+
+
+def q_ft_phrase_incremental(sf_dir: str) -> pd.DataFrame:
+    """Contract for positions surviving the FULL lifecycle: build a
+    positions index over the first half of documents, APPEND the second
+    half, forceMerge(1), then run the exact phrase count — must equal the
+    whole-corpus SQL phrase oracle (regression for the positions-dropped-
+    on-append/merge bug)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..index.merge import merge_index
+
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:posincr"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    ok = False
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            ok = root.get("input_fingerprint") == key and root.get("store_positions")
+        except Exception:
+            ok = False
+    if not ok:
+        t = pq_mod.read_table(p, columns=["doc_id"])
+        cut = int(t["doc_id"].to_numpy().max() // 2)
+        pages = _docs_as_pages(sf_dir)
+        first = pages.map_batches(
+            lambda b: b.filter(
+                pa.array(_url_to_doc_id(b["url"].to_pylist()) <= cut)
+            ),
+            batch_format="pyarrow",
+        )
+        second = _docs_as_pages(sf_dir).map_batches(
+            lambda b: b.filter(
+                pa.array(_url_to_doc_id(b["url"].to_pylist()) > cut)
+            ),
+            batch_format="pyarrow",
+        )
+        build_index(
+            [p], index_root, num_partitions=FT_PARTITIONS, lang=None,
+            dataset=first, fingerprint=key, store_positions=True, resume=False,
+        )
+        append_index([p], index_root, lang=None, dataset=second, fingerprint=key + "a")
+        merge_index(index_root)
+    res = search(
+        index_root,
+        [{"query_id": 0, "kind": "phrase", "terms": FT_PHRASE}],
+        k=10**9,
+        method="exhaustive",
+    )
+    return pd.DataFrame({"n_docs": [len(res)]}).astype(np.int64)
+
+
+def sql_ft_phrase_incremental() -> str:
+    phrase = " ".join(FT_PHRASE)
+    return f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE contains(' ' || text || ' ', ' {phrase} ')
+"""
+
+
+# ================================================ cheap surface operators ==
+def q_random_sample_orders(sf_dir: str):
+    """RandomSortField / random() sampling (SURVEY.md §2.7): deterministic
+    hash-based sample (Knuth multiplicative hash on the key < frac·2^32) so
+    the SQL oracle reproduces it exactly; ``ds.random_sample`` is the
+    non-reproducible-across-engines alternative."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < np.uint64(int(0.05 * (1 << 32)))))
+
+    return orders.map_batches(samp, batch_format="pyarrow")
+
+
+def sql_random_sample_orders() -> str:
+    return f"""
+SELECT o_orderkey FROM orders
+WHERE (o_orderkey * 2654435761) % 4294967296 < {int(0.05 * (1 << 32))}
+"""
+
+
+def q_cursor_page_orders(sf_dir: str):
+    """cursorMark deep paging: fetch page 1 (k=20) by (totalprice_c desc,
+    orderkey asc), then page 2 via the KEYSET cursor — returns page 2,
+    which must equal OFFSET 20 LIMIT 20 of the total order."""
+    def prep(sf=sf_dir):
+        return _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+            _cents("o_totalprice"), batch_format="pyarrow"
+        ).select_columns(["o_orderkey", "o_totalprice_c"])
+
+    page1 = rel.cursor_page(
+        prep(), "o_totalprice_c", "o_orderkey", k=20, descending=True
+    ).to_pandas()
+    last = page1.iloc[-1]
+    cursor = (int(last["o_totalprice_c"]), int(last["o_orderkey"]))
+    return rel.cursor_page(
+        prep(), "o_totalprice_c", "o_orderkey", k=20, cursor=cursor, descending=True
+    )
+
+
+def sql_cursor_page_orders() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT o_orderkey, {c} AS o_totalprice_c FROM orders
+ORDER BY o_totalprice_c DESC, o_orderkey ASC
+LIMIT 20 OFFSET 20
+"""
+
+
+def q_left_outer_region_nations(sf_dir: str):
+    """leftOuterJoin stream: regions left-joined to their nation count —
+    every region appears, even with zero nations (null-safe count)."""
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    joined = rel.left_outer_join(
+        region, nation, on="r_regionkey", right_on="n_regionkey"
+    )
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        has = pc.is_valid(batch["n_nationkey"]).cast(pa.int64())
+        return pa.table(
+            {"r_name": batch["r_name"], "has_nation": has}
+        )
+
+    out = joined.map_batches(agg_prep, batch_format="pyarrow").groupby(
+        "r_name"
+    ).sum("has_nation")
+    return out.map_batches(
+        lambda t: t.rename_columns(["r_name", "n_nations"]), batch_format="pyarrow"
+    )
+
+
+def sql_left_outer_region_nations() -> str:
+    return """
+SELECT r_name, count(n_nationkey) AS n_nations
+FROM region LEFT OUTER JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+def q_csv_json_loaders(sf_dir: str):
+    """JSON/CSV doc loaders (SURVEY.md §2.1 JsonLoader/CSVLoader):
+    round-trip the region table through CSV and JSON files and read both
+    back with ray.data.read_csv / read_json — the union must contain each
+    region exactly twice."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(os.path.join(sf_dir, "region.parquet"),
+                          columns=["r_regionkey", "r_name"])
+    tmpdir = os.path.join("/tmp", "lsr_loader_cache",
+                          hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    os.makedirs(tmpdir, exist_ok=True)
+    csv_path = os.path.join(tmpdir, "region.csv")
+    json_path = os.path.join(tmpdir, "region.json")
+    pacsv.write_csv(t, csv_path)
+    t.to_pandas().to_json(json_path, orient="records", lines=True)
+    csv_ds = ray.data.read_csv(csv_path)
+    json_ds = ray.data.read_json(json_path).map_batches(
+        lambda b: b.select(["r_regionkey", "r_name"]).cast(
+            pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())])
+        ),
+        batch_format="pyarrow",
+    )
+    both = csv_ds.map_batches(
+        lambda b: b.cast(pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())])),
+        batch_format="pyarrow",
+    ).union(json_ds)
+    return rel.rollup(both, ["r_regionkey", "r_name"], {"r_regionkey": ["count"]}).map_batches(
+        lambda t: t.rename_columns(["r_regionkey", "r_name", "n_copies"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_csv_json_loaders() -> str:
+    return """
+SELECT r_regionkey, r_name, 2::BIGINT AS n_copies FROM region
+"""
+
+
+def q_realtime_get(sf_dir: str):
+    """realtime get (SURVEY.md §2.10 RealTimeGetComponent): point lookups
+    of fixed urls against the live index — returns (doc_id, dl); dl must
+    equal the token count of the doc's text."""
+    from .query import realtime_get
+
+    idx = ensure_ft_index(sf_dir)
+    urls = [f"doc://{i:012d}" for i in (0, 7, 123, 456)]
+    res = realtime_get(idx, urls)
+    return pd.DataFrame(
+        {
+            "doc_id": _url_to_doc_id(res["url"]),
+            "dl": res["dl"].astype(np.int64),
+        }
+    )
+
+
+def sql_realtime_get() -> str:
+    return """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+FROM documents WHERE doc_id IN (0, 7, 123, 456)
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -1420,6 +1727,11 @@ QUERIES = {
     "ft_prefix_count": q_ft_prefix_count,
     "ft_phrase_count": q_ft_phrase_count,
     "ft_incremental_stats": q_ft_incremental_stats,
+    "ft_wildcard_count": q_ft_wildcard_count,
+    "ft_regexp_count": q_ft_regexp_count,
+    "ft_fuzzy_count": q_ft_fuzzy_count,
+    "ft_phrase_incremental": q_ft_phrase_incremental,
+    "realtime_get": q_realtime_get,
     # text analysis (§2.2 + training-data extensions)
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1457,6 +1769,10 @@ QUERIES = {
     "fetch_enrich_orders": q_fetch_enrich_orders,
     "function_scale_recip": q_function_scale_recip,
     "hll_distinct_custkey": q_hll_distinct_custkey,
+    "random_sample_orders": q_random_sample_orders,
+    "cursor_page_orders": q_cursor_page_orders,
+    "left_outer_region_nations": q_left_outer_region_nations,
+    "csv_json_loaders": q_csv_json_loaders,
 }
 
 ORACLES = {
@@ -1469,6 +1785,11 @@ ORACLES = {
     "ft_prefix_count": sql_ft_prefix_count(),
     "ft_phrase_count": sql_ft_phrase_count(),
     "ft_incremental_stats": sql_ft_incremental_stats(),
+    "ft_wildcard_count": sql_ft_wildcard_count(),
+    "ft_regexp_count": sql_ft_regexp_count(),
+    "ft_fuzzy_count": sql_ft_fuzzy_count(),
+    "ft_phrase_incremental": sql_ft_phrase_incremental(),
+    "realtime_get": sql_realtime_get(),
     "token_counts": sql_token_counts(),
     "doc_fingerprints": sql_doc_fingerprints(),
     "doc_stats": sql_doc_stats(),
@@ -1496,4 +1817,8 @@ ORACLES = {
     "complement_customers": sql_complement_customers(),
     "fetch_enrich_orders": sql_fetch_enrich_orders(),
     "function_scale_recip": sql_function_scale_recip(),
+    "random_sample_orders": sql_random_sample_orders(),
+    "cursor_page_orders": sql_cursor_page_orders(),
+    "left_outer_region_nations": sql_left_outer_region_nations(),
+    "csv_json_loaders": sql_csv_json_loaders(),
 }

@@ -30,7 +30,7 @@ from ..search.similarity import Bm25Similarity
 from ..search.topk import merge_topk_group
 from ..state.manifest import partition_segments, read_root_manifest
 
-__all__ = ["search", "prepare_search_context"]
+__all__ = ["search", "prepare_search_context", "realtime_get"]
 
 
 def prepare_search_context(
@@ -57,12 +57,18 @@ def prepare_search_context(
         t = lowercase(t)
         return chain(t) if chain is not None else t
 
+    # multi-term kinds carry PATTERNS, not terms: they bypass the filter
+    # chain (prefix/wildcard/fuzzy are lowercased like the index terms;
+    # regexp is taken verbatim — lowercasing would mangle \W-style classes)
+    _PATTERN_KINDS = ("prefix", "wildcard", "fuzzy")
     queries = [
         dict(
             q,
             terms=[nt for nt in (norm_term(t) for t in q["terms"]) if nt is not None]
-            if q.get("kind") != "prefix"
-            else [lowercase(t) for t in q["terms"]],
+            if q.get("kind") not in ("prefix", "wildcard", "regexp", "fuzzy")
+            else [lowercase(t) for t in q["terms"]]
+            if q.get("kind") in _PATTERN_KINDS
+            else list(q["terms"]),
             **(
                 {"exclude": [nt for nt in (norm_term(t) for t in q.get("exclude", ())) if nt is not None]}
                 if q.get("exclude")
@@ -136,3 +142,62 @@ def search(
     if len(df) == 0:
         return df
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def realtime_get(index_root: str, urls: List[str]):
+    """Point lookup by unique key (RealTimeGetComponent analog, reference:
+    solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java ~1,200 LoC, branch_8x; SURVEY.md §2.10).
+
+    Routes each url to its owning partition (same hash as the build
+    router), scans that partition's segments NEWEST generation first, and
+    skips tombstoned docs — so an updated url resolves to its live
+    version. A point-lookup API: k ≪ N, runs driver-side against the
+    docmap parquet (url-sorted, binary-searched); returns a DataFrame of
+    (url, partition_id, local_docid, dl) for found urls, input order.
+    """
+    import bisect
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from ..index.partitioner import part_keys
+    from ..state.manifest import partition_segments, read_root_manifest
+
+    root = read_root_manifest(index_root)
+    P = root["num_partitions"]
+    pks = part_keys(list(urls), P)
+    rows = []
+    dm_cache: Dict[str, tuple] = {}
+    for url, pid in zip(urls, pks):
+        for seg in reversed(partition_segments(index_root, int(pid))):
+            ent = dm_cache.get(seg)
+            if ent is None:
+                dm = _pq.read_table(
+                    os.path.join(seg, "docmap.parquet"), columns=["local_docid", "url"]
+                )
+                nn = _pq.read_table(os.path.join(seg, "norms.parquet"), columns=["dl"])
+                dpath = os.path.join(seg, "deletes.parquet")
+                dead = (
+                    set(_pq.read_table(dpath)["local_docid"].to_pylist())
+                    if os.path.exists(dpath)
+                    else frozenset()
+                )
+                ent = dm_cache[seg] = (
+                    dm["url"].to_pylist(),
+                    dm["local_docid"].to_numpy(),
+                    nn["dl"].to_numpy(),
+                    dead,
+                )
+            seg_urls, ids, dls, dead = ent
+            i = bisect.bisect_left(seg_urls, url)
+            if i < len(seg_urls) and seg_urls[i] == url:
+                d = int(ids[i])
+                if d in dead:
+                    continue  # tombstoned here; a newer generation owns it
+                rows.append(
+                    {"url": url, "partition_id": int(pid), "local_docid": d,
+                     "dl": int(dls[i])}
+                )
+                break
+    return pd.DataFrame(rows, columns=["url", "partition_id", "local_docid", "dl"])

@@ -121,11 +121,31 @@ class OracleIndex:
                     ni = self.cache[self.norm_bytes[d]]
                     doc_scores[d] = F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
                     cands.append(d)
-        elif kind == "prefix":
+        elif kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+            import re as _re
+
             docs = set()
             for p in terms:
+                if kind == "prefix":
+                    pred = lambda t, p=p: t.startswith(p)
+                elif kind == "wildcard":
+                    from .multiterm import wildcard_to_regex
+
+                    rx = _re.compile(wildcard_to_regex(p)[1])
+                    pred = lambda t, rx=rx: rx.match(t) is not None
+                elif kind == "regexp":
+                    rx = _re.compile(f"^(?:{p})$")
+                    pred = lambda t, rx=rx: rx.match(t) is not None
+                else:
+                    from .multiterm import levenshtein_batch
+                    import numpy as _np
+
+                    pred = lambda t, p=p: (
+                        t[:1] == p[:1]
+                        and int(levenshtein_batch(_np.array([t], dtype=object), p)[0]) <= 2
+                    )
                 for t, plist in self.postings.items():
-                    if t.startswith(p):
+                    if pred(t):
                         docs.update(d for d, _ in plist)
             doc_scores: Dict[int, F32] = {d: F32(1.0) for d in docs}
             cands = list(docs)

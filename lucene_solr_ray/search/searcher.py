@@ -77,12 +77,25 @@ def score_query_exhaustive(
       before top-k selection.
     """
     n_docs = reader.num_docs
-    if kind == "prefix":
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        # multi-term expansion against the sorted term dictionary with
+        # CONSTANT_SCORE_REWRITE (reference MultiTermQuery semantics;
+        # wildcard/regexp/fuzzy expansion in multiterm.py)
+        from .multiterm import expand_fuzzy, expand_regexp, expand_wildcard
+
         matched = np.zeros(n_docs, dtype=bool)
-        for prefix in terms:
-            lo, hi = reader.prefix_range(prefix)
-            for o in range(lo, hi):
-                matched[reader.postings(o).docids] = True
+        for pat in terms:
+            if kind == "prefix":
+                lo, hi = reader.prefix_range(pat)
+                ords = range(lo, hi)
+            elif kind == "wildcard":
+                ords = expand_wildcard(reader, pat)
+            elif kind == "regexp":
+                ords = expand_regexp(reader, pat)
+            else:
+                ords = expand_fuzzy(reader, pat, max_edits=2, prefix_len=1)
+            for o in ords:
+                matched[reader.postings(int(o)).docids] = True
         cand = np.nonzero(matched)[0]
         scores_c = np.ones(len(cand), dtype=np.float32)
     else:
@@ -302,7 +315,7 @@ class SearcherStage:
             cache = {}
             # positive terms first (they need contributions), then excludes
             for q in self.queries:
-                if q["kind"] == "prefix":
+                if q["kind"] in ("prefix", "wildcard", "regexp", "fuzzy"):
                     continue
                 for term in q["terms"]:
                     if term in cache:
@@ -356,7 +369,9 @@ class SearcherStage:
                         reader, q["terms"], q["kind"], self.weights,
                         self.cache_inv, self.sim, self.k,
                     )
-                elif tcache is not None and q["kind"] != "prefix":
+                elif tcache is not None and q["kind"] not in (
+                    "prefix", "wildcard", "regexp", "fuzzy"
+                ):
                     docids, scores = _score_query_cached(
                         reader, q["terms"], q["kind"], tcache, self.k,
                         exclude=exclude, min_should_match=msm,

@@ -237,3 +237,32 @@ def test_phrase_query(ray_session, small_corpus, corpus_queries, tmp_path_factor
     build_index(small_corpus, no_pos, num_partitions=1)
     with _pytest.raises(Exception, match="positions"):
         search(no_pos, queries[:1], k=10)
+
+
+def test_multiterm_kinds(built_indexes, small_corpus):
+    """Wildcard/Regexp/Fuzzy constant-score expansion vs the pure-Python
+    oracle, and P=1 == P=4 (SURVEY.md §2.3 AutomatonQuery family)."""
+    idx1, idx4 = built_indexes
+    queries = [
+        {"query_id": 0, "kind": "wildcard", "terms": ["w0*"]},
+        {"query_id": 1, "kind": "wildcard", "terms": ["w?0001?"]},
+        {"query_id": 2, "kind": "regexp", "terms": ["w0+1.*"]},
+        {"query_id": 3, "kind": "fuzzy", "terms": ["w000001"]},
+        {"query_id": 4, "kind": "wildcard", "terms": ["zzz*nope"]},
+    ]
+    r1 = search(idx1, queries, k=20)
+    r4 = search(idx4, queries, k=20)
+    assert _frame(r1).equals(_frame(r4))
+    rows = []
+    for p in small_corpus:
+        rows.extend(pq.read_table(p).to_pylist())
+    oracle = OracleIndex(rows)
+    got = _frame(r4)
+    exp = oracle.search(queries, k=20)
+    assert len(got) > 0
+    assert got[["query_id", "rank", "url"]].reset_index(drop=True).equals(
+        exp[["query_id", "rank", "url"]].astype(
+            {"query_id": got["query_id"].dtype, "rank": got["rank"].dtype}
+        )
+    )
+    assert 4 not in set(got["query_id"])
