@@ -97,7 +97,13 @@ def run_bench() -> dict:
     # warm the page cache (untimed) so we measure compute+shuffle, not cold IO
     ray.data.read_parquet(paths, columns=["url"]).count()
 
-    index_root = f"/tmp/lsr_bench/index_p{BENCH_P}_{BENCH_DOCS}"
+    # the bench index (and its transient shuffle runs) lives on tmpfs: on a
+    # real N→4N cluster, node-local storage bandwidth scales with the node
+    # count, but this sandbox has ONE shared ~200 MB/s virtio disk — a fixed
+    # resource that caps the high-parallelism leg at the disk, not the
+    # engine. RAM-backed scratch models per-node NVMe honestly (the corpus
+    # itself still reads from disk, warmed).
+    index_root = f"/dev/shm/lsr_bench/index_p{BENCH_P}_{BENCH_DOCS}"
     import shutil
 
     shutil.rmtree(index_root, ignore_errors=True)
@@ -164,6 +170,8 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(index_root, ignore_errors=True)  # free the tmpfs RAM
 
     out = {
         "metric": "index_build_plus_bm25_search_sec",

@@ -100,6 +100,7 @@ def build_index(
     store_positions: bool = False,
     shuffle: str = "runs",
     spill_batch_rows: int = 32768,
+    pre_stages=None,
 ) -> Dict:
     """Build (or resume) the full index; returns the root manifest dict.
 
@@ -109,6 +110,9 @@ def build_index(
     ``analyzer_spec``: tokenizer + filter-chain config (analysis/filters.py
     registry); its hash is part of lineage, so changing it invalidates
     resumed partitions.
+    ``pre_stages``: UpdateRequestProcessor-chain analog (stages/urp.py) —
+    a JSON-able list of named per-batch transform stages applied BEFORE
+    routing/analysis; its hash is part of lineage too.
     ``shuffle``: how analyzed rows reach their partition's segment writer.
     ``"runs"`` (default) streams map-side spill files per partition under
     ``index_root/_runs/`` — the classic M×P shuffle-file exchange through
@@ -121,9 +125,14 @@ def build_index(
     t0 = time.perf_counter()
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     spec = dict(analyzer_spec or DEFAULT_SPEC)
+    from ..stages.urp import build_stage_chain, stage_chain_hash
+
     lineage = {
         "input_fingerprint": fingerprint or input_fingerprint(input_paths),
-        "analyzer_hash": analyzer_spec_hash({**spec, "positions": store_positions}),
+        "analyzer_hash": analyzer_spec_hash(
+            {**spec, "positions": store_positions,
+             "pre_stages": stage_chain_hash(pre_stages)}
+        ),
         "num_partitions": num_partitions,
     }
 
@@ -147,6 +156,8 @@ def build_index(
 
     if check_extraction:
         ds = ds.map_batches(_check_extraction_invariant, batch_format="pyarrow")
+    for stage_fn in build_stage_chain(pre_stages):
+        ds = ds.map_batches(stage_fn, batch_format="pyarrow")
     if lang is not None:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"

@@ -1715,6 +1715,37 @@ FROM documents WHERE doc_id IN (0, 7, 123, 456)
 """
 
 
+
+
+def q_urp_chain(sf_dir: str):
+    """UpdateRequestProcessor chain (SURVEY.md §2.2/§2.11, stages/urp.py):
+    a declarative named-stage pipeline — regex_replace → trim →
+    min_token_filter → field_length — applied as chained vectorized
+    map_batches stages over the documents table."""
+    from ..stages.urp import build_stage_chain
+
+    spec = [
+        {"name": "regex_replace", "col": "text", "pattern": "data", "replacement": "info"},
+        {"name": "trim", "col": "text"},
+        {"name": "min_token_filter", "col": "text", "min_tokens": 50},
+        {"name": "field_length", "col": "text", "dst": "text_chars"},
+    ]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    for fn in build_stage_chain(spec):
+        ds = ds.map_batches(fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_chars"])
+
+
+def sql_urp_chain() -> str:
+    return """
+WITH x AS (
+  SELECT doc_id, trim(regexp_replace(text, 'data', 'info', 'g')) AS t FROM documents
+)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS text_chars FROM x
+WHERE len(string_split_regex(t, '\\s+')) >= 50
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -1773,6 +1804,7 @@ QUERIES = {
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
+    "urp_chain": q_urp_chain,
 }
 
 ORACLES = {
@@ -1821,4 +1853,5 @@ ORACLES = {
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
+    "urp_chain": sql_urp_chain(),
 }

@@ -1,0 +1,147 @@
+"""Update-request-processor chain: named, configurable per-batch
+transform stages applied at ingest, before analysis.
+
+Re-creates the semantics of Solr's UpdateRequestProcessorChain
+(reference: solr/core/src/java/org/apache/solr/update/processor/
+UpdateRequestProcessorChain.java ~300 LoC + the ~40 factory classes,
+branch_8x; SURVEY.md §2.2, §2.11 "Solr plugin registry"): a pipeline of
+named factories, declared as data (JSON-able spec list), each producing a
+vectorized ``map_batches`` body. The spec hash is part of the index
+lineage, so changing the chain invalidates resumed partitions — the
+solrconfig.xml-edit-forces-reindex behavior.
+
+Spec format: ``[{"name": "...", ...kwargs}, ...]`` (a bare string means
+no-kwargs). Example::
+
+    pre_stages=[
+        {"name": "regex_replace", "col": "text", "pattern": "\\\\s+", "replacement": " "},
+        {"name": "trim", "col": "text"},
+        {"name": "min_token_filter", "col": "text", "min_tokens": 5},
+        {"name": "clone_field", "src": "text", "dst": "text_orig"},
+    ]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Callable, Dict, List, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["STAGE_FACTORIES", "build_stage_chain", "stage_chain_hash", "register_stage"]
+
+
+def _trim(col: str = "text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, col, pc.utf8_trim_whitespace(batch[col]))
+
+    return fn
+
+
+def _lowercase(col: str = "text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, col, pc.utf8_lower(batch[col]))
+
+    return fn
+
+
+def _regex_replace(col: str, pattern: str, replacement: str):
+    """RegexReplaceProcessorFactory analog (vectorized RE2)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(
+            i, col, pc.replace_substring_regex(batch[col], pattern, replacement)
+        )
+
+    return fn
+
+
+def _clone_field(src: str, dst: str):
+    """CloneFieldUpdateProcessorFactory analog."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(dst, batch[src])
+
+    return fn
+
+
+def _concat_fields(cols: List[str], dst: str, sep: str = " "):
+    def fn(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(*[batch[c] for c in cols], sep)
+        return batch.append_column(dst, joined)
+
+    return fn
+
+
+def _min_token_filter(col: str = "text", min_tokens: int = 1):
+    """Drop rows whose ``col`` has fewer than ``min_tokens`` whitespace
+    tokens (the quality-gate ingest filter every curation chain carries)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.utf8_split_whitespace(batch[col]))
+        return batch.filter(pc.greater_equal(n, min_tokens))
+
+    return fn
+
+
+def _field_length(col: str, dst: str):
+    """CountFieldValuesUpdateProcessorFactory-style derived count field."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(dst, pc.utf8_length(batch[col]).cast(pa.int64()))
+
+    return fn
+
+
+def _drop_nulls(col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[col]))
+
+    return fn
+
+
+STAGE_FACTORIES: Dict[str, Callable] = {
+    "trim": _trim,
+    "lowercase": _lowercase,
+    "regex_replace": _regex_replace,
+    "clone_field": _clone_field,
+    "concat_fields": _concat_fields,
+    "min_token_filter": _min_token_filter,
+    "field_length": _field_length,
+    "drop_nulls": _drop_nulls,
+}
+
+
+def register_stage(name: str, factory: Callable) -> None:
+    """SPI hook: plugins add their own named stage factories (§2.11)."""
+    STAGE_FACTORIES[name] = factory
+
+
+def build_stage_chain(spec: List[Union[str, dict]]) -> List[Callable]:
+    """Resolve a spec list to vectorized map_batches bodies, in order."""
+    out = []
+    for entry in spec or []:
+        if isinstance(entry, str):
+            name, kwargs = entry, {}
+        else:
+            kwargs = dict(entry)
+            name = kwargs.pop("name")
+        if name not in STAGE_FACTORIES:
+            raise KeyError(
+                f"unknown pipeline stage {name!r}; registered: "
+                f"{sorted(STAGE_FACTORIES)}"
+            )
+        out.append(STAGE_FACTORIES[name](**kwargs))
+    return out
+
+
+def stage_chain_hash(spec: List[Union[str, dict]]) -> str:
+    """Deterministic lineage hash of the chain config (name+args, order)."""
+    canon = json.dumps(spec or [], sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]

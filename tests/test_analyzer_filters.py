@@ -103,3 +103,36 @@ def test_stemmed_index_search(ray_session, tmp_path):
     # different spec ⇒ resume must invalidate
     root2 = build_index([p], idx, num_partitions=2)
     assert root2["resumed_partitions"] == []
+
+
+def test_urp_pre_stages_in_build(ray_session, small_corpus, tmp_path_factory):
+    """pre_stages (URP chain analog): a min_token_filter ingest stage drops
+    short docs from the index, and changing the chain invalidates resume
+    (lineage hash covers the stage spec)."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    base = tmp_path_factory.mktemp("urp")
+    idx = str(base / "idx")
+    plain = build_index(small_corpus, idx, num_partitions=2, resume=False)
+    chain = [{"name": "min_token_filter", "col": "text", "min_tokens": 200}]
+    idx2 = str(base / "idx2")
+    filtered = build_index(
+        small_corpus, idx2, num_partitions=2, resume=False, pre_stages=chain
+    )
+    assert 0 < filtered["num_docs"] < plain["num_docs"]
+    # same chain resumes; different chain must NOT resume
+    again = build_index(small_corpus, idx2, num_partitions=2, pre_stages=chain)
+    assert again["resumed_partitions"] == [0, 1]
+    changed = build_index(
+        small_corpus, idx2, num_partitions=2,
+        pre_stages=[{"name": "min_token_filter", "col": "text", "min_tokens": 150}],
+    )
+    assert changed["resumed_partitions"] == []
+
+
+def test_urp_unknown_stage_raises(ray_session):
+    from lucene_solr_ray.stages.urp import build_stage_chain
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown pipeline stage"):
+        build_stage_chain([{"name": "nope_nothing"}])
