@@ -64,12 +64,36 @@ def _build_truncate(args: dict) -> Callable[[str], Optional[str]]:
     return lambda t: t[:n]
 
 
+def _build_synonym(args: dict):
+    """SynonymGraphFilter analog (reference: lucene/analysis/common/.../
+    synonym/SynonymGraphFilter.java, branch_8x), single-token synonyms,
+    expand=true semantics: every member of a group maps to ALL members
+    (emitted at the same position — posIncr 0 — so expansion terms do not
+    count toward doc length, matching discountOverlaps=true). Returns a
+    LIST from the filter, which the vocabulary-wise applier expands.
+    ``args``: {"groups": [[...], ...]} equivalence classes and/or
+    {"map": {term: [replacements...]}} one-way rules."""
+    table: Dict[str, List[str]] = {}
+    for group in args.get("groups", ()):
+        members = list(dict.fromkeys(group))
+        for m in members:
+            table[m] = members
+    for src, dst in (args.get("map") or {}).items():
+        table[src] = list(dst) if isinstance(dst, (list, tuple)) else [dst]
+
+    def fn(t: str):
+        return table.get(t, t)
+
+    return fn
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "stop": _build_stop,
     "porter_stem": _build_porter,
     "ascii_folding": lambda args: _ascii_fold,
     "length": _build_length,
     "truncate": _build_truncate,
+    "synonym": _build_synonym,
 }
 
 
@@ -95,11 +119,23 @@ def build_filter_chain(spec_filters: List) -> Optional[Callable[[str], Optional[
     if not fns:
         return None
 
-    def chain(token: str) -> Optional[str]:
+    def chain(token: str):
+        """token -> None (dropped) | str | list[str] (synonym expansion).
+        A list fans the remaining stages out over every expansion."""
+        out = [token]
         for fn in fns:
-            token = fn(token)
-            if token is None or token == "":
+            nxt: List[str] = []
+            for t in out:
+                r = fn(t)
+                if r is None or r == "":
+                    continue
+                if isinstance(r, list):
+                    nxt.extend(x for x in r if x)
+                else:
+                    nxt.append(r)
+            out = list(dict.fromkeys(nxt))  # stable-dedup across expansions
+            if not out:
                 return None
-        return token
+        return out[0] if len(out) == 1 else out
 
     return chain

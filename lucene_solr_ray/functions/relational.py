@@ -26,6 +26,7 @@ __all__ = [
     "rollup", "facet_counts", "top", "unique_stream", "having",
     "inner_join", "hash_join_broadcast", "semi_join_broadcast",
     "semi_join", "distinct", "broadcast_table", "left_outer_join", "cursor_page",
+    "score_join", "block_join_parents", "graph_traverse",
     "collapse", "stats_component", "select_stream", "merge_union",
 ]
 
@@ -257,3 +258,78 @@ def merge_union(ds_a, ds_b, sort_keys: Optional[Sequence[str]] = None,
     if sort_keys:
         u = u.sort(list(sort_keys), descending=list(descending or [False] * len(sort_keys)))
     return u
+
+
+def score_join(ds_from, ds_to, from_key: str, to_key: str, score_col: str,
+               mode: str = "max", num_partitions: int = 8):
+    """Score join (reference: lucene/join/src/java/org/apache/lucene/search/
+    join/JoinUtil.java ~450 LoC, branch_8x; SURVEY.md §2.5): join the "to"
+    side to the "from" side's per-key aggregated score (ScoreMode
+    Max/Total/Avg → max/sum/mean). The global-ordinal machinery becomes a
+    hash groupby on the join key + a hash join — same co-location, no
+    ordinal map."""
+    from ray.data.aggregate import Max, Mean, Sum
+
+    agg = {"max": Max, "sum": Sum, "avg": Mean}[mode](
+        score_col, alias_name=f"{mode}_{score_col}"
+    )
+    scored = ds_from.groupby(from_key).aggregate(agg)
+    return ds_to.join(
+        scored, join_type="inner", num_partitions=num_partitions,
+        on=(to_key,), right_on=(from_key,),
+    )
+
+
+def block_join_parents(ds_children, child_parent_key: str, parent_pred_fn,
+                       score_col: str = None, mode: str = "max",
+                       num_partitions: int = 8):
+    """ToParentBlockJoinQuery analog (reference: lucene/join/.../
+    ToParentBlockJoinQuery.java ~400 LoC; SURVEY.md §2.5): parents with at
+    least one child matching the predicate, optionally scored by the
+    children (max/sum). Lucene relies on index-contiguous doc blocks; here
+    parent-key hash co-location replaces contiguity: filter children →
+    groupby(parent key) aggregate — returns (parent_key[, score]) rows."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    matched = ds_children.map_batches(
+        lambda t: t.filter(parent_pred_fn(t)), batch_format="pyarrow"
+    )
+    if score_col is None:
+        return matched.groupby(child_parent_key).aggregate(
+            Count(alias_name="n_children")
+        )
+    agg = {"max": Max, "sum": Sum}[mode](score_col, alias_name=f"{mode}_{score_col}")
+    return matched.groupby(child_parent_key).aggregate(agg)
+
+
+def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
+                   max_hops: int = 2, num_partitions: int = 4):
+    """{!graph} traversal (reference: solr/core/src/java/org/apache/solr/
+    search/join/GraphQuery.java ~350 LoC; SURVEY.md §2.5): iterative
+    frontier expansion — each hop is one distributed semi-join of the edge
+    table against the current frontier, then a distinct on the far column.
+    ``edges_ds_fn`` is a zero-arg factory returning a fresh edges Dataset
+    (each hop re-reads; at scale the edges would be a cached/materialized
+    Dataset). The driver holds only hop COUNTERS, never key sets — the
+    frontier stays a Dataset. Returns the distinct reachable ``to_col``
+    keys (including the start hop's targets)."""
+    import ray.data as _rd
+
+    frontier = None  # Dataset of (from_col) keys
+    start = _rd.from_items([{from_col: k} for k in start_keys])
+    frontier = start
+    reachable = None
+    for _ in range(max_hops):
+        edges = edges_ds_fn()
+        hop = semi_join(
+            edges, frontier, on=from_col, num_partitions=num_partitions
+        )
+        targets = distinct(hop, [to_col])
+        reachable = targets if reachable is None else distinct(
+            reachable.union(targets), [to_col]
+        )
+        # next frontier: the targets become sources
+        frontier = targets.map_batches(
+            lambda t: t.rename_columns([from_col]), batch_format="pyarrow"
+        )
+    return reachable

@@ -1,0 +1,254 @@
+"""Function-query scalar registry: per-row value sources compiled from a
+declarative spec to vectorized Arrow/numpy kernels.
+
+Re-creates the registry shape and semantics of Solr's ValueSourceParser
+(reference: solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+~1,600 LoC registering ~80 parsers, branch_8x; SURVEY.md §2.9): a function
+query is a TREE of named functions over fields and literals. Here a spec
+is a JSON-able nested list ``[name, arg0, arg1, ...]`` where args are
+specs, field names (strings), or numeric literals — compiled once into a
+closure that evaluates per batch with numpy (float64, Solr's evaluation
+dtype).
+
+Implemented (names follow the reference):
+arithmetic  sum sub product div mod abs log sqrt pow neg
+rounding    floor ceil rint
+min/max     min max
+scaling     scale(x, lo, hi) [two-pass: needs precomputed stats]
+            recip(x, m, a, b)  map(x, lo, hi, target)
+            linear(x, m, c)
+conditional if(test, a, b)  exists(field)  not(x)  and(...)  or(...)
+            def(field, fallback)
+comparison  gt gte lt lte eq
+string      strdist(a, b, "levenshtein"|"ngram")  [on string fields]
+date        ms(field)  (epoch millis of a timestamp field)
+
+``compile_value_source(spec, stats=None)`` → ``fn(batch: pa.Table) ->
+np.ndarray``. ``scale`` needs the field's global (min, max) in ``stats``
+(the two-pass shape — Solr computes it from field caches at request
+time; distributed engines aggregate first)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["compile_value_source", "FUNCTIONS", "register_function"]
+
+
+def _num(batch: pa.Table, col: str) -> np.ndarray:
+    a = batch[col]
+    if pa.types.is_timestamp(a.type):
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    return a.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _compile_arg(arg, stats):
+    if isinstance(arg, (int, float)):
+        v = float(arg)
+        return lambda batch, v=v: v
+    if isinstance(arg, str):
+        return lambda batch, c=arg: _num(batch, c)
+    return compile_value_source(arg, stats)
+
+
+def _nary(op):
+    def build(stats, *args):
+        fns = [_compile_arg(a, stats) for a in args]
+
+        def fn(batch):
+            out = fns[0](batch)
+            for f in fns[1:]:
+                out = op(out, f(batch))
+            return out
+
+        return fn
+
+    return build
+
+
+def _unary(op):
+    def build(stats, x):
+        f = _compile_arg(x, stats)
+        return lambda batch: op(f(batch))
+
+    return build
+
+
+def _binary(op):
+    def build(stats, a, b):
+        fa, fb = _compile_arg(a, stats), _compile_arg(b, stats)
+        return lambda batch: op(fa(batch), fb(batch))
+
+    return build
+
+
+def _build_scale(stats, x, lo, hi):
+    """scale(x, lo, hi): min-max rescale using the field's GLOBAL min/max
+    (pass them via ``stats={"min_<expr>": .., "max_<expr>": ..}`` keyed by
+    the field name, or ``stats={"min": .., "max": ..}``)."""
+    f = _compile_arg(x, stats)
+    key = x if isinstance(x, str) else ""
+    mn = stats.get(f"min_{key}", stats.get("min"))
+    mx = stats.get(f"max_{key}", stats.get("max"))
+    if mn is None or mx is None:
+        raise ValueError("scale() needs global min/max in stats (two-pass)")
+    lo_f, hi_f = float(lo), float(hi)
+    span = float(mx) - float(mn) or 1.0
+
+    def fn(batch):
+        return lo_f + (f(batch) - float(mn)) * (hi_f - lo_f) / span
+
+    return fn
+
+
+def _build_recip(stats, x, m, a, b):
+    f = _compile_arg(x, stats)
+    m, a, b = float(m), float(a), float(b)
+    return lambda batch: a / (m * f(batch) + b)
+
+
+def _build_map(stats, x, lo, hi, target, default=None):
+    f = _compile_arg(x, stats)
+    lo, hi, target = float(lo), float(hi), float(target)
+
+    def fn(batch):
+        v = f(batch)
+        inside = (v >= lo) & (v <= hi)
+        other = v if default is None else float(default)
+        return np.where(inside, target, other)
+
+    return fn
+
+
+def _build_linear(stats, x, m, c):
+    f = _compile_arg(x, stats)
+    m, c = float(m), float(c)
+    return lambda batch: m * f(batch) + c
+
+
+def _build_if(stats, test, a, b):
+    ft, fa, fb = (_compile_arg(s, stats) for s in (test, a, b))
+    return lambda batch: np.where(ft(batch) != 0, fa(batch), fb(batch))
+
+
+def _build_exists(stats, field):
+    return lambda batch: pc.is_valid(batch[field]).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+
+
+def _build_def(stats, field, fallback):
+    fb = _compile_arg(fallback, stats)
+
+    def fn(batch):
+        valid = pc.is_valid(batch[field]).to_numpy(zero_copy_only=False)
+        vals = batch[field].fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.where(valid, vals, fb(batch))
+
+    return fn
+
+
+def _build_strdist(stats, a, b, measure="levenshtein"):
+    """strdist(field_or_literal, field_or_literal, measure): similarity in
+    [0,1] like Solr's StringDistanceFunction (levenshtein: 1 − dist/maxlen;
+    ngram: bigram overlap)."""
+
+    def getter(arg):
+        if isinstance(arg, str):
+            def g(batch, c=arg):
+                if c in batch.column_names:
+                    return batch[c].to_pylist()
+                return [c] * batch.num_rows
+            return g
+        raise TypeError("strdist args must be field names or string literals")
+
+    ga, gb = getter(a), getter(b)
+
+    def fn(batch):
+        from ..search.multiterm import levenshtein_batch
+
+        xs, ys = ga(batch), gb(batch)
+        out = np.empty(len(xs), dtype=np.float64)
+        if measure == "levenshtein":
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                mx = max(len(x), len(y)) or 1
+                d = int(levenshtein_batch(np.array([x], dtype=object), y)[0])
+                out[i] = 1.0 - d / mx
+        else:  # ngram (bigram Dice-style overlap, public measure)
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                sa = {x[j : j + 2] for j in range(max(len(x) - 1, 1))}
+                sb = {y[j : j + 2] for j in range(max(len(y) - 1, 1))}
+                out[i] = 2 * len(sa & sb) / max(len(sa) + len(sb), 1)
+        return out
+
+    return fn
+
+
+def _build_ms(stats, field):
+    def fn(batch):
+        a = batch[field]
+        if pa.types.is_timestamp(a.type):
+            us = a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return (us // 1000).astype(np.float64)
+        return _num(batch, field)
+
+    return fn
+
+
+FUNCTIONS: Dict[str, Callable] = {
+    "sum": _nary(np.add),
+    "sub": _binary(np.subtract),
+    "product": _nary(np.multiply),
+    "div": _binary(np.divide),
+    "mod": _binary(np.mod),
+    "abs": _unary(np.abs),
+    "log": _unary(np.log10),   # Solr's log() is base 10
+    "ln": _unary(np.log),
+    "sqrt": _unary(np.sqrt),
+    "pow": _binary(np.power),
+    "neg": _unary(np.negative),
+    "floor": _unary(np.floor),
+    "ceil": _unary(np.ceil),
+    "rint": _unary(np.rint),
+    "min": _nary(np.minimum),
+    "max": _nary(np.maximum),
+    "gt": _binary(lambda a, b: (a > b).astype(np.float64)),
+    "gte": _binary(lambda a, b: (a >= b).astype(np.float64)),
+    "lt": _binary(lambda a, b: (a < b).astype(np.float64)),
+    "lte": _binary(lambda a, b: (a <= b).astype(np.float64)),
+    "eq": _binary(lambda a, b: (a == b).astype(np.float64)),
+    "not": _unary(lambda a: (a == 0).astype(np.float64)),
+    "and": _nary(lambda a, b: ((a != 0) & (b != 0)).astype(np.float64)),
+    "or": _nary(lambda a, b: ((a != 0) | (b != 0)).astype(np.float64)),
+    "if": _build_if,
+    "exists": _build_exists,
+    "def": _build_def,
+    "scale": _build_scale,
+    "recip": _build_recip,
+    "map": _build_map,
+    "linear": _build_linear,
+    "strdist": _build_strdist,
+    "ms": _build_ms,
+}
+def register_function(name: str, builder: Callable) -> None:
+    """SPI hook (§2.11): plugins register extra value-source builders."""
+    FUNCTIONS[name] = builder
+
+
+def compile_value_source(spec, stats: Optional[dict] = None) -> Callable:
+    """Compile ``[name, *args]`` → ``fn(batch) -> np.ndarray[float64]``."""
+    stats = stats or {}
+    if isinstance(spec, (int, float)):
+        return _compile_arg(spec, stats)
+    if isinstance(spec, str):
+        return _compile_arg(spec, stats)
+    name, *args = spec
+    if name not in FUNCTIONS:
+        raise KeyError(
+            f"unknown function {name!r}; registered: {sorted(FUNCTIONS)}"
+        )
+    return FUNCTIONS[name](stats, *args)

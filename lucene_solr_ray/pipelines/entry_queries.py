@@ -1746,6 +1746,153 @@ WHERE len(string_split_regex(t, '\\s+')) >= 50
 """
 
 
+
+
+def q_function_registry(sf_dir: str):
+    """ValueSourceParser registry breadth (SURVEY.md §2.9): a nested
+    function-query tree — if/gt conditionals, clamp via min/max, recip,
+    log, linear, strdist — compiled once (functions/scalars.py) and
+    evaluated vectorized per batch; first 15 orders by key."""
+    from ..functions.scalars import compile_value_source
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    specs = {
+        "clamp_e2": ["min", ["max", "o_totalprice", 50000], 200000],
+        "urgent_bonus_e2": ["if", ["gt", "o_totalprice", 100000],
+                            ["linear", "o_totalprice", 1.1, 0], "o_totalprice"],
+        "log_recip_e6": ["sum", ["log", "o_totalprice"],
+                         ["recip", "o_orderkey", 1, 1000, 1000]],
+        "prio_sim_e6": ["strdist", "o_orderpriority", "1-URGENT", "levenshtein"],
+    }
+    fns = {name: compile_value_source(s) for name, s in specs.items()}
+
+    def ev(batch: pa.Table) -> pa.Table:
+        out = {"o_orderkey": batch["o_orderkey"]}
+        for name, fn in fns.items():
+            scalepow = 100.0 if name.endswith("_e2") else 1e6
+            out[name] = pa.array(
+                np.floor(fn(batch) * scalepow + 0.5).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return orders.map_batches(ev, batch_format="pyarrow").sort("o_orderkey").limit(15)
+
+
+def sql_function_registry() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(floor(least(greatest(o_totalprice, 50000), 200000) * 100.0 + 0.5) AS BIGINT)
+         AS clamp_e2,
+       CAST(floor((CASE WHEN o_totalprice > 100000
+                        THEN 1.1 * o_totalprice ELSE o_totalprice END) * 100.0 + 0.5) AS BIGINT)
+         AS urgent_bonus_e2,
+       CAST(floor((log10(o_totalprice) + 1000.0 / (o_orderkey + 1000)) * 1000000 + 0.5) AS BIGINT)
+         AS log_recip_e6,
+       CAST(floor((1.0 - levenshtein(o_orderpriority, '1-URGENT')
+                         / CAST(greatest(length(o_orderpriority), 8) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS prio_sim_e6
+FROM orders ORDER BY o_orderkey LIMIT 15
+"""
+
+
+
+
+def q_score_join_customers(sf_dir: str):
+    """Score join (SURVEY.md §2.5 JoinUtil, ScoreMode.Max): customers
+    joined to the MAX totalprice (cents) of their orders — per-key score
+    aggregation + hash join, the global-ordinal map re-expressed."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        _cents("o_totalprice"), batch_format="pyarrow"
+    ).select_columns(["o_custkey", "o_totalprice_c"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    out = rel.score_join(
+        orders, cust, from_key="o_custkey", to_key="c_custkey",
+        score_col="o_totalprice_c", mode="max",
+    )
+    return out.select_columns(["c_custkey", "max_o_totalprice_c"])
+
+
+def sql_score_join_customers() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT c_custkey, CAST(max({c}) AS BIGINT) AS max_o_totalprice_c
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_block_join_orders(sf_dir: str):
+    """Block join to parents (SURVEY.md §2.5 ToParentBlockJoinQuery):
+    orders (parents) with ≥1 lineitem (child) of quantity ≥ 45, scored by
+    the max child quantity — parent-key co-location replaces Lucene's
+    index-contiguous doc blocks."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.append_column(
+            "l_quantity_i", pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["l_orderkey", "l_quantity_i"])
+    out = rel.block_join_parents(
+        li, "l_orderkey",
+        parent_pred_fn=lambda t: pc.greater_equal(t["l_quantity_i"], 45),
+        score_col="l_quantity_i", mode="max",
+    )
+    return out.select_columns(["l_orderkey", "max_l_quantity_i"])
+
+
+def sql_block_join_orders() -> str:
+    return """
+SELECT l_orderkey,
+       CAST(max(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS max_l_quantity_i
+FROM lineitem
+WHERE CAST(round(l_quantity) AS BIGINT) >= 45
+GROUP BY l_orderkey
+"""
+
+
+GRAPH_START_PART = 1
+
+
+def q_graph_2hop_parts(sf_dir: str):
+    """{!graph} traversal (SURVEY.md §2.5 GraphQuery): parts within 2 hops
+    of part 1 on the bipartite lineitem graph (part→order→part) —
+    iterative distributed semi-joins; the frontier never leaves the
+    cluster. Node ids are namespaced ('p:'/'o:') so the two key spaces
+    can't collide."""
+    def edges():
+        li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+        def ns(batch: pa.Table) -> pa.Table:
+            o = batch["l_orderkey"].to_numpy()
+            p = batch["l_partkey"].to_numpy()
+            src = ["p:%d" % x for x in p] + ["o:%d" % x for x in o]
+            dst = ["o:%d" % x for x in o] + ["p:%d" % x for x in p]
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        return li.map_batches(ns, batch_format="pyarrow")
+
+    reach = rel.graph_traverse(
+        edges, "src", "dst", [f"p:{GRAPH_START_PART}"], max_hops=2
+    )
+
+    def parts_only(batch: pa.Table) -> pa.Table:
+        keep = pc.starts_with(batch["dst"], "p:")
+        t = batch.filter(keep)
+        ids = np.array([int(s[2:]) for s in t["dst"].to_pylist()], dtype=np.int64)
+        return pa.table({"partkey": pa.array(ids)})
+
+    return reach.map_batches(parts_only, batch_format="pyarrow")
+
+
+def sql_graph_2hop_parts() -> str:
+    return f"""
+SELECT DISTINCT l2.l_partkey AS partkey
+FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+WHERE l1.l_partkey = {GRAPH_START_PART}
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -1805,6 +1952,10 @@ QUERIES = {
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
     "urp_chain": q_urp_chain,
+    "function_registry": q_function_registry,
+    "score_join_customers": q_score_join_customers,
+    "block_join_orders": q_block_join_orders,
+    "graph_2hop_parts": q_graph_2hop_parts,
 }
 
 ORACLES = {
@@ -1854,4 +2005,8 @@ ORACLES = {
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
     "urp_chain": sql_urp_chain(),
+    "function_registry": sql_function_registry(),
+    "score_join_customers": sql_score_join_customers(),
+    "block_join_orders": sql_block_join_orders(),
+    "graph_2hop_parts": sql_graph_2hop_parts(),
 }

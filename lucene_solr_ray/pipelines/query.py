@@ -55,7 +55,15 @@ def prepare_search_context(
 
     def norm_term(t):
         t = lowercase(t)
-        return chain(t) if chain is not None else t
+        if chain is None:
+            return t
+        r = chain(t)
+        if isinstance(r, list):
+            # index-time synonym expansion already indexed every member; the
+            # query term matches directly — keep it if it survived, else the
+            # first expansion (one-way map rules)
+            return t if t in r else r[0]
+        return r
 
     # multi-term kinds carry PATTERNS, not terms: they bypass the filter
     # chain (prefix/wildcard/fuzzy are lowercased like the index terms;

@@ -245,28 +245,52 @@ def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
             memo[t] = m
         mapped.append(m)
 
-    keep_vocab = np.array([m is not None for m in mapped])
-    keep = keep_vocab[codes]
-    doc_ids_k, freqs_k, codes_k = doc_ids[keep], freqs[keep], codes[keep]
-    # re-encode mapped strings (stemming can collapse distinct terms)
-    out_strings = pa.array([m if m is not None else "" for m in mapped], type=pa.string())
-    out_enc = pc.dictionary_encode(out_strings)
-    new_code_of = out_enc.indices.to_numpy().astype(np.int64)
+    # a chain result may be None (dropped), a str (1:1), or a list
+    # (synonym expansion, posIncr-0 semantics: expansion terms share the
+    # original's freq and do NOT count toward dl — discountOverlaps=true)
+    out_lists = [
+        [] if m is None else ([m] if isinstance(m, str) else list(m)) for m in mapped
+    ]
+    fanout = np.fromiter((len(l) for l in out_lists), dtype=np.int64, count=len(out_lists))
+    rep = fanout[codes]
+    doc_ids_k = np.repeat(doc_ids, rep)
+    freqs_k = np.repeat(freqs, rep)
+    # expanded entry's output code: code_start[code] + within-entry index
+    flat_out = [s for l in out_lists for s in l]
+    code_start = np.zeros(len(out_lists) + 1, dtype=np.int64)
+    np.cumsum(fanout, out=code_start[1:])
+    out_enc = pc.dictionary_encode(pa.array(flat_out, type=pa.string()))
+    flat_codes = out_enc.indices.to_numpy().astype(np.int64)
     new_dict = out_enc.dictionary
-    key = (doc_ids_k << 32) | new_code_of[codes_k]
+    total_k = int(rep.sum())
+    within = np.arange(total_k, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(rep)[:-1])), rep
+    )
+    entry_codes = flat_codes[np.repeat(code_start[codes], rep) + within]
+
+    key = (doc_ids_k << 32) | entry_codes
     order = np.argsort(key, kind="stable")
     key_s, freqs_s = key[order], freqs_k[order]
     boundary = np.ones(len(key_s), dtype=bool)
     boundary[1:] = key_s[1:] != key_s[:-1]
     grp = np.cumsum(boundary.view(np.int8), dtype=np.int64) - 1
     uniq_key = key_s[boundary]
-    sum_freq = np.bincount(grp, weights=freqs_s.astype(np.float64)).astype(np.int32)
+    sum_freq = (
+        np.bincount(grp, weights=freqs_s.astype(np.float64)).astype(np.int32)
+        if len(grp)
+        else np.empty(0, dtype=np.int32)
+    )
     u_docs = (uniq_key >> 32).astype(np.int64)
     u_codes = (uniq_key & 0xFFFFFFFF).astype(np.int64)
     n = len(table)
     list_off = np.searchsorted(u_docs, np.arange(n + 1, dtype=np.int64))
     out_values = new_dict.take(pa.array(u_codes))
-    dl = np.bincount(doc_ids_k, weights=freqs_k.astype(np.float64), minlength=n).astype(np.int32)
+    # dl counts each ORIGINAL surviving token once (expansions are
+    # position-overlapping and discounted)
+    survived = rep > 0
+    dl = np.bincount(
+        doc_ids[survived], weights=freqs[survived].astype(np.float64), minlength=n
+    ).astype(np.int32)
 
     terms_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), out_values)
     freqs_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), pa.array(sum_freq))

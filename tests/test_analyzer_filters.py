@@ -136,3 +136,36 @@ def test_urp_unknown_stage_raises(ray_session):
 
     with _pytest.raises(KeyError, match="unknown pipeline stage"):
         build_stage_chain([{"name": "nope_nothing"}])
+
+
+def test_synonym_filter_expansion(ray_session, small_corpus, corpus_queries, tmp_path_factory):
+    """Index-time synonym expansion (SynonymGraphFilter expand=true
+    analog): group members are cross-searchable; expansion terms do not
+    inflate dl (posIncr-0 / discountOverlaps semantics)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+    from lucene_solr_ray.state.manifest import read_root_manifest
+
+    # find a real corpus term to alias
+    t = pq.read_table(small_corpus[0], columns=["text", "lang"])
+    texts = [x for x, l in zip(t["text"].to_pylist(), t["lang"].to_pylist()) if l == "en"]
+    word = texts[0].split()[0]
+    spec = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", {"name": "synonym", "groups": [[word, "zzalias"]]}],
+    }
+    base = tmp_path_factory.mktemp("syn")
+    idx = str(base / "idx")
+    root = build_index(small_corpus, idx, num_partitions=2, analyzer_spec=spec)
+    plain = str(base / "plain")
+    root_plain = build_index(small_corpus, plain, num_partitions=2)
+    # dl (sum_dl) unchanged: expansions don't count toward doc length
+    assert root["sum_dl"] == root_plain["sum_dl"]
+
+    r_alias = search(idx, [{"query_id": 0, "kind": "term", "terms": ["zzalias"]}], k=10**6)
+    r_word = search(idx, [{"query_id": 0, "kind": "term", "terms": [word]}], k=10**6)
+    r_plain = search(plain, [{"query_id": 0, "kind": "term", "terms": [word]}], k=10**6)
+    assert set(r_alias["url"]) == set(r_word["url"]) == set(r_plain["url"])
+    assert len(r_alias) > 0
