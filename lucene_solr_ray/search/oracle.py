@@ -95,6 +95,7 @@ class OracleIndex:
         k: int,
         exclude: List[str] = (),
         min_should_match: int = 1,
+        slop: int = 0,
     ) -> List[Tuple[str, float]]:
         """Top-k (url, float32 score) with tie-break (score desc, url asc).
 
@@ -111,13 +112,24 @@ class OracleIndex:
             for t in terms:
                 w = F32(w + self.idf(t))
             for d in sorted(common):
-                match = set(self.positions[terms[0]][d])
-                for i, t in enumerate(terms[1:], start=1):
-                    match &= {p - i for p in self.positions[t][d]}
-                    if not match:
-                        break
-                if match:
+                if slop > 0:
+                    import numpy as _np
+
+                    from .searcher import sloppy_phrase_freq
+
+                    plists = [
+                        _np.asarray(sorted(self.positions[t][d]), dtype=_np.int64)
+                        for t in terms
+                    ]
+                    freq = sloppy_phrase_freq(plists, slop)
+                else:
+                    match = set(self.positions[terms[0]][d])
+                    for i, t in enumerate(terms[1:], start=1):
+                        match &= {p - i for p in self.positions[t][d]}
+                        if not match:
+                            break
                     freq = len(match)
+                if freq:
                     ni = self.cache[self.norm_bytes[d]]
                     doc_scores[d] = F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
                     cands.append(d)
@@ -185,6 +197,7 @@ class OracleIndex:
                 k,
                 exclude=q.get("exclude", ()),
                 min_should_match=int(q.get("min_should_match", 1)),
+                slop=int(q.get("slop", 0)),
             )
             for rank, (url, score) in enumerate(res, start=1):
                 out.append((q["query_id"], rank, url, score))

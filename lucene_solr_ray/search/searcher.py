@@ -135,6 +135,42 @@ def score_query_exhaustive(
     return topk_select(cand, scores_c, k)
 
 
+def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
+    """Sloppy-phrase frequency for ONE doc: the number of MINIMAL windows
+    containing at least one occurrence of every term with
+    ``(window_width − k) ≤ slop`` — SpanNearQuery(inOrder=false)-style
+    semantics (reference: lucene/core/src/java/org/apache/lucene/search/
+    SloppyPhraseMatcher.java ~600 LoC, branch_8x; our matcher uses the
+    public minimal-covering-window formulation rather than Lucene's
+    repeats-aware edit-distance — a documented deviation, pinned by the
+    pure-Python oracle)."""
+    kterms = len(pos_lists)
+    events = np.concatenate(pos_lists)
+    labels = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(events, kind="stable")
+    events, labels = events[order], labels[order]
+    count = np.zeros(kterms, dtype=np.int64)
+    have = 0
+    left = 0
+    freq = 0
+    for right in range(len(events)):
+        lr = labels[right]
+        if count[lr] == 0:
+            have += 1
+        count[lr] += 1
+        # shrink to the minimal window ending at `right`
+        while count[labels[left]] > 1:
+            count[labels[left]] -= 1
+            left += 1
+        if have == kterms:
+            width = int(events[right] - events[left]) + 1
+            if width - kterms <= slop:
+                freq += 1
+    return freq
+
+
 def score_query_phrase(
     reader: SegmentReader,
     terms: Sequence[str],
@@ -143,6 +179,7 @@ def score_query_phrase(
     sim: Bm25Similarity,
     k: int,
     exclude: Sequence[str] = (),
+    slop: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact PhraseQuery (reference: lucene/core/src/java/org/apache/
     lucene/search/ExactPhraseMatcher.java + PhraseWeight, branch_8x;
@@ -179,6 +216,15 @@ def score_query_phrase(
         slices.append((flat, starts, idx))
     phrase_freq = np.zeros(len(cand), dtype=np.int64)
     for ci in range(len(cand)):
+        if slop > 0:
+            plists = []
+            for flat_i, starts_i, idx_i in slices:
+                ji = int(idx_i[ci])
+                plists.append(
+                    np.asarray(flat_i[starts_i[ji] : starts_i[ji + 1]], dtype=np.int64)
+                )
+            phrase_freq[ci] = sloppy_phrase_freq(plists, slop)
+            continue
         flat, starts, idx = slices[0]
         j = int(idx[ci])
         inter = flat[starts[j] : starts[j + 1]].astype(np.int64)
@@ -363,6 +409,7 @@ class SearcherStage:
                     docids, scores = score_query_phrase(
                         reader, q["terms"], self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
+                        slop=int(q.get("slop", 0)),
                     )
                 elif use_wand and plain:
                     docids, scores = score_query_wand(

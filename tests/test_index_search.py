@@ -266,3 +266,64 @@ def test_multiterm_kinds(built_indexes, small_corpus):
         )
     )
     assert 4 not in set(got["query_id"])
+
+
+def test_sloppy_phrase_freq_bruteforce():
+    """Minimal-window matcher vs an O(positions^k) brute force on random
+    position lists (the matcher's own correctness gate)."""
+    from itertools import product as iproduct
+
+    from lucene_solr_ray.search.sloppy_check import brute_force_window_count
+    from lucene_solr_ray.search.searcher import sloppy_phrase_freq
+
+    rng = np.random.default_rng(5)
+    for trial in range(200):
+        kterms = int(rng.integers(2, 4))
+        slop = int(rng.integers(0, 5))
+        lists = [
+            np.unique(rng.integers(0, 30, size=rng.integers(1, 6)))
+            for _ in range(kterms)
+        ]
+        got = sloppy_phrase_freq([l.astype(np.int64) for l in lists], slop)
+        exp = brute_force_window_count(lists, slop)
+        assert got == exp, (trial, [l.tolist() for l in lists], slop, got, exp)
+
+
+def test_sloppy_phrase_query(ray_session, small_corpus, corpus_queries, tmp_path_factory):
+    """Sloppy phrase over a positions index: engine == oracle == P=1
+    (SpanNearQuery-style unordered window, slop=2)."""
+    base = tmp_path_factory.mktemp("sloppy")
+    idx1, idx4 = str(base / "p1"), str(base / "p4")
+    build_index(small_corpus, idx1, num_partitions=1, store_positions=True)
+    build_index(small_corpus, idx4, num_partitions=4, store_positions=True)
+    rows = []
+    for p in small_corpus:
+        rows.extend(pq.read_table(p).to_pylist())
+    from lucene_solr_ray.analysis.tokenizer import tokenize_lower
+
+    pairs = []
+    for r in rows[:30]:
+        toks = tokenize_lower(r["text"])
+        if len(toks) >= 8:
+            pairs.append([toks[2], toks[5]])  # 3 apart: needs slop >= 2
+        if len(pairs) == 6:
+            break
+    queries = [
+        {"query_id": i, "kind": "phrase", "terms": ph, "slop": 2}
+        for i, ph in enumerate(pairs)
+    ]
+    r1 = _frame(search(idx1, queries, k=10))
+    r4 = _frame(search(idx4, queries, k=10))
+    assert len(r1) > 0
+    assert r1.equals(r4)
+    oracle = OracleIndex(rows)
+    exp = oracle.search(queries, k=10)
+    got = r4
+    assert got[["query_id", "rank", "url"]].reset_index(drop=True).equals(
+        exp[["query_id", "rank", "url"]].astype(
+            {"query_id": got["query_id"].dtype, "rank": got["rank"].dtype}
+        )
+    )
+    assert np.array_equal(
+        got["score"].to_numpy().astype(np.float32), exp["score"].to_numpy()
+    )
