@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["compute_global_stats", "sharded_sum_groupby", "read_query_term_stats"]
+__all__ = ["compute_global_stats", "reduce_stats_shards", "sharded_sum_groupby", "read_query_term_stats"]
 
 
 def _term_shards(terms: pa.ChunkedArray, num_shards: int) -> np.ndarray:
@@ -83,32 +83,63 @@ def compute_global_stats(
 ) -> str:
     """Aggregate per-segment term tables → stats/global_stats/ parquet dir.
 
-    Runs as a Ray Data pipeline: read only (term, df, total_tf) columns of
-    every LIVE segment's terms.parquet (column pruning at the read;
-    discovery via partition_segments so stale merged generations are never
-    double-counted), shard-keyed shuffle, vectorized per-shard sum, write
-    partitioned parquet (streamed, never materialized on the driver).
-    Deleted (tombstoned) docs still count — Lucene's docFreq is not
-    adjusted for deletes until merge reclaims them."""
-    from ..state.manifest import partition_segments
+    Two fixed-size waves of independent Ray tasks (the fresh build fuses
+    the first wave into its segment-build tasks — this standalone version
+    serves append/merge): per-partition tasks pre-sum their LIVE segments'
+    term tables (discovery via partition_segments, so stale merged
+    generations are never double-counted; the pre-sum bounds any term's
+    global group to ≤ P rows — the head-term skew defense) and spill
+    term-hash shard slices; per-shard reduce tasks sum and write. Deleted
+    (tombstoned) docs still count — Lucene's docFreq is not adjusted for
+    deletes until merge reclaims them."""
+    import shutil
 
-    seg_glob = [
-        os.path.join(seg, "terms.parquet")
-        for pid in range(num_partitions)
-        for seg in partition_segments(index_root, pid)
-    ]
+    from ..pipelines.build import _spill_partition_stats
+
     stats_dir = os.path.join(index_root, "stats", "global_stats")
     if num_shards is None:
         num_shards = max(8, num_partitions // 8)
+    stats_runs = os.path.join(index_root, "_stats_runs")
+    shutil.rmtree(stats_runs, ignore_errors=True)
+    os.makedirs(stats_runs)
 
-    ds = ray.data.read_parquet(seg_glob, columns=["term", "df", "total_tf"])
-    agg = sharded_sum_groupby(ds, "term", ["df", "total_tf"], num_shards)
+    @ray.remote(num_cpus=1)
+    def spill_one(pid: int) -> None:
+        _spill_partition_stats(index_root, pid, stats_runs, num_shards)
 
+    ray.get([spill_one.remote(pid) for pid in range(num_partitions)])
+    reduce_stats_shards(index_root, stats_runs, num_shards)
+    return stats_dir
+
+
+def reduce_stats_shards(index_root: str, stats_runs: str, num_shards: int) -> str:
+    """Reduce wave shared by the fused build path and the standalone
+    compute_global_stats: one task per shard sums its spilled partials and
+    writes stats/global_stats/shard-SSSS.parquet."""
     import shutil
 
-    if os.path.exists(stats_dir):
-        shutil.rmtree(stats_dir)
-    agg.write_parquet(stats_dir)
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir)
+
+    @ray.remote(num_cpus=1)
+    def reduce_shard(s: int) -> None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(stats_runs, f"shard-{s:04d}", "*.parquet")))
+        if not files:
+            return
+        t = pa.concat_tables([_pq.read_table(f) for f in files])
+        agg = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
+        agg = agg.rename_columns(["term", "df", "total_tf"])
+        tmp = os.path.join(stats_dir, f".shard-{s:04d}.tmp")
+        _pq.write_table(agg, tmp)
+        os.replace(tmp, os.path.join(stats_dir, f"shard-{s:04d}.parquet"))
+
+    ray.get([reduce_shard.remote(s) for s in range(num_shards)])
+    shutil.rmtree(stats_runs, ignore_errors=True)
     return stats_dir
 
 

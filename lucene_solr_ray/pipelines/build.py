@@ -463,28 +463,9 @@ def _build_via_runs(
     phases["segment_build"] = round(time.perf_counter() - t_ph, 3)
     t_ph = time.perf_counter()
 
-    stats_dir = os.path.join(index_root, "stats", "global_stats")
-    shutil.rmtree(stats_dir, ignore_errors=True)
-    os.makedirs(stats_dir)
+    from ..index.stats import reduce_stats_shards
 
-    @ray.remote(num_cpus=1)
-    def reduce_shard(s: int) -> None:
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        files = sorted(_glob.glob(os.path.join(stats_runs, f"shard-{s:04d}", "*.parquet")))
-        if not files:
-            return
-        t = pa.concat_tables([_pq.read_table(f) for f in files])
-        agg = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
-        agg = agg.rename_columns(["term", "df", "total_tf"])
-        tmp = os.path.join(stats_dir, f".shard-{s:04d}.tmp")
-        _pq.write_table(agg, tmp)
-        os.replace(tmp, os.path.join(stats_dir, f"shard-{s:04d}.parquet"))
-
-    ray.get([reduce_shard.remote(s) for s in range(num_shards)])
-    shutil.rmtree(stats_runs, ignore_errors=True)
+    reduce_stats_shards(index_root, stats_runs, num_shards)
     phases["global_stats"] = round(time.perf_counter() - t_ph, 3)
 
 

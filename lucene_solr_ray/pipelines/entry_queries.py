@@ -1893,6 +1893,31 @@ WHERE l1.l_partkey = {GRAPH_START_PART}
 """
 
 
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """IVF-flat ANN vs brute force: per-query recall@5 (×100) — the
+    data-adaptive coarse-quantizer scale path beside the LSH variant
+    (task-brief "IVF or LSH-bucketed variant"); approximate by
+    construction, rows-only check."""
+    from ..functions.ann import ivf_cosine_topk
+
+    Q, qids = _query_matrix(sf_dir)
+    ref = ray.put(Q)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bf = brute_force_cosine_topk(ds, ref, qids, k=5).to_pandas()
+    ds2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    approx = ivf_cosine_topk(ds2, ref, qids, k=5, n_centroids=16, nprobe=8).to_pandas()
+    rows = []
+    for q in qids:
+        truth = set(bf[bf.query_id == q].vec_id)
+        got = set(approx[approx.query_id == q].vec_id)
+        rows.append(
+            {"query_id": int(q), "recall_x100": int(100 * len(truth & got) / max(len(truth), 1))}
+        )
+    return pd.DataFrame(rows).astype(np.int64)
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -1923,6 +1948,7 @@ QUERIES = {
     # similarity search
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     # multimodal plumbing
     "binary_meta": q_binary_meta,
     # relational / streaming-expression surface (§2.5-§2.8)

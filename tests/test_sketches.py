@@ -42,3 +42,12 @@ def test_tdigest_accuracy(ray_session):
     assert abs(merged.quantile(0.5) - float(np.quantile(vals, 0.5))) / float(
         np.quantile(vals, 0.5)
     ) < 0.01
+
+
+def test_ann_ivf_recall_gate(ray_session):
+    """IVF-flat ANN recall@5 ≥ 0.8 averaged over the fixed query set at
+    nprobe=8/16 cells (approximate path accuracy gate)."""
+    from lucene_solr_ray.pipelines.entry_queries import q_ann_ivf_recall
+
+    df = q_ann_ivf_recall("/root/testdata/sf0.01")
+    assert df["recall_x100"].mean() >= 80, df.to_dict("records")
