@@ -166,6 +166,8 @@ def run_bench() -> dict:
         for name in [
             "rollup_pricing", "join_nation_revenue", "token_counts",
             "dedup_exact", "ann_bruteforce", "window_user_hourly",
+            "quality_scores", "dedup_minhash", "percentile_totalprice",
+            "semi_join_building",
         ]:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))

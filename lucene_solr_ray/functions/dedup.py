@@ -282,6 +282,8 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
         .map_groups(_bucket_pairs_capped("doc_id", max_bucket), batch_format="pandas")
     )
     # a pair can surface from multiple bands — dedup before verifying
+    # (map_groups head(1): Ray 2.49's native multi-key aggregate routes
+    # through the hash-shuffle aggregator and measured ~2.5x slower here)
     uniq = pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
     texts = ds.select_columns([id_col, text_col])
