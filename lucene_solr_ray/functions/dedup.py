@@ -42,6 +42,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard",
     "token_hashes_batch",
+    "distinct_pairs",
 ]
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constants
@@ -117,17 +118,17 @@ def _shingle_hashes_batch(
             out[np.repeat(sh_off[:-1][long_docs], counts) + rel] = cand[
                 np.repeat(starts, counts) + rel
             ]
-        # short docs: one shingle = mix of all their tokens. reduceat runs
-        # over EVERY doc's start (so each segment is exactly one doc), then
-        # the short docs' sums are selected; empty docs are zeroed (the
-        # reduceat identity quirk at repeated indices).
+        # short docs: one shingle = mix of all their tokens. Per-doc sums
+        # via cumsum-and-diff over the offsets (exact mod 2^64, wraps are
+        # fine) — NOT a clamped reduceat, whose min(offset, T-1) trick
+        # would truncate the PRECEDING doc's segment whenever a zero-token
+        # doc followed it, making signatures depend on batch neighbors.
         short = ~long_docs
         if short.any():
             with np.errstate(over="ignore"):
-                starts_all = np.minimum(offsets[:-1], max(T - 1, 0))
-                sums_all = np.add.reduceat(tok_h * _MIX2, starts_all)
-                sums = sums_all[short]
-                sums[lens[short] == 0] = np.uint64(0)
+                csum = np.zeros(T + 1, dtype=np.uint64)
+                np.cumsum(tok_h * _MIX2, out=csum[1:])
+                sums = csum[offsets[1:]][short] - csum[offsets[:-1]][short]
             out[sh_off[:-1][short]] = sums
     return out, sh_off
 
@@ -221,6 +222,57 @@ def _bucket_pairs_capped(id_col: str, max_bucket: int):
     return bucket_pairs
 
 
+_PAIR_B_BITS = 32  # b packs into the low 32 bits, a into the upper 31
+
+
+def distinct_pairs(pairs, value_col: Optional[str] = None, mode: str = "min"):
+    """Dedup (a, b) candidate-pair rows (a pair surfaces once per matching
+    LSH band/table) with a NATIVE single-key aggregate: pack the pair into
+    one int64 key ``a << 32 | b`` and reduce with Count/Min — no per-group
+    Python callable (the groupby(["a","b"]).map_groups(head(1)) family is
+    one Python call per group: at 1e8 candidate pairs that is the slow
+    path; the packed key runs as an Arrow hash-agg end to end). Requires
+    0 <= a < 2^31 and 0 <= b < 2^32 (checked per batch, loud failure —
+    corpora with wider doc-id spaces should renumber ids first, which a
+    curation pipeline needs anyway for the survivor bitmaps).
+
+    ``value_col``: optional extra column to carry through (reduced with
+    min/max — for identical pairs the value is identical, e.g. hamming)."""
+    from ray.data.aggregate import Max, Min
+
+    def pack(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b = batch["b"].to_numpy().astype(np.int64, copy=False)
+        if len(a):
+            if a.min() < 0 or b.min() < 0 or a.max() >= (1 << 31) or b.max() >= (1 << _PAIR_B_BITS):
+                raise ValueError(
+                    "distinct_pairs: ids outside the int64 pack range "
+                    "(a < 2^31, b < 2^32) — renumber doc ids before LSH"
+                )
+        cols = {"ab": pa.array((a << _PAIR_B_BITS) | b)}
+        if value_col is not None:
+            cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["ab"].to_numpy()
+        cols = {
+            "a": pa.array(key >> _PAIR_B_BITS),
+            "b": pa.array(key & ((1 << _PAIR_B_BITS) - 1)),
+        }
+        if value_col is not None:
+            cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    packed = pairs.map_batches(pack, batch_format="pyarrow")
+    if value_col is None:
+        agg = packed.groupby("ab").count().drop_columns(["count()"])
+    else:
+        fn = Min if mode == "min" else Max
+        agg = packed.groupby("ab").aggregate(fn(value_col, alias_name=value_col))
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- exact ----
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
@@ -260,7 +312,7 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
                            num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                            id_col: str = "doc_id", text_col: str = "text",
                            concurrency=4, max_bucket: int = 128,
-                           join_partitions: int = 4):
+                           join_partitions: Optional[int] = None):
     """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard.
 
     Scale shape: signatures shuffle as (band_id, band_hash) rows; buckets
@@ -281,11 +333,14 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
         .groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs_capped("doc_id", max_bucket), batch_format="pandas")
     )
-    # a pair can surface from multiple bands — dedup before verifying
-    # (map_groups head(1): Ray 2.49's native multi-key aggregate routes
-    # through the hash-shuffle aggregator and measured ~2.5x slower here)
-    uniq = pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # a pair can surface from multiple bands — dedup before verifying via
+    # the packed-key native aggregate (single int64 key: Arrow hash-agg
+    # end to end, no per-group Python, no multi-key shuffle aggregator)
+    uniq = distinct_pairs(pairs)
 
+    from .relational import default_shuffle_partitions
+
+    join_partitions = default_shuffle_partitions(join_partitions)
     texts = ds.select_columns([id_col, text_col])
     t_a = texts.map_batches(
         lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
@@ -323,18 +378,21 @@ class SimHashStage:
         n_docs = len(offsets) - 1
         if len(tok_h) == 0:
             return np.zeros(n_docs, dtype=np.uint64)
+        lens = np.diff(offsets)
+        # the unclamped reduceat below requires every start < T, i.e. no
+        # zero-token doc (a clamped start would steal the preceding doc's
+        # tail token). utf8_split_whitespace('') yields [''] so lens >= 1
+        # always holds today; assert so a tokenizer change fails loudly
+        # instead of silently coupling signatures to batch neighbors.
+        assert lens.min() >= 1, "simhash_batch: zero-token doc in batch"
         shifts = np.arange(64, dtype=np.uint64)
         # (T, 64) ±1 contributions, summed per doc in one reduceat
         bits = ((tok_h[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
         contrib = (bits * 2 - 1).astype(np.int32)
-        starts = np.minimum(offsets[:-1], len(tok_h) - 1)
-        acc = np.add.reduceat(contrib, starts, axis=0)
-        lens = np.diff(offsets)
-        acc[lens == 0] = 0
+        acc = np.add.reduceat(contrib, offsets[:-1], axis=0)
         sh = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
             axis=1, dtype=np.uint64
         )
-        sh[lens == 0] = 0
         return sh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -411,4 +469,5 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
         .groupby(["table_id", "slice_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # identical (a, b) rows carry identical hamming — min() just picks it
+    return distinct_pairs(pairs, value_col="hamming", mode="min")

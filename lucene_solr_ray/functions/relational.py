@@ -23,12 +23,30 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 __all__ = [
-    "rollup", "facet_counts", "top", "unique_stream", "having",
+    "rollup", "facet_counts", "facet_top_terms", "top", "unique_stream", "having",
     "inner_join", "hash_join_broadcast", "semi_join_broadcast",
     "semi_join", "distinct", "broadcast_table", "left_outer_join", "cursor_page",
     "score_join", "block_join_parents", "graph_traverse",
     "collapse", "stats_component", "select_stream", "merge_union",
+    "default_shuffle_partitions",
 ]
+
+
+def default_shuffle_partitions(num_partitions: Optional[int] = None) -> int:
+    """Cluster-derived shuffle fan-out for joins/groupbys: one partition per
+    cluster CPU, floor 8 (so small test sessions still exercise multi-
+    partition paths). A hardcoded small constant is correct at sf0.01 but
+    serializes the all-to-all on a real cluster — the fan-out must grow
+    with the cluster, not the code."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
 
 
 def rollup(ds, keys: Sequence[str], aggs: Dict[str, Sequence[str]]):
@@ -58,6 +76,57 @@ def facet_counts(ds, col: str, topn: Optional[int] = None):
     return counts.sort(["count", col], descending=[True, False]).limit(topn)
 
 
+def facet_top_terms(ds, col: str, topn: int = 10, overrequest: Optional[int] = None):
+    """Two-phase distributed facet refinement (solr/core/.../component/
+    FacetComponent.java, branch_8x; SURVEY.md §2.6): the reference's answer
+    for top-N facets over HIGH-cardinality fields at scale, where an exact
+    global (count, term) sort would shuffle the whole vocabulary.
+
+    Phase 1 — overrequest: every block emits only its LOCAL top
+    ``topn*1.5 + 10`` terms by count (Solr's facet.overrequest default),
+    vectorized per block. Phase 2 — refine: the candidate union (small) is
+    broadcast and EXACT global counts are computed for candidate terms
+    only, then top-N by (count desc, term asc). The all-to-all therefore
+    moves candidate-term rows, never the tail of the distribution.
+
+    Exactness model (same as the reference's): a true global top-N term
+    must appear in some block's local top-K' — holds for Zipf-ish skewed
+    data (head terms lead every block); raise ``overrequest`` for flatter
+    distributions."""
+    k_shard = overrequest if overrequest is not None else int(topn * 1.5) + 10
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([(col, "count")])
+        srt = t.sort_by([(f"{col}_count", "descending"), (col, "ascending")])
+        return srt.slice(0, k_shard).select([col])
+
+    cands = distinct(ds.map_batches(local_top, batch_format="pyarrow"), [col])
+    cand_ref = broadcast_table(cands)
+    refined = semi_join_broadcast_table(ds, cand_ref, on=col)
+    return facet_counts(refined, col, topn=topn)
+
+
+def semi_join_broadcast_table(ds, small_table_ref, on: str, anti: bool = False):
+    """Filter rows whose ``on`` value is (not) present in a broadcast Arrow
+    table's ``on`` column — the table-valued twin of semi_join_broadcast."""
+    import ray
+
+    def filt(batch: pa.Table) -> pa.Table:
+        small = (
+            ray.get(small_table_ref)
+            if not isinstance(small_table_ref, pa.Table)
+            else small_table_ref
+        )
+        if small is None:
+            return batch if anti else batch.slice(0, 0)
+        mask = pc.is_in(batch[on], value_set=small[on].combine_chunks())
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def top(ds, keys: Sequence[str], descending: Sequence[bool], k: int):
     """RankStream / top() (…/io/stream/RankStream.java): k best by sort
     keys — Ray's distributed sort + limit (per-block top-k then merge)."""
@@ -66,7 +135,16 @@ def top(ds, keys: Sequence[str], descending: Sequence[bool], k: int):
 
 def unique_stream(ds, col: str):
     """UniqueStream (…/io/stream/UniqueStream.java ~120 LoC): dedup by key,
-    first wins — hash groupby replaces the sorted-stream one-pass."""
+    first wins — hash groupby replaces the sorted-stream one-pass. When the
+    key is the ONLY column, this is DISTINCT and runs as a native count
+    aggregate (map-side pre-agg, no per-group Python callable — the scale
+    path for 1e8+ groups); otherwise a per-group head(1)."""
+    try:
+        only_col = ds.schema().names == [col]
+    except Exception:
+        only_col = False
+    if only_col:
+        return distinct(ds, [col])
     return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
@@ -77,12 +155,13 @@ def having(ds, predicate_fn):
     )
 
 
-def inner_join(ds_left, ds_right, on: Sequence[str], num_partitions: int = 8):
+def inner_join(ds_left, ds_right, on: Sequence[str], num_partitions: Optional[int] = None):
     """InnerJoinStream (…/io/stream/InnerJoinStream.java ~150 LoC): the
     reference sort-merge-joins co-sorted streams; here both sides hash-
     partition on the key (Ray 2.49 native Dataset.join)."""
     return ds_left.join(
-        ds_right, join_type="inner", on=tuple(on), num_partitions=num_partitions
+        ds_right, join_type="inner", on=tuple(on),
+        num_partitions=default_shuffle_partitions(num_partitions),
     )
 
 
@@ -111,9 +190,14 @@ def hash_join_broadcast(ds, small_table_ref, on: str, select: Dict[str, str]):
     side is read fully into memory — here broadcast via ``ray.put`` once
     (``broadcast_table``) and probed per batch with Arrow ``index_in`` +
     ``take`` (zero pandas round-trips; the plasma get is zero-copy).
-    The small side must be unique on ``on``; ``select``:
-    {small_col: out_name} columns to attach. Inner-join semantics."""
+    The small side MUST be unique on ``on`` — ``index_in`` returns only the
+    FIRST match, so a duplicate-key small side would silently drop the
+    row multiplication an inner join implies; enforced loudly below (once
+    per task, cached across batches). ``select``: {small_col: out_name}
+    columns to attach. Inner-join semantics."""
     import ray
+
+    checked_ids: set = set()  # per-task memo (probe is pickled per task)
 
     def probe(batch: pa.Table) -> pa.Table:
         small = (
@@ -123,6 +207,16 @@ def hash_join_broadcast(ds, small_table_ref, on: str, select: Dict[str, str]):
         )
         if small is None:
             return batch.slice(0, 0)
+        if id(small) not in checked_ids:
+            n_distinct = pc.count_distinct(small[on]).as_py()
+            if n_distinct != small.num_rows:
+                raise ValueError(
+                    f"hash_join_broadcast: small side has duplicate '{on}' keys "
+                    f"({small.num_rows} rows, {n_distinct} distinct) — index_in "
+                    "keeps only the first match; use inner_join for a "
+                    "row-multiplying side"
+                )
+            checked_ids.add(id(small))
         idx = pc.index_in(batch[on], value_set=small[on])
         keep = idx.is_valid()
         batch = batch.filter(keep)
@@ -135,7 +229,7 @@ def hash_join_broadcast(ds, small_table_ref, on: str, select: Dict[str, str]):
 
 
 def semi_join(ds_left, ds_right, on: str, right_on: Optional[str] = None,
-              num_partitions: int = 8, anti: bool = False):
+              num_partitions: Optional[int] = None, anti: bool = False):
     """{!join} semi-join / complement() with BOTH sides distributed: Ray's
     native hash ``left_semi`` / ``left_anti`` join (no driver key-set —
     the right side is unbounded at scale). Duplicate right keys don't
@@ -143,7 +237,7 @@ def semi_join(ds_left, ds_right, on: str, right_on: Optional[str] = None,
     return ds_left.join(
         ds_right,
         join_type="left_anti" if anti else "left_semi",
-        num_partitions=num_partitions,
+        num_partitions=default_shuffle_partitions(num_partitions),
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
@@ -176,12 +270,13 @@ def semi_join_broadcast(ds, key_set_ref, on: str, anti: bool = False):
 
 
 def left_outer_join(ds_left, ds_right, on: str, right_on: Optional[str] = None,
-                    num_partitions: int = 8):
+                    num_partitions: Optional[int] = None):
     """LeftOuterJoinStream (…/io/stream/LeftOuterJoinStream.java ~150 LoC):
     native hash left-outer join; unmatched left rows keep nulls on the
     right columns."""
     return ds_left.join(
-        ds_right, join_type="left_outer", num_partitions=num_partitions,
+        ds_right, join_type="left_outer",
+        num_partitions=default_shuffle_partitions(num_partitions),
         on=(on,), right_on=(right_on,) if right_on else None,
     )
 
@@ -216,7 +311,9 @@ def cursor_page(ds, sort_col: str, unique_col: str, k: int,
 def collapse(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool]):
     """CollapsingQParserPlugin / grouping top-1 (solr/core/.../search/
     CollapsingQParserPlugin.java ~2,900 LoC): keep the best row per group
-    by the given order."""
+    by the given order. Generic path (any dtypes); when the order columns
+    pack into one int64, prefer ``collapse_packed`` — native aggregate,
+    no per-group Python."""
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
@@ -224,6 +321,23 @@ def collapse(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool]
         ).head(1)
 
     return ds.groupby(key).map_groups(best, batch_format="pandas")
+
+
+def collapse_packed(ds, key: str, pack_fn, unpack_fn, mode: str = "max"):
+    """Native collapse: ``pack_fn(batch)`` appends an int64 ``_packed``
+    column whose numeric order equals the collapse order (order columns
+    bit-packed, best row = max/min); a native Max/Min per key replaces the
+    per-group Python callable — at 1e8 groups that is the difference
+    between an Arrow hash-agg and 1e8 Python calls. ``unpack_fn`` receives
+    (key, _packed) rows and restores the winning row's columns. The packing
+    must be collision-free within a group (e.g. include a unique id in the
+    low bits) so exactly one row wins deterministically."""
+    packed = ds.map_batches(pack_fn, batch_format="pyarrow").select_columns(
+        [key, "_packed"]
+    )
+    agg_cls = Max if mode == "max" else Min
+    out = packed.groupby(key).aggregate(agg_cls("_packed", alias_name="_packed"))
+    return out.map_batches(unpack_fn, batch_format="pyarrow")
 
 
 def stats_component(ds, col: str):
@@ -261,7 +375,7 @@ def merge_union(ds_a, ds_b, sort_keys: Optional[Sequence[str]] = None,
 
 
 def score_join(ds_from, ds_to, from_key: str, to_key: str, score_col: str,
-               mode: str = "max", num_partitions: int = 8):
+               mode: str = "max", num_partitions: Optional[int] = None):
     """Score join (reference: lucene/join/src/java/org/apache/lucene/search/
     join/JoinUtil.java ~450 LoC, branch_8x; SURVEY.md §2.5): join the "to"
     side to the "from" side's per-key aggregated score (ScoreMode
@@ -275,14 +389,15 @@ def score_join(ds_from, ds_to, from_key: str, to_key: str, score_col: str,
     )
     scored = ds_from.groupby(from_key).aggregate(agg)
     return ds_to.join(
-        scored, join_type="inner", num_partitions=num_partitions,
+        scored, join_type="inner",
+        num_partitions=default_shuffle_partitions(num_partitions),
         on=(to_key,), right_on=(from_key,),
     )
 
 
 def block_join_parents(ds_children, child_parent_key: str, parent_pred_fn,
                        score_col: str = None, mode: str = "max",
-                       num_partitions: int = 8):
+                       num_partitions: Optional[int] = None):
     """ToParentBlockJoinQuery analog (reference: lucene/join/.../
     ToParentBlockJoinQuery.java ~400 LoC; SURVEY.md §2.5): parents with at
     least one child matching the predicate, optionally scored by the
@@ -303,7 +418,7 @@ def block_join_parents(ds_children, child_parent_key: str, parent_pred_fn,
 
 
 def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
-                   max_hops: int = 2, num_partitions: int = 4):
+                   max_hops: int = 2, num_partitions: Optional[int] = None):
     """{!graph} traversal (reference: solr/core/src/java/org/apache/solr/
     search/join/GraphQuery.java ~350 LoC; SURVEY.md §2.5): iterative
     frontier expansion — each hop is one distributed semi-join of the edge

@@ -36,7 +36,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["compile_value_source", "FUNCTIONS", "register_function"]
+__all__ = [
+    "compile_value_source", "FUNCTIONS", "register_function",
+    "parse_date_math", "apply_date_math",
+]
 
 
 def _num(batch: pa.Table, col: str) -> np.ndarray:
@@ -199,6 +202,104 @@ def _build_ms(stats, field):
     return fn
 
 
+# ------------------------------------------------------------- date math ---
+# DateMathParser (reference: solr/core/src/java/org/apache/solr/util/
+# DateMathParser.java ~350 LoC, branch_8x; SURVEY.md §2.9): Solr date
+# expressions are a chain of roundings ``/UNIT`` and calendar arithmetic
+# ``±N UNITS`` applied left to right, e.g. ``NOW/DAY-7DAYS`` or
+# ``/MONTH+1MONTH-1DAY`` (end of month). Re-created vectorized over numpy
+# datetime64; month/year arithmetic is calendar-aware with day-of-month
+# CLAMPING (Jan 31 + 1MONTH = Feb 28), matching java.util.Calendar.add.
+_DM_UNITS = {
+    "YEAR": "Y", "YEARS": "Y",
+    "MONTH": "M", "MONTHS": "M",
+    "DAY": "D", "DAYS": "D", "DATE": "D",
+    "HOUR": "h", "HOURS": "h",
+    "MINUTE": "m", "MINUTES": "m",
+    "SECOND": "s", "SECONDS": "s",
+    "MILLI": "ms", "MILLIS": "ms",
+    "MILLISECOND": "ms", "MILLISECONDS": "ms",
+}
+
+
+def parse_date_math(expr: str):
+    """``/DAY+7DAYS-1HOUR`` → [("round", "D"), ("add", 7, "D"), ...]."""
+    ops, i = [], 0
+    expr = expr.strip().upper()
+    while i < len(expr):
+        c = expr[i]
+        if c == "/":
+            j = i + 1
+            while j < len(expr) and expr[j].isalpha():
+                j += 1
+            ops.append(("round", _DM_UNITS[expr[i + 1 : j]]))
+            i = j
+        elif c in "+-":
+            j = i + 1
+            while j < len(expr) and expr[j].isdigit():
+                j += 1
+            n = int(expr[i + 1 : j])
+            k = j
+            while k < len(expr) and expr[k].isalpha():
+                k += 1
+            ops.append(("add", n if c == "+" else -n, _DM_UNITS[expr[j:k]]))
+            i = k
+        else:
+            raise ValueError(f"bad date math at {expr[i:]!r}")
+    return ops
+
+
+def apply_date_math(ms: np.ndarray, ops) -> np.ndarray:
+    """Apply parsed ops to an epoch-millis int64 array → epoch millis."""
+    dt = ms.astype(np.int64).astype("datetime64[ms]")
+    for op in ops:
+        if op[0] == "round":
+            dt = dt.astype(f"datetime64[{op[1]}]").astype("datetime64[ms]")
+            continue
+        _, n, u = op
+        if u in ("Y", "M"):
+            months = n * 12 if u == "Y" else n
+            mo = dt.astype("datetime64[M]")
+            day = (dt.astype("datetime64[D]") - mo.astype("datetime64[D]")).astype(np.int64)
+            tod = dt - dt.astype("datetime64[D]").astype("datetime64[ms]")
+            mo2 = mo + np.timedelta64(months, "M")
+            days_in = (
+                (mo2 + np.timedelta64(1, "M")).astype("datetime64[D]")
+                - mo2.astype("datetime64[D]")
+            ).astype(np.int64)
+            day2 = np.minimum(day, days_in - 1)  # Calendar.add day clamp
+            dt = (
+                mo2.astype("datetime64[D]") + day2.astype("timedelta64[D]")
+            ).astype("datetime64[ms]") + tod
+        else:
+            dt = dt + np.timedelta64(n, u)
+    return dt.astype("datetime64[ms]").astype(np.int64)
+
+
+def _build_datemath(stats, x, expr):
+    """datemath(x, "expr"): x is a timestamp field, a numeric epoch-ms
+    value source, or the literal "NOW" (resolved from stats["NOW"] for
+    determinism — distributed engines must pin NOW once per request, as
+    Solr does per request). Returns epoch millis (float64, like ms())."""
+    ops = parse_date_math(expr)
+    if isinstance(x, str) and x.upper() == "NOW":
+        if "NOW" not in (stats or {}):
+            raise ValueError('datemath("NOW", ...) needs stats={"NOW": epoch_ms}')
+        now_ms = int(stats["NOW"])
+
+        def fn(batch):
+            base = np.full(batch.num_rows, now_ms, dtype=np.int64)
+            return apply_date_math(base, ops).astype(np.float64)
+
+        return fn
+    base_fn = _build_ms(stats, x) if isinstance(x, str) else _compile_arg(x, stats)
+
+    def fn(batch):
+        return apply_date_math(base_fn(batch).astype(np.int64), ops).astype(np.float64)
+
+    return fn
+
+
 FUNCTIONS: Dict[str, Callable] = {
     "sum": _nary(np.add),
     "sub": _binary(np.subtract),
@@ -233,6 +334,7 @@ FUNCTIONS: Dict[str, Callable] = {
     "linear": _build_linear,
     "strdist": _build_strdist,
     "ms": _build_ms,
+    "datemath": _build_datemath,
 }
 def register_function(name: str, builder: Callable) -> None:
     """SPI hook (§2.11): plugins register extra value-source builders."""

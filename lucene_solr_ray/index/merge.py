@@ -41,19 +41,15 @@ __all__ = ["merge_partition", "merge_index"]
 
 
 def _decode_all_postings(reader: SegmentReader):
-    """Flat (tid, docid, freq) arrays of a whole segment (term-major)."""
-    n_terms = len(reader.terms)
-    docid_chunks, freq_chunks = [], []
-    for o in range(n_terms):
-        tp = reader.postings(o)
-        docid_chunks.append(tp.docids)
-        freq_chunks.append(tp.freqs)
-    tids = np.repeat(np.arange(n_terms, dtype=np.int64), reader.df.astype(np.int64))
-    docids = (
-        np.concatenate(docid_chunks) if docid_chunks else np.empty(0, dtype=np.int64)
+    """Flat (tid, docid, freq) arrays of a whole segment (term-major) —
+    ONE vectorized bulk unpack of all FOR blocks (postings.py
+    decode_all_postings), not a Python ``reader.postings(o)`` round-trip
+    per vocabulary term (10⁵–10⁶ calls per partition on the old path)."""
+    from .postings import decode_all_postings
+
+    return decode_all_postings(
+        np.asarray(reader.post), reader.block_offset, reader.df
     )
-    freqs = np.concatenate(freq_chunks) if freq_chunks else np.empty(0, dtype=np.int64)
-    return tids, docids.astype(np.int64), freqs.astype(np.uint32)
 
 
 def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any]) -> Dict[str, Any]:

@@ -32,7 +32,13 @@ import numpy as np
 
 BLOCK = 128
 
-__all__ = ["BLOCK", "encode_postings_batch", "decode_term_postings", "TermPostings"]
+__all__ = [
+    "BLOCK",
+    "encode_postings_batch",
+    "decode_term_postings",
+    "decode_all_postings",
+    "TermPostings",
+]
 
 
 def _bitwidths(mat: np.ndarray) -> np.ndarray:
@@ -212,6 +218,72 @@ def decode_block(buf: np.ndarray, off: int) -> Tuple[np.ndarray, np.ndarray]:
         np.ascontiguousarray(buf[p + dnb : p + dnb + fnb]).reshape(1, fnb), fbw
     )[0] + 1
     return deltas.astype(np.int64), freqs.astype(np.int32)
+
+
+def decode_all_postings(
+    buf: np.ndarray, block_offset: np.ndarray, df: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bulk-decode EVERY term's postings of a segment in one vectorized
+    pass → flat term-major ``(tids, docids, freqs)`` arrays.
+
+    The merge path's decoder: one Python call per *bit width* (≤32 rounds
+    per stream over the whole blob) instead of one ``reader.postings(o)``
+    call per vocabulary term (10⁵–10⁶ Python round-trips per partition).
+    ``block_offset`` is the absolute byte offset of every block (cumsum of
+    the skips ``nbytes`` column — blocks are contiguous in term order);
+    ``df`` the per-term doc counts."""
+    df = df.astype(np.int64)
+    n_terms = len(df)
+    tids = np.repeat(np.arange(n_terms, dtype=np.int64), df)
+    n_blocks = len(block_offset)
+    if n_blocks == 0:
+        return tids, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint32)
+
+    dbw = buf[block_offset].astype(np.int64)
+    fbw = buf[block_offset + 1].astype(np.int64)
+    dnb = (BLOCK * dbw + 7) // 8
+
+    dmat = np.empty((n_blocks, BLOCK), dtype=np.uint32)
+    fmat = np.empty((n_blocks, BLOCK), dtype=np.uint32)
+    for bws, mat, extra in ((dbw, dmat, None), (fbw, fmat, dnb)):
+        for bw in np.unique(bws):
+            bw = int(bw)
+            sel = np.nonzero(bws == bw)[0]
+            if bw == 0:
+                mat[sel] = 0
+                continue
+            nb = (BLOCK * bw + 7) // 8
+            base = block_offset[sel] + 2
+            if extra is not None:  # freq stream sits after the doc stream
+                base = base + extra[sel]
+            idx = base[:, None] + np.arange(nb)[None, :]
+            mat[sel] = _unpack_group(
+                np.ascontiguousarray(buf[idx.reshape(-1)]).reshape(len(sel), nb), bw
+            )
+
+    # flatten the padded block matrices to valid entries only: blocks are
+    # term-major and contiguous, so the row-major masked flatten lands in
+    # exactly (term, docid) posting order
+    blocks_per_term = (df + BLOCK - 1) // BLOCK
+    term_of_block = np.repeat(np.arange(n_terms, dtype=np.int64), blocks_per_term)
+    first_block = np.concatenate(([0], np.cumsum(blocks_per_term)[:-1]))
+    blk_in_term = np.arange(n_blocks, dtype=np.int64) - np.repeat(
+        first_block, blocks_per_term
+    )
+    valid_per_block = np.minimum(BLOCK, df[term_of_block] - blk_in_term * BLOCK)
+    mask = np.arange(BLOCK, dtype=np.int64)[None, :] < valid_per_block[:, None]
+    deltas = dmat[mask].astype(np.int64)
+    freqs = fmat[mask] + 1
+
+    # per-term docid reconstruction: global cumsum of deltas minus each
+    # term's preceding total (delta[0] of a term stores the absolute docid)
+    total = np.cumsum(deltas)
+    term_start = np.concatenate(([0], np.cumsum(df)[:-1]))
+    nz = df > 0
+    base = np.zeros(n_terms, dtype=np.int64)
+    base[nz] = total[term_start[nz]] - deltas[term_start[nz]]
+    docids = total - np.repeat(base, df)
+    return tids, docids, freqs.astype(np.uint32)
 
 
 class TermPostings:

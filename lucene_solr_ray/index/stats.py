@@ -69,7 +69,11 @@ def sharded_sum_groupby(ds: "ray.data.Dataset", key: str, sum_cols: list, num_sh
         agg = group.drop_columns(["_shard"]).group_by(key).aggregate(
             [(c, "sum") for c in sum_cols]
         )
-        return agg.rename_columns([key] + list(sum_cols))
+        # select by NAME before renaming: group_by output column order has
+        # differed across pyarrow releases (keys first vs last)
+        return agg.select([key] + [f"{c}_sum" for c in sum_cols]).rename_columns(
+            [key] + list(sum_cols)
+        )
 
     return (
         ds.map_batches(add_shard, batch_format="pyarrow")
@@ -133,7 +137,9 @@ def reduce_stats_shards(index_root: str, stats_runs: str, num_shards: int) -> st
             return
         t = pa.concat_tables([_pq.read_table(f) for f in files])
         agg = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
-        agg = agg.rename_columns(["term", "df", "total_tf"])
+        agg = agg.select(["term", "df_sum", "total_tf_sum"]).rename_columns(
+            ["term", "df", "total_tf"]
+        )
         tmp = os.path.join(stats_dir, f".shard-{s:04d}.tmp")
         _pq.write_table(agg, tmp)
         os.replace(tmp, os.path.join(stats_dir, f"shard-{s:04d}.parquet"))

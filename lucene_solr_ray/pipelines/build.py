@@ -395,7 +395,9 @@ def _spill_partition_stats(index_root: str, pid: int, stats_runs: str, num_shard
     t = pa.concat_tables(tabs)
     if len(tabs) > 1:
         t = t.group_by("term").aggregate([("df", "sum"), ("total_tf", "sum")])
-        t = t.rename_columns(["term", "df", "total_tf"])
+        t = t.select(["term", "df_sum", "total_tf_sum"]).rename_columns(
+            ["term", "df", "total_tf"]
+        )
     sh = _term_shard_keys(t["term"], num_shards)
     order = np.argsort(sh, kind="stable")
     t = t.take(pa.array(order))
@@ -566,45 +568,45 @@ def append_index(
             os.path.join(gen_dir, "docmap.parquet"), columns=["local_docid", "url", "warc_ts"]
         )
         n_norm = _pq.read_table(os.path.join(gen_dir, "norms.parquet"), columns=["dl"])
-        new_urls = ndm["url"].to_pylist()
-        new_key = {
-            u: (int(ts), int(dl), int(d))
-            for u, ts, dl, d in zip(
-                new_urls,
-                ndm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
-                n_norm["dl"].to_numpy(),
-                ndm["local_docid"].to_numpy(),
-            )
-        }
+        new_ts = ndm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_dl = n_norm["dl"].to_numpy().astype(np.int64)
+        new_id = ndm["local_docid"].to_numpy().astype(np.int64)
+        # keep-LAST row per url (docmap row order) — an Arrow hash-agg over
+        # row indices; the resulting unique url column is the probe set
+        rows = pa.table(
+            {"url": ndm["url"], "row": pa.array(np.arange(ndm.num_rows, dtype=np.int64))}
+        )
+        last = rows.group_by("url").aggregate([("row", "max")])
+        sel = last["row_max"].to_numpy()
+        probe_urls = last["url"].combine_chunks()
+        ts_u, dl_u, id_u = new_ts[sel], new_dl[sel], new_id[sel]
         gen_tombs: list = []
         for seg in partition_segments(index_root, pid):
             if os.path.abspath(seg) == os.path.abspath(gen_dir):
                 continue
+            # Arrow hash probe of the old docmap against the new urls +
+            # vectorized (warc_ts, dl) comparison — the old per-row Python
+            # loop over every live doc was O(partition docs) Python per
+            # append and dominated incremental ingest at scale
             dm = _pq.read_table(seg + "/docmap.parquet", columns=["local_docid", "url", "warc_ts"])
             nn = _pq.read_table(os.path.join(seg, "norms.parquet"), columns=["dl"])
             dpath = os.path.join(seg, "deletes.parquet")
-            already_dead = (
-                set(_pq.read_table(dpath)["local_docid"].to_pylist())
-                if os.path.exists(dpath)
-                else set()
-            )
-            old_tombs = []
-            for d, u, ts, dl in zip(
-                dm["local_docid"].to_pylist(),
-                dm["url"].to_pylist(),
-                dm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
-                nn["dl"].to_numpy(),
-            ):
-                if d in already_dead:
-                    continue
-                nk = new_key.get(u)
-                if nk is None:
-                    continue
-                if (int(ts), int(dl)) > (nk[0], nk[1]):
-                    gen_tombs.append(nk[2])  # old version wins; new doc dies
-                else:
-                    old_tombs.append(d)
-            _add_deletes(seg, old_tombs)
+            old_id = dm["local_docid"].to_numpy().astype(np.int64)
+            alive = np.ones(len(old_id), dtype=bool)
+            if os.path.exists(dpath):
+                dead = _pq.read_table(dpath)["local_docid"].to_numpy().astype(np.int64)
+                alive = ~np.isin(old_id, dead)
+            idx = pc.index_in(dm["url"], value_set=probe_urls)
+            hit = idx.is_valid().to_numpy(zero_copy_only=False) & alive
+            if not hit.any():
+                continue
+            idxn = idx.fill_null(0).to_numpy().astype(np.int64)
+            old_ts = dm["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            old_dl = nn["dl"].to_numpy().astype(np.int64)
+            nts, ndl = ts_u[idxn], dl_u[idxn]
+            old_wins = (old_ts > nts) | ((old_ts == nts) & (old_dl > ndl))
+            gen_tombs.extend(id_u[idxn][hit & old_wins].tolist())  # new doc dies
+            _add_deletes(seg, old_id[hit & ~old_wins].tolist())
         _add_deletes(gen_dir, gen_tombs)
         return pa.table({k: [v] for k, v in summary.items()})
 

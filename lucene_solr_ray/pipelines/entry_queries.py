@@ -838,7 +838,6 @@ def q_join_nation_revenue(sf_dir: str):
             lambda t: t.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
         ),
         on=["o_custkey"],
-        num_partitions=4,
     )
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     nation = nation.rename_columns(
@@ -897,6 +896,33 @@ def sql_facet_event_types() -> str:
     return "SELECT event_type, count(*) AS count FROM events GROUP BY event_type"
 
 
+def q_facet_top_terms(sf_dir: str):
+    """Two-phase distributed facet refinement over a HIGH-cardinality Zipf
+    field (the document token stream): every block overrequests its local
+    top terms, the candidate union is broadcast, exact counts are refined
+    for candidates only — top-10 terms by (count desc, term asc). The
+    reference's FacetComponent overrequest→refine pattern (SURVEY.md §2.6);
+    exact here because Zipf head terms lead every block."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch["text"]))
+        return pa.table({"term": toks})
+
+    terms = docs.map_batches(tokens, batch_format="pyarrow")
+    return rel.facet_top_terms(terms, "term", topn=10)
+
+
+def sql_facet_top_terms() -> str:
+    return """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS count FROM toks
+GROUP BY term ORDER BY count DESC, term LIMIT 10
+"""
+
+
 def q_stats_extendedprice(sf_dir: str):
     """StatsComponent: global min/max/sum/count (cents)."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -932,12 +958,30 @@ def sql_unique_mktsegment() -> str:
 
 
 def q_collapse_latest_order(sf_dir: str):
-    """CollapsingQParser: best row per group by (o_orderdate, o_orderkey) desc."""
+    """CollapsingQParser: best row per group by (o_orderdate, o_orderkey)
+    desc — via the NATIVE packed-key collapse (order columns bit-packed
+    into one int64, Max per customer runs as an Arrow hash-agg; no
+    per-group Python callable — the 1e8-groups scale path)."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
-    out = rel.collapse(ds, "o_custkey", ["o_orderdate", "o_orderkey"], [True, True])
-    return out.map_batches(
-        lambda df: df[["o_custkey", "o_orderkey"]], batch_format="pandas"
-    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        )
+        keys = batch["o_orderkey"].to_numpy()
+        assert keys.max() < (1 << 40) and days.max() < (1 << 23)
+        return batch.append_column("_packed", pa.array((days << 40) | keys))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["_packed"].to_numpy()
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": pa.array(packed & ((1 << 40) - 1)),
+            }
+        )
+
+    return rel.collapse_packed(ds, "o_custkey", pack, unpack, mode="max")
 
 
 def sql_collapse_latest_order() -> str:
@@ -1313,6 +1357,43 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_function_datemath(sf_dir: str):
+    """DateMathParser value sources (SURVEY.md §2.9; reference solr/core/
+    .../util/DateMathParser.java, branch_8x): per-row date rounding +
+    calendar arithmetic compiled to vectorized numpy datetime64 kernels —
+    month start (``/MONTH``), freshness bucket (``/DAY+7DAYS``), and
+    next-month-end (``/MONTH+2MONTHS-1DAY``) as epoch millis; first 15
+    orders by key."""
+    from ..functions.scalars import compile_value_source
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    f_month = compile_value_source(["datemath", "o_orderdate", "/MONTH"])
+    f_plus7 = compile_value_source(["datemath", "o_orderdate", "/DAY+7DAYS"])
+    f_eom = compile_value_source(["datemath", "o_orderdate", "/MONTH+2MONTHS-1DAY"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "month_ms": pa.array(f_month(batch).astype(np.int64)),
+                "plus7_ms": pa.array(f_plus7(batch).astype(np.int64)),
+                "eom_ms": pa.array(f_eom(batch).astype(np.int64)),
+            }
+        )
+
+    return orders.map_batches(fn, batch_format="pyarrow").sort("o_orderkey").limit(15)
+
+
+def sql_function_datemath() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
+       CAST(epoch_ms(date_trunc('day', o_orderdate) + INTERVAL 7 DAY) AS BIGINT) AS plus7_ms,
+       CAST(epoch_ms(date_trunc('month', o_orderdate) + INTERVAL 2 MONTH - INTERVAL 1 DAY) AS BIGINT) AS eom_ms
+FROM orders ORDER BY o_orderkey LIMIT 15
+"""
+
+
 _HLL_P = 12  # 4096 registers
 
 
@@ -1350,9 +1431,8 @@ def q_hll_distinct_custkey(sf_dir: str) -> pd.DataFrame:
         lz[nz] = cnt
         rho = np.minimum(lz, 64 - _HLL_P) + 1
         t = pa.table({"reg": pa.array(reg), "rho": pa.array(rho)})
-        return (
-            t.group_by("reg").aggregate([("rho", "max")]).rename_columns(["reg", "rho"])
-        )
+        agg = t.group_by("reg").aggregate([("rho", "max")])
+        return agg.select(["reg", "rho_max"]).rename_columns(["reg", "rho"])
 
     regs = orders.map_batches(registers, batch_format="pyarrow")
     final = regs.groupby("reg").max("rho")
@@ -1381,7 +1461,9 @@ def q_percentile_totalprice(sf_dir: str):
 
     def partial_hist(batch: pa.Table) -> pa.Table:
         t = batch.group_by("o_totalprice_c").aggregate([("o_totalprice_c", "count")])
-        return t.rename_columns(["o_totalprice_c", "cnt"])
+        return t.select(["o_totalprice_c", "o_totalprice_c_count"]).rename_columns(
+            ["o_totalprice_c", "cnt"]
+        )
 
     hist = (
         ds.map_batches(partial_hist, batch_format="pyarrow")
@@ -1523,8 +1605,13 @@ def q_ft_phrase_incremental(sf_dir: str) -> pd.DataFrame:
     key = hashlib.sha256(fp.encode()).hexdigest()[:16]
     index_root = os.path.join("/tmp", "lsr_ft_cache", key)
     manifest_path = os.path.join(index_root, "MANIFEST.json")
+    # the manifest alone is NOT enough: build_index writes it before
+    # append_index/merge_index run, so an interrupted first run would
+    # leave a half-built index a later run silently accepts — validity
+    # additionally requires the completion sentinel written after merge.
+    sentinel = os.path.join(index_root, ".lifecycle_complete")
     ok = False
-    if os.path.exists(manifest_path):
+    if os.path.exists(manifest_path) and os.path.exists(sentinel):
         try:
             root = read_root_manifest(index_root)
             ok = root.get("input_fingerprint") == key and root.get("store_positions")
@@ -1552,6 +1639,8 @@ def q_ft_phrase_incremental(sf_dir: str) -> pd.DataFrame:
         )
         append_index([p], index_root, lang=None, dataset=second, fingerprint=key + "a")
         merge_index(index_root)
+        with open(sentinel, "w") as f:
+            f.write("ok")
     res = search(
         index_root,
         [{"query_id": 0, "kind": "phrase", "terms": FT_PHRASE}],
@@ -1687,7 +1776,8 @@ def q_csv_json_loaders(sf_dir: str):
 
 def sql_csv_json_loaders() -> str:
     return """
-SELECT r_regionkey, r_name, 2::BIGINT AS n_copies FROM region
+SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, 2::BIGINT AS n_copies
+FROM region
 """
 
 
@@ -1956,6 +2046,7 @@ QUERIES = {
     "join_nation_revenue": q_join_nation_revenue,
     "top_orders": q_top_orders,
     "facet_event_types": q_facet_event_types,
+    "facet_top_terms": q_facet_top_terms,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -1972,6 +2063,7 @@ QUERIES = {
     "complement_customers": q_complement_customers,
     "fetch_enrich_orders": q_fetch_enrich_orders,
     "function_scale_recip": q_function_scale_recip,
+    "function_datemath": q_function_datemath,
     "hll_distinct_custkey": q_hll_distinct_custkey,
     "random_sample_orders": q_random_sample_orders,
     "cursor_page_orders": q_cursor_page_orders,
@@ -2010,6 +2102,7 @@ ORACLES = {
     "join_nation_revenue": sql_join_nation_revenue(),
     "top_orders": sql_top_orders(),
     "facet_event_types": sql_facet_event_types(),
+    "facet_top_terms": sql_facet_top_terms(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),
@@ -2026,6 +2119,7 @@ ORACLES = {
     "complement_customers": sql_complement_customers(),
     "fetch_enrich_orders": sql_fetch_enrich_orders(),
     "function_scale_recip": sql_function_scale_recip(),
+    "function_datemath": sql_function_datemath(),
     "random_sample_orders": sql_random_sample_orders(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
