@@ -87,6 +87,34 @@ def _build_synonym(args: dict):
     return fn
 
 
+def _build_edge_ngram(args: dict):
+    """EdgeNGramTokenFilter analog (reference: lucene/analysis/common/.../
+    ngram/EdgeNGramTokenFilter.java, branch_8x): each token expands to its
+    prefixes of length min_gram..max_gram. Lucene 8 emits all grams of a
+    token at the SAME position (first gram takes the original posIncr,
+    later grams posIncr 0), so the list-expansion semantics of this
+    registry apply exactly: grams share the token's freq and the token
+    counts once toward dl (discountOverlaps). Tokens shorter than
+    ``min_gram`` are dropped unless ``preserve_original``; tokens longer
+    than ``max_gram`` additionally keep their full form when
+    ``preserve_original`` (keepShortTerm/keepLongTerm in 8.x)."""
+    lo = int(args.get("min_gram", 1))
+    hi = int(args.get("max_gram", 2))
+    preserve = bool(args.get("preserve_original", False))
+    if not (1 <= lo <= hi):
+        raise ValueError("edge_ngram needs 1 <= min_gram <= max_gram")
+
+    def fn(t: str):
+        if len(t) < lo:
+            return t if preserve else None
+        grams = [t[:g] for g in range(lo, min(hi, len(t)) + 1)]
+        if preserve and len(t) > hi:
+            grams.append(t)
+        return grams if len(grams) > 1 else grams[0]
+
+    return fn
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "stop": _build_stop,
     "porter_stem": _build_porter,
@@ -94,6 +122,7 @@ FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "length": _build_length,
     "truncate": _build_truncate,
     "synonym": _build_synonym,
+    "edge_ngram": _build_edge_ngram,
 }
 
 
@@ -112,6 +141,10 @@ def build_filter_chain(spec_filters: List) -> Optional[Callable[[str], Optional[
             entry = dict(entry)
             name, args = entry.pop("name"), entry
         if name == "lowercase":
+            continue
+        if name == "shingle":
+            # sequence filter, applied at tokenize time (stages/analyzer.py);
+            # at query time a shingle IS the term ("a b"), so identity here
             continue
         if name not in FILTER_BUILDERS:
             raise KeyError(f"unknown token filter: {name!r}")

@@ -463,6 +463,73 @@ WHERE ' ' || text || ' ' LIKE '% {phrase} %'
 """
 
 
+FT_SHINGLE = "query join"
+
+
+def ensure_ft_shingle_index(sf_dir: str) -> str:
+    """Word-bigram (ShingleFilter analog) index over documents — shingling
+    runs at tokenize time inside the analyzer actors (SURVEY.md §2.2;
+    reference lucene/analysis/common/.../shingle/ShingleFilter.java,
+    branch_8x); cached separately from the unigram ft index."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:shingle2"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=_docs_as_pages(sf_dir),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "filters": [
+                "lowercase",
+                {"name": "shingle", "min_shingle": 2, "max_shingle": 2},
+            ],
+        },
+    )
+    return index_root
+
+
+def q_ft_shingle_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of the word-bigram shingle term plus corpus
+    sum_dl. Shingles overlay unigrams at posIncr 0 (discountOverlaps), so
+    sum_dl must equal the plain unigram token count — the oracle checks
+    all three in one row."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_shingle_index(sf_dir)
+    root = read_root_manifest(idx)
+    stats = read_query_term_stats(idx, [FT_SHINGLE])
+    df_, tf_ = stats.get(FT_SHINGLE, (0, 0))
+    return pd.DataFrame(
+        {"df": [df_], "total_tf": [tf_], "sum_dl": [root["sum_dl"]]}
+    ).astype(np.int64)
+
+
+def sql_ft_shingle_stats() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+idx AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t),
+sh AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS term FROM idx),
+m AS (SELECT count(DISTINCT doc_id) AS df, count(*) AS total_tf FROM sh
+      WHERE term = '{FT_SHINGLE}'),
+s AS (SELECT CAST(sum(len(a)) AS BIGINT) AS sum_dl FROM t)
+SELECT m.df, m.total_tf, s.sum_dl FROM m, s
+"""
+
+
 FT_PREFIX = "qu"
 
 
@@ -2047,6 +2114,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "facet_event_types": q_facet_event_types,
     "facet_top_terms": q_facet_top_terms,
+    "ft_shingle_stats": q_ft_shingle_stats,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2103,6 +2171,7 @@ ORACLES = {
     "top_orders": sql_top_orders(),
     "facet_event_types": sql_facet_event_types(),
     "facet_top_terms": sql_facet_top_terms(),
+    "ft_shingle_stats": sql_ft_shingle_stats(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),

@@ -39,11 +39,14 @@ DEFAULT_SPEC = {"tokenizer": "standard_uax29", "max_token_length": 255, "filters
 
 
 def _analyze_rows_regex(
-    texts: list, tokenizer: StandardTokenizer, want_positions: bool = False
+    texts: list, tokenizer: StandardTokenizer, want_positions: bool = False,
+    shingles=None,
 ) -> tuple:
     """Reference regex path for a list of texts → (per-doc term lists,
     per-doc freq arrays, dl array[, per-doc flat position arrays]).
     Exact; used for non-ASCII docs."""
+    from ..analysis.shingle import shingle_token_list
+
     n = len(texts)
     terms_per_doc: list = []
     freqs_per_doc: list = []
@@ -52,6 +55,13 @@ def _analyze_rows_regex(
     tokenize = tokenizer.tokenize_lower
     for i, text in enumerate(texts):
         toks = tokenize(text) if text else []
+        if shingles is not None:
+            toks, dl_i = shingle_token_list(toks, shingles)
+            tf = Counter(toks)
+            dl[i] = dl_i
+            terms_per_doc.append(list(tf.keys()))
+            freqs_per_doc.append(np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
+            continue
         tf = Counter(toks)
         dl[i] = len(toks)
         terms_per_doc.append(list(tf.keys()))
@@ -72,6 +82,7 @@ def analyze_table(
     tokenizer: StandardTokenizer,
     num_partitions: int,
     want_positions: bool = False,
+    shingles=None,
 ) -> pa.Table:
     """Pure function core (also used by tests without Ray): pages table
     (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl
@@ -112,7 +123,15 @@ def analyze_table(
         data, offs = _string_buffers(text_col)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        if want_positions:
+        if shingles is not None:
+            from ..analysis.shingle import shingle_token_stream
+
+            tokens, doc_ids, dl_override = shingle_token_stream(
+                tokens, doc_ids, n, shingles
+            )
+            values, list_off, freqs, _ = doc_tf_from_tokens(tokens, doc_ids, n)
+            dl = dl_override
+        elif want_positions:
             values, list_off, freqs, dl, flat_pos = doc_tf_from_tokens(
                 tokens, doc_ids, n, want_positions=True
             )
@@ -140,6 +159,17 @@ def analyze_table(
             fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
             f_terms, f_freqs, f_dl, f_pos = _analyze_rows_regex(
                 fb_texts, tokenizer, want_positions=True
+            )
+        elif shingles is not None:
+            from ..analysis.shingle import shingle_token_stream
+
+            tokens, doc_ids, a_dl = shingle_token_stream(
+                tokens, doc_ids, len(sub), shingles
+            )
+            a_values, a_off, a_freqs, _ = doc_tf_from_tokens(tokens, doc_ids, len(sub))
+            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
+            f_terms, f_freqs, f_dl = _analyze_rows_regex(
+                fb_texts, tokenizer, shingles=shingles
             )
         else:
             a_values, a_off, a_freqs, a_dl = doc_tf_from_tokens(tokens, doc_ids, len(sub))
@@ -312,14 +342,32 @@ class AnalyzerStage:
         store_positions: bool = False,
     ):
         from ..analysis.filters import build_filter_chain
+        from ..analysis.shingle import ShingleConfig
 
         spec = spec or DEFAULT_SPEC
         self.tokenizer = StandardTokenizer(
             max_token_length=int(spec.get("max_token_length", max_token_length))
         )
         self.num_partitions = num_partitions
-        self.chain = build_filter_chain(spec.get("filters", []))
-        if store_positions and self.chain is not None:
+        # shingle is a SEQUENCE filter (needs adjacent tokens), so it is
+        # pulled out of the filter list and applied at tokenize time; the
+        # remaining vocabulary-wise filters then see shingled terms too
+        # (matching a Lucene chain with ShingleFilter first)
+        filters = list(spec.get("filters", []))
+        sh = [
+            f for f in filters
+            if (isinstance(f, dict) and f.get("name") == "shingle") or f == "shingle"
+        ]
+        if len(sh) > 1:
+            raise ValueError("at most one shingle entry per analyzer spec")
+        self.shingles = None
+        if sh:
+            args = dict(sh[0]) if isinstance(sh[0], dict) else {}
+            args.pop("name", None)
+            self.shingles = ShingleConfig.from_args(args)
+            filters = [f for f in filters if f not in sh]
+        self.chain = build_filter_chain(filters)
+        if store_positions and (self.chain is not None or self.shingles is not None):
             raise ValueError(
                 "store_positions with post-lowercase token filters is "
                 "unsupported (filters drop/merge tokens; position increments "
@@ -332,6 +380,7 @@ class AnalyzerStage:
         out = analyze_table(
             batch, self.tokenizer, self.num_partitions,
             want_positions=self.store_positions,
+            shingles=self.shingles,
         )
         if self.chain is not None:
             out = apply_token_filters(out, self.chain, self._memo)

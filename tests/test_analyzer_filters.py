@@ -169,3 +169,137 @@ def test_synonym_filter_expansion(ray_session, small_corpus, corpus_queries, tmp
     r_plain = search(plain, [{"query_id": 0, "kind": "term", "terms": [word]}], k=10**6)
     assert set(r_alias["url"]) == set(r_word["url"]) == set(r_plain["url"])
     assert len(r_alias) > 0
+
+
+def test_shingle_stream_matches_reference():
+    """Vectorized shingle_token_stream == per-doc Python reference across
+    size/unigram configs, including empty docs and docs shorter than the
+    shingle size."""
+    from lucene_solr_ray.analysis.shingle import (
+        ShingleConfig,
+        shingle_token_list,
+        shingle_token_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        [vocab[int(rng.integers(0, 12))] for _ in range(int(n))]
+        for n in rng.integers(0, 9, size=40)
+    ]
+    docs[3] = []  # force an empty doc and a 1-token doc
+    docs[4] = ["solo"]
+    flat = [t for d in docs for t in d]
+    doc_ids = np.repeat(
+        np.arange(len(docs), dtype=np.int64), [len(d) for d in docs]
+    )
+    for kwargs in (
+        {},
+        {"max_shingle": 3},
+        {"output_unigrams": False},
+        {"min_shingle": 3, "max_shingle": 3, "output_unigrams": False},
+    ):
+        cfg = ShingleConfig(**kwargs)
+        toks, dids, dl = shingle_token_stream(
+            pa.array(flat, type=pa.string()), doc_ids, len(docs), cfg
+        )
+        got = [[] for _ in docs]
+        for t, d in zip(toks.to_pylist(), dids):
+            got[d].append(t)
+        for i, d in enumerate(docs):
+            exp, dl_i = shingle_token_list(d, cfg)
+            assert sorted(got[i]) == sorted(exp), (i, kwargs, got[i], exp)
+            assert dl[i] == dl_i, (i, kwargs)
+
+
+def test_edge_ngram_filter():
+    chain = build_filter_chain([{"name": "edge_ngram", "min_gram": 2, "max_gram": 3}])
+    assert chain("search") == ["se", "sea"]
+    assert chain("se") == "se"
+    assert chain("a") is None  # shorter than min_gram → dropped
+    keep = build_filter_chain(
+        [{"name": "edge_ngram", "min_gram": 2, "max_gram": 3, "preserve_original": True}]
+    )
+    assert keep("search") == ["se", "sea", "search"]
+    assert keep("a") == "a"
+
+
+def test_shingled_index_search(ray_session, tmp_path):
+    """Shingle spec end-to-end: adjacent-pair term matches, reversed pair
+    doesn't; sum_dl equals the plain build (posIncr-0 overlay); with
+    output_unigrams=False single words are not indexed."""
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    pages = pa.table(
+        {
+            "url": [f"u://{i:03d}" for i in range(4)],
+            "warc_ts": pa.array([1, 2, 3, 4], type=pa.timestamp("us")),
+            "text": pa.array(
+                [
+                    "the quick brown fox",
+                    "brown quick jumps",
+                    "quick brown again and quick brown",
+                    "nothing here",
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    spec = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", {"name": "shingle", "min_shingle": 2, "max_shingle": 2}],
+    }
+    idx = str(tmp_path / "idx")
+    root = build_index([p], idx, num_partitions=2, analyzer_spec=spec)
+    plain = build_index([p], str(tmp_path / "plain"), num_partitions=2)
+    assert root["sum_dl"] == plain["sum_dl"]
+
+    hits = search(idx, [{"query_id": 0, "kind": "term", "terms": ["quick brown"]}], k=100)
+    assert sorted(hits["url"]) == ["u://000", "u://002"]
+    rev = search(idx, [{"query_id": 0, "kind": "term", "terms": ["brown quick"]}], k=100)
+    assert sorted(rev["url"]) == ["u://001"]
+    uni = search(idx, [{"query_id": 0, "kind": "term", "terms": ["quick"]}], k=100)
+    assert len(uni) == 3  # unigrams still indexed (output_unigrams=True)
+
+    spec_no_uni = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", {"name": "shingle", "min_shingle": 2,
+                                  "max_shingle": 2, "output_unigrams": False}],
+    }
+    idx2 = str(tmp_path / "idx2")
+    root2 = build_index([p], idx2, num_partitions=2, analyzer_spec=spec_no_uni)
+    assert root2["sum_dl"] == root["sum_dl"] - 4  # T-1 positions per doc
+    assert len(search(idx2, [{"query_id": 0, "kind": "term", "terms": ["quick"]}], k=100)) == 0
+    assert len(search(idx2, [{"query_id": 0, "kind": "term", "terms": ["quick brown"]}], k=100)) == 2
+
+
+def test_edge_ngram_index_search(ray_session, tmp_path):
+    """edge_ngram spec: prefix-term lookup matches; dl unchanged (grams
+    overlay at the token's position)."""
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    pages = pa.table(
+        {
+            "url": ["u://000", "u://001"],
+            "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+            "text": pa.array(["searching searches", "unrelated words"]),
+            "lang": pa.array(["en"] * 2),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    spec = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", {"name": "edge_ngram", "min_gram": 3,
+                                  "max_gram": 5, "preserve_original": True}],
+    }
+    idx = str(tmp_path / "idx")
+    root = build_index([p], idx, num_partitions=1, analyzer_spec=spec)
+    plain = build_index([p], str(tmp_path / "plain"), num_partitions=1)
+    assert root["sum_dl"] == plain["sum_dl"]
+    hits = search(idx, [{"query_id": 0, "kind": "term", "terms": ["sear"]}], k=10)
+    assert sorted(hits["url"]) == ["u://000"]
