@@ -122,6 +122,10 @@ def run_bench() -> dict:
     t_build = min(build_secs)
     timings["index_build"] = round(t_build, 3)
     timings["index_build_runs"] = [round(s, 3) for s in build_secs]
+    # per-phase wall times of the LAST build (manifest-recorded): the
+    # scaling protocol uses these to attribute any efficiency gap to a
+    # concrete phase (analyze/spill vs segment wave vs stats reduce)
+    timings["build_phases"] = root.get("build_phases", {})
 
     # QPS is a steady-state metric: measured against the persistent warmed
     # searcher service (the SolrIndexSearcher analog) — spawn/warm untimed,
@@ -253,6 +257,9 @@ def run_scaling():
             "index_build": min(r["queries"]["index_build"] for r in runs_lo),
             "bm25_search_steady": min(r["queries"]["bm25_search_steady"] for r in runs_lo),
         },
+        "build_phases": min(runs_lo, key=lambda r: r["queries"]["index_build"])[
+            "queries"
+        ].get("build_phases", {}),
         "topk_digest": runs_lo[0]["topk_digest"],
         "bench_docs": runs_lo[0]["bench_docs"],
         "partitions": runs_lo[0]["partitions"],
@@ -264,6 +271,9 @@ def run_scaling():
             "index_build": min(r["queries"]["index_build"] for r in runs_hi),
             "bm25_search_steady": min(r["queries"]["bm25_search_steady"] for r in runs_hi),
         },
+        "build_phases": min(runs_hi, key=lambda r: r["queries"]["index_build"])[
+            "queries"
+        ].get("build_phases", {}),
         "topk_digest": runs_hi[0]["topk_digest"],
         "bench_docs": runs_hi[0]["bench_docs"],
         "partitions": runs_hi[0]["partitions"],
@@ -279,6 +289,7 @@ def run_scaling():
                 "qps": [r_lo["qps"], r_hi["qps"]],
                 "index_build_sec": [r_lo["queries"]["index_build"], r_hi["queries"]["index_build"]],
                 "search_sec": [r_lo["queries"]["bm25_search_steady"], r_hi["queries"]["bm25_search_steady"]],
+                "build_phases": {"lo": r_lo["build_phases"], "hi": r_hi["build_phases"]},
                 "eff_index": round(eff_index, 3),
                 "eff_query": round(eff_query, 3),
                 "rank_identical": r_lo["topk_digest"] == r_hi["topk_digest"],

@@ -222,6 +222,34 @@ def _bucket_pairs_capped(id_col: str, max_bucket: int):
     return bucket_pairs
 
 
+def _multi_member_rows(sigs, key_col: str, num_partitions: Optional[int] = None):
+    """Keep only rows whose ``key_col`` value occurs >= 2 times — the LSH
+    singleton prefilter. In a deduplicated web corpus almost every bucket
+    is a singleton; dropping them BEFORE the per-bucket pair generator
+    means the (unavoidably Python) group callable runs over hundreds of
+    real buckets instead of one call per corpus row. Both steps are
+    vectorized and distributed: a native count aggregate finds the
+    multi-member keys, a hash left_semi join keeps their rows (no driver
+    key-set, no broadcast — the multi-key table is unbounded at scale)."""
+    from .relational import default_shuffle_partitions
+
+    counts = sigs.groupby(key_col).count()
+    multi = (
+        counts.map_batches(
+            lambda t: pa.table({key_col: t[key_col], "cnt": t["count()"]}),
+            batch_format="pyarrow",
+        )
+        .filter(expr="cnt >= 2")
+        .drop_columns(["cnt"])
+    )
+    return sigs.join(
+        multi,
+        join_type="left_semi",
+        on=(key_col,),
+        num_partitions=default_shuffle_partitions(num_partitions),
+    )
+
+
 _PAIR_B_BITS = 32  # b packs into the low 32 bits, a into the upper 31
 
 
@@ -312,35 +340,69 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
                            num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                            id_col: str = "doc_id", text_col: str = "text",
                            concurrency=4, max_bucket: int = 128,
-                           join_partitions: Optional[int] = None):
+                           join_partitions: Optional[int] = None,
+                           fetch_texts_from: Optional[str] = None):
     """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard.
 
-    Scale shape: signatures shuffle as (band_id, band_hash) rows; buckets
-    are capped at ``max_bucket``; candidate pairs get their texts back via
-    TWO co-partitioned hash joins on the pair ids (never a whole-corpus
-    broadcast). Returns a Dataset of (a, b, jaccard_e6) with a < b."""
+    Scale shape: signatures shuffle as single-int64 (bkey, doc_id) rows;
+    singleton buckets are dropped by a native count + semi join before any
+    per-bucket Python runs; buckets are capped at ``max_bucket``.
 
-    pairs = (
-        ds.map_batches(
-            MinHashStage,
-            fn_constructor_kwargs=dict(
-                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                id_col=id_col, text_col=text_col,
-            ),
-            batch_format="pyarrow",
-            concurrency=concurrency,
+    Verify texts: with ``fetch_texts_from`` (a parquet path/dir for the
+    corpus) each verify task POINT-READS only its pairs' rows via parquet
+    predicate pushdown — the FetchStream enrich pattern (reference:
+    solr/solrj/.../io/stream/FetchStream.java, branch_8x), zero extra
+    shuffles, right whenever |candidates| ≪ |corpus| (the normal dedup
+    regime). Without it, texts arrive via TWO co-partitioned hash joins
+    on the pair ids (never a whole-corpus broadcast) — the unbounded-safe
+    fallback when candidates rival the corpus or the input isn't a
+    re-readable file. Returns (a, b, jaccard_e6) rows with a < b."""
+
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    # (band_id, band_hash) mixed into ONE int64 bucket key: single-key
+    # shuffles end to end (a collision merely merges two buckets — the
+    # extra candidates are rejected by the exact-Jaccard verify)
+    def pack_bkey(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy().astype(np.uint64)
+        bh = t["band_hash"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            k = ((bid + np.uint64(1)) * _MIX1) ^ bh
+        return pa.table(
+            {"bkey": pa.array((k >> np.uint64(1)).astype(np.int64)), "doc_id": t["doc_id"]}
         )
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs_capped("doc_id", max_bucket), batch_format="pandas")
+
+    # singleton buckets (the overwhelming majority) never reach the
+    # per-bucket pair generator — see _multi_member_rows
+    cand = _multi_member_rows(sigs.map_batches(pack_bkey, batch_format="pyarrow"), "bkey")
+    pairs = cand.groupby("bkey").map_groups(
+        _bucket_pairs_capped("doc_id", max_bucket), batch_format="pandas"
     )
     # a pair can surface from multiple bands — dedup before verifying via
     # the packed-key native aggregate (single int64 key: Arrow hash-agg
     # end to end, no per-group Python, no multi-key shuffle aggregator)
     uniq = distinct_pairs(pairs)
 
+    if fetch_texts_from is not None:
+        return _fetch_verify_pairs(
+            uniq, fetch_texts_from, id_col, text_col, shingle_k, threshold
+        )
+
     from .relational import default_shuffle_partitions
 
-    join_partitions = default_shuffle_partitions(join_partitions)
+    # verify joins move (pair ids ⋈ texts): the pair side is tiny compared
+    # to the corpus, so the fan-out follows it — cpus/4 keeps per-partition
+    # fixed costs amortized on one node yet still grows with the cluster
+    if join_partitions is None:
+        join_partitions = max(8, default_shuffle_partitions(None) // 4)
     texts = ds.select_columns([id_col, text_col])
     t_a = texts.map_batches(
         lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
@@ -361,6 +423,47 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
         return keep[["a", "b", "jaccard_e6"]]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+def _fetch_verify_pairs(uniq, parquet_path: str, id_col: str, text_col: str,
+                        shingle_k: int, threshold: float, batch_size: int = 2048):
+    """Jaccard-verify candidate pairs by point-reading their texts from the
+    corpus parquet (row-group pruning on the id predicate): one targeted
+    read per pair batch, no shuffle of the corpus. Stateful stage — the
+    pyarrow dataset handle (file footers) opens once per actor."""
+    import pyarrow.dataset as pads
+
+    class FetchVerify:
+        def __init__(self):
+            self.dset = pads.dataset(parquet_path)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            ids = sorted(set(a) | set(b))
+            t = self.dset.to_table(
+                filter=pc.field(id_col).isin(ids), columns=[id_col, text_col]
+            )
+            texts = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+            jac = np.array(
+                [
+                    int(ngram_jaccard(texts[x], texts[y], shingle_k) * 1_000_000)
+                    for x, y in zip(a, b)
+                ],
+                dtype=np.int64,
+            )
+            keep = jac >= int(threshold * 1_000_000)
+            return pa.table(
+                {
+                    "a": pa.array(np.asarray(a, dtype=np.int64)[keep]),
+                    "b": pa.array(np.asarray(b, dtype=np.int64)[keep]),
+                    "jaccard_e6": pa.array(jac[keep]),
+                }
+            )
+
+    return uniq.map_batches(
+        FetchVerify, batch_format="pyarrow", batch_size=batch_size, concurrency=2
+    )
 
 
 # -------------------------------------------------------------- simhash ----
@@ -427,11 +530,11 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
         rep_ids = np.tile(ids, n_tables)
         rep_sh = np.tile(sh, n_tables)
         key = ((rep_sh >> (np.uint64(16) * tbl.astype(np.uint64))) & np.uint64(0xFFFF)).astype(np.int64)
+        # (table_id, slice_key) pack losslessly into one int64 bucket key
         return pa.table(
             {
                 "doc_id": pa.array(rep_ids, type=pa.int64()),
-                "table_id": pa.array(tbl),
-                "slice_key": pa.array(key),
+                "bkey": pa.array((tbl.astype(np.int64) << 16) | key),
                 "simhash": pa.array(rep_sh.view(np.int64)),
             }
         )
@@ -464,10 +567,9 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             {"a": ids[iu[0]][keep], "b": ids[iu[1]][keep], "hamming": d[keep]}
         )
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["table_id", "slice_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    # singleton slices skip the pair generator entirely (see
+    # _multi_member_rows); the survivors group by the packed key
+    cand = _multi_member_rows(sigs.map_batches(explode, batch_format="pyarrow"), "bkey")
+    pairs = cand.groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
     # identical (a, b) rows carry identical hamming — min() just picks it
     return distinct_pairs(pairs, value_col="hamming", mode="min")

@@ -530,6 +530,111 @@ SELECT m.df, m.total_tf, s.sum_dl FROM m, s
 """
 
 
+MLT_SRC_DOC = 7
+MLT_MAX_TERMS = 10
+MLT_MIN_DF = 2
+
+
+def q_knn_mlt_docs(sf_dir: str) -> pd.DataFrame:
+    """MoreLikeThis / term-based knn() stream (reference: solr/solrj/.../io/
+    stream/KnnStream.java + lucene/queries/.../mlt/MoreLikeThis.java,
+    branch_8x; SURVEY.md §2.8): re-analyze the source doc, rank its terms
+    by tf·idf (idf = BM25 idf, min docFreq 2), take the top
+    ``MLT_MAX_TERMS`` (tie → term asc), then BM25-OR search those terms
+    over the whole index, excluding the source doc — top-10 similar docs.
+    Term selection runs on global stats (point parquet lookups, no scan);
+    the search is the ordinary distributed top-k."""
+    from ..analysis.tokenizer import tokenize_lower
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_index(sf_dir)
+    root = read_root_manifest(idx)
+    n = float(root["num_docs"])
+
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(_docs_path(sf_dir))
+    src = dset.to_table(filter=pc.field("doc_id") == MLT_SRC_DOC, columns=["text"])
+    toks = tokenize_lower(src["text"][0].as_py())
+    tf: Dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    stats = read_query_term_stats(idx, sorted(tf))
+    scored = []
+    for t, f in tf.items():
+        df_ = stats.get(t, (0, 0))[0]
+        if df_ < MLT_MIN_DF:
+            continue
+        idf = np.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        scored.append((-f * idf, t))
+    terms = [t for _, t in sorted(scored)[:MLT_MAX_TERMS]]
+
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": terms}],
+        k=MLT_MAX_TERMS + 1,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    ids = _url_to_doc_id(res["url"])
+    keep = ids != MLT_SRC_DOC
+    out = pd.DataFrame(
+        {
+            "doc_id": ids[keep][:10],
+            "score_e6": np.floor(res["score"].to_numpy()[keep][:10] * 1e6).astype(
+                np.int64
+            ),
+        }
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
+def sql_knn_mlt_docs() -> str:
+    return (
+        _ft_sql_common()
+        + f"""
+, src AS (
+  SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_SRC_DOC} GROUP BY term
+),
+dfs_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+sel AS (
+  SELECT src.term
+  FROM src JOIN dfs_all USING (term) CROSS JOIN stats
+  WHERE dfs_all.df >= {MLT_MIN_DF}
+  ORDER BY src.tf * ln(1 + (stats.n - dfs_all.df + 0.5) / (dfs_all.df + 0.5)) DESC,
+           src.term ASC
+  LIMIT {MLT_MAX_TERMS}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id <> {MLT_SRC_DOC}
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 FT_PREFIX = "qu"
 
 
@@ -715,11 +820,14 @@ def q_langid_eval(sf_dir: str):
 
 # ================================================================== dedup ==
 def q_dedup_exact(sf_dir: str):
+    """SignatureUpdateProcessor exact dedup — only (survivor id, hash) is
+    needed here, so the NATIVE min-id aggregate path runs (one Arrow hash
+    agg, no per-group Python; exact_dedup keeps full rows when callers
+    need them)."""
+    from ..functions.dedup import exact_dedup_ids
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = exact_dedup(ds, id_col="doc_id", text_col="text")
-    return out.map_batches(
-        lambda t: t.select(["doc_id", "content_hash"]), batch_format="pyarrow"
-    )
+    return exact_dedup_ids(ds, id_col="doc_id", text_col="text")
 
 
 def sql_dedup_exact() -> str:
@@ -732,10 +840,12 @@ FROM documents GROUP BY text
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by n-gram Jaccard —
     not SQL-expressible (banding); deterministic seed, rows-only check.
-    Candidate texts come back via hash joins on the pair ids (no
-    whole-corpus broadcast)."""
+    Candidate texts come back via the fetch() point-read pattern (the
+    corpus parquet is re-readable here), the zero-shuffle verify path."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, threshold=0.5, concurrency=2)
+    return minhash_near_dup_pairs(
+        ds, threshold=0.5, concurrency=2, fetch_texts_from=_docs_path(sf_dir)
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -2115,6 +2225,7 @@ QUERIES = {
     "facet_event_types": q_facet_event_types,
     "facet_top_terms": q_facet_top_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
+    "knn_mlt_docs": q_knn_mlt_docs,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2172,6 +2283,7 @@ ORACLES = {
     "facet_event_types": sql_facet_event_types(),
     "facet_top_terms": sql_facet_top_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
+    "knn_mlt_docs": sql_knn_mlt_docs(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),
