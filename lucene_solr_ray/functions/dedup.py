@@ -43,6 +43,8 @@ __all__ = [
     "ngram_jaccard",
     "token_hashes_batch",
     "distinct_pairs",
+    "embedding_neardup_remove",
+    "embedding_neardup_lsh_pairs",
 ]
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constants
@@ -573,3 +575,141 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     pairs = cand.groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
     # identical (a, b) rows carry identical hamming — min() just picks it
     return distinct_pairs(pairs, value_col="hamming", mode="min")
+
+
+# ---------------------------------------------- embedding near-dup --------
+def embedding_neardup_remove(ds, threshold: float, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             chunk_rows: int = 65536):
+    """EXACT embedding-cosine near-duplicate removal: keep every row whose
+    id has NO smaller-id neighbor with cosine >= ``threshold`` (the
+    min-id-survivor convention shared by exact_dedup / minhash; the vector
+    analog of SignatureUpdateProcessor fuzzy dedup, SURVEY.md §2.7).
+
+    Shape: the full L2-normalized (N, d) matrix is broadcast ONCE
+    (``ray.put``); each batch does chunked matmuls against it and filters
+    itself map-side — no shuffle at all. This is the exact / verification
+    kernel: the broadcast side must fit in worker memory (N·d·8 bytes —
+    ~5 GB at 10M x 64d), so at full corpus scale use
+    ``embedding_neardup_lsh_pairs`` and reserve this for bounded slices,
+    verification, or the final candidate pass."""
+    import ray
+
+    mats, idss = [], []
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        from .ann import decode_fixed_dim
+
+        mats.append(decode_fixed_dim(b[vec_col]))
+        idss.append(b[id_col].to_numpy())
+    M = np.concatenate(mats) if mats else np.empty((0, 0))
+    all_ids = np.concatenate(idss) if idss else np.empty((0,), dtype=np.int64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    M = M / norms[:, None]
+    ref = ray.put((all_ids, M))
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from .ann import decode_fixed_dim
+
+        ids_all, Mn = ray.get(ref) if not isinstance(ref, tuple) else ref
+        ids = batch[id_col].to_numpy()
+        X = decode_fixed_dim(batch[vec_col])
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        X = X / n[:, None]
+        dominated = np.zeros(len(ids), dtype=bool)
+        # chunk the reference side so the (B, chunk) sim slab stays bounded
+        for s in range(0, Mn.shape[0], chunk_rows):
+            sl = slice(s, s + chunk_rows)
+            sims = X @ Mn[sl].T  # (B, chunk)
+            dominated |= ((sims >= threshold) & (ids_all[sl][None, :] < ids[:, None])).any(axis=1)
+        return batch.filter(pa.array(~dominated))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh_pairs(ds, threshold: float, dim: int,
+                                id_col: str = "vec_id", vec_col: str = "embedding",
+                                n_planes: int = 10, n_tables: int = 8,
+                                max_bucket: int = 512, seed: int = 42):
+    """Near-dup candidate pairs (a < b, cosine >= threshold) via
+    random-hyperplane LSH (public Charikar scheme) — the SCALE path: data
+    buckets by sign pattern in ``n_tables`` tables, all-pairs cosine runs
+    only inside (capped) buckets, and recovered pairs dedup through the
+    packed-key native aggregate. Shuffle volume is ``n_tables`` x the
+    normalized vectors; recall at threshold t is
+    1-(1-(1-arccos(t)/pi)^n_planes)^n_tables — tuned for HIGH thresholds
+    (>= 0.9, the near-duplicate regime); low thresholds need fewer planes
+    or the exact kernel."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .ann import decode_fixed_dim
+
+        ids = batch[id_col].to_numpy()
+        mat = decode_fixed_dim(batch[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        signs = (np.einsum("tpd,bd->tbp", planes, matn) > 0).astype(np.uint32)
+        codes = (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=2)  # (T, B)
+        n, d = matn.shape
+        rep_ids = np.tile(ids, n_tables)
+        tb = (np.repeat(np.arange(n_tables, dtype=np.int64), n) << 40) | codes.reshape(-1).astype(np.int64)
+        # vectors travel as FIXED-WIDTH float32 binary, not list<float>:
+        # the singleton-prefilter hash join can't shuffle list-typed
+        # non-key fields (Arrow acero limitation), and fixed-width binary
+        # halves the shuffle bytes
+        v32 = matn.astype(np.float32)
+        flat = np.tile(v32.reshape(-1).view(np.uint8), n_tables)
+        off = np.arange(n * n_tables + 1, dtype=np.int32) * (4 * d)
+        return pa.table(
+            {
+                "tb": pa.array(tb),
+                "vec_id": pa.array(rep_ids, type=pa.int64()),
+                "vec": pa.BinaryArray.from_buffers(
+                    pa.binary(), n * n_tables,
+                    [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+                ),
+            }
+        )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        vcol = g["vec"]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        # vectorized fixed-width decode: every value is exactly 4*dim bytes
+        offs = np.frombuffer(vcol.buffers()[1], dtype=np.int32)[
+            vcol.offset : vcol.offset + len(vcol) + 1
+        ]
+        assert (np.diff(offs) == 4 * dim).all(), "ragged binary vec column"
+        data = np.frombuffer(vcol.buffers()[2], dtype=np.uint8)
+        raw = data[offs[0] : offs[0] + len(vcol) * 4 * dim]
+        mat = raw.view(np.float32).reshape(len(vcol), dim).astype(np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        if len(ids) > max_bucket:
+            print(
+                f"[dedup] embedding LSH bucket truncated: {len(ids)} members "
+                f"> cap {max_bucket} ({len(ids) - max_bucket} dropped)"
+            )
+            ids, mat = ids[:max_bucket], mat[:max_bucket]
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(ids) < 2:
+            return empty
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
+        if not hit.any():
+            return empty
+        return pa.table(
+            {"a": pa.array(ids[iu[0]][hit]), "b": pa.array(ids[iu[1]][hit])}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    cand = _multi_member_rows(exploded, "tb")
+    pairs = cand.groupby("tb").map_groups(score_bucket, batch_format="pyarrow")
+    return distinct_pairs(pairs)

@@ -2185,6 +2185,101 @@ def q_ann_ivf_recall(sf_dir: str):
     return pd.DataFrame(rows).astype(np.int64)
 
 
+def q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-duplicate removal (exact kernel): keep every
+    vector with no smaller-id neighbor at cosine >= 0.35 — the min-id
+    survivor convention shared by dedup_exact/minhash. The broadcast-matmul
+    exact path is the oracle-checkable baseline; the LSH-bucketed scale
+    variant is recall-gated in ``dedup_embed_lsh_recall``."""
+    from ..functions.dedup import embedding_neardup_remove
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    kept = embedding_neardup_remove(ds, threshold=0.35)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "label": batch["label"].cast(pa.int64()),
+            }
+        )
+
+    return kept.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_dedup_embed() -> str:
+    return """
+WITH rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM rm)
+"""
+
+
+def q_dedup_embed_lsh_recall(sf_dir: str):
+    """LSH-bucketed embedding near-dup vs the exact kernel: the sf
+    embeddings carry no true near-duplicates (max pairwise cosine ~0.6),
+    so plant them deterministically — one slightly-perturbed copy of each
+    of the first 40 vectors (cosine ~0.99 to its source, new ids above the
+    id space) — then remove at threshold 0.95 with both paths and report
+    removed-set recall. Approximate by construction: rows-only check,
+    gated by the pytest accuracy assertion like ann_lsh/ivf_recall."""
+    import pyarrow.parquet as pq_mod
+
+    from ..functions.ann import decode_fixed_dim
+    from ..functions.dedup import embedding_neardup_lsh_pairs, embedding_neardup_remove
+
+    t = pq_mod.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    X = decode_fixed_dim(t["embedding"].combine_chunks())
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    n_plant = min(40, len(ids))
+    rng = np.random.default_rng(7)
+    src = np.argsort(ids)[:n_plant]
+    # per-dim noise 0.02 over 64 dims → |noise| ≈ 0.16 → cosine ≈ 0.987
+    # to the source: safely above the 0.95 removal threshold
+    dup = Xn[src] + 0.02 * rng.standard_normal((n_plant, X.shape[1]))
+    dup_ids = ids.max() + 1 + np.arange(n_plant, dtype=np.int64)
+    all_ids = np.concatenate([ids, dup_ids])
+    all_vecs = np.concatenate([Xn, dup]).astype(np.float32)
+    d = all_vecs.shape[1]
+    off = np.arange(len(all_ids) + 1, dtype=np.int64) * d
+    tab = pa.table(
+        {
+            "vec_id": pa.array(all_ids),
+            "embedding": pa.LargeListArray.from_arrays(
+                pa.array(off), pa.array(all_vecs.reshape(-1))
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tab)
+    kept_exact = set(
+        embedding_neardup_remove(ds, threshold=0.95).to_pandas()["vec_id"]
+    )
+    removed_exact = set(all_ids.tolist()) - kept_exact
+    pairs = embedding_neardup_lsh_pairs(
+        ray.data.from_arrow(tab), threshold=0.95, dim=d
+    ).to_pandas()
+    removed_lsh = set(pairs["b"].tolist()) if "b" in pairs.columns else set()
+    inter = removed_exact & removed_lsh
+    return pd.DataFrame(
+        {
+            "n_total": [len(all_ids)],
+            "n_removed_exact": [len(removed_exact)],
+            "n_removed_lsh": [len(removed_lsh)],
+            "recall_x100": [int(100 * len(inter) / max(len(removed_exact), 1))],
+        }
+    ).astype(np.int64)
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -2212,6 +2307,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embed": q_dedup_embed,
+    "dedup_embed_lsh_recall": q_dedup_embed_lsh_recall,
     # similarity search
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -2275,6 +2372,7 @@ ORACLES = {
     "doc_stats": sql_doc_stats(),
     "quality_scores": sql_quality_scores(),
     "dedup_exact": sql_dedup_exact(),
+    "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),
     "binary_meta": sql_binary_meta(),
     "rollup_pricing": sql_rollup_pricing(),

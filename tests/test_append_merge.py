@@ -181,3 +181,57 @@ def test_positions_survive_append_and_merge(corpora, corpus_queries, tmp_path_fa
     build_index([a_path, b_plus_path], fresh, num_partitions=4, store_positions=True)
     r_fresh = _frame(search(fresh, queries, k=10))
     assert r_merged.equals(r_fresh)
+
+
+def test_ten_generation_append_merge(ray_session, tmp_path_factory):
+    """Append-heavy lifecycle (the incremental-ingest hot path): 10
+    generations with url overlap in BOTH directions (newer-wins and
+    older-survives), merged down, must equal a fresh build over the
+    last-wins union — and CheckIndex stays green throughout."""
+    from lucene_solr_ray.sources.pages import (
+        corpus_df_stats,
+        generate_pages,
+        generate_query_set,
+    )
+
+    base = tmp_path_factory.mktemp("gen10")
+    paths = generate_pages(str(base / "pages"), 1500, 2, seed=42)
+    idx = str(base / "idx")
+    build_index(paths, idx, num_partitions=4)
+
+    gen_paths = []
+    for g in range(10):
+        t = pq.read_table(paths[g % 2]).slice(g * 40, 80)
+        ts = t["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # even generations: strictly newer (update wins); odd: strictly
+        # older (existing doc must survive the append)
+        delta = 10**13 * (g + 1) if g % 2 == 0 else -(10**13) * (g + 1)
+        t = t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array((ts + delta).astype("datetime64[us]"), type=pa.timestamp("us")),
+        )
+        if g % 2 == 0:
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array([f"gen{g} body {i} zzgen{g}" for i in range(t.num_rows)]),
+            )
+        p = str(base / f"gen{g}.parquet")
+        pq.write_table(t, p)
+        gen_paths.append(p)
+        append_index([p], idx)
+
+    assert check_index(idx) == []
+    merge_index(idx)
+    assert check_index(idx) == []
+
+    union = str(base / "union")
+    all_paths = paths + gen_paths
+    build_index(all_paths, union, num_partitions=4)
+    queries = generate_query_set(corpus_df_stats(all_paths))
+    queries.append({"query_id": 9000, "kind": "term", "terms": ["zzgen8"]})
+    ra = _frame(search(idx, queries, k=10))
+    rb = _frame(search(union, queries, k=10))
+    assert ra.equals(rb)
+    assert (ra["query_id"] == 9000).any()  # gen-8 update is searchable

@@ -104,3 +104,15 @@ def test_simhash_identical_docs_distance_zero(ray_session):
                   "text": ["alpha beta gamma delta"] * 2})
     sh = SimHashStage.simhash_batch(t["text"])
     assert sh[0] == sh[1] != 0
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """Accuracy gate for the LSH-bucketed embedding near-dup path: on the
+    sf0.001 embeddings with planted ~0.99-cosine duplicates, LSH removal
+    must recover >= 90% of the exact kernel's removed set (measured 100%
+    at sf0.01; approximate by construction, so rows-only in the driver)."""
+    from lucene_solr_ray.pipelines.entry_queries import q_dedup_embed_lsh_recall
+
+    df = q_dedup_embed_lsh_recall("/root/testdata/sf0.001")
+    assert int(df["recall_x100"].iloc[0]) >= 90, df.to_dict("records")
+    assert int(df["n_removed_exact"].iloc[0]) > 0
