@@ -43,6 +43,30 @@ def _ascii_fold(token: str) -> str:
     return "".join(_FOLD.get(c, c) for c in token)
 
 
+def _ascii_fold_full(token: str) -> str:
+    """Full-table ASCIIFoldingFilter analog: explicit table first (covers
+    the non-decomposable cases — ss/ae/oe/th/o-slash/d-stroke), then NFKD
+    decomposition with combining marks stripped, matching the breadth of
+    Lucene's ~2000-entry generated table for Latin script."""
+    if all(ord(c) < 128 for c in token):
+        return token
+    import unicodedata
+
+    out = []
+    for c in token:
+        if ord(c) < 128:
+            out.append(c)
+            continue
+        f = _FOLD.get(c)
+        if f is not None:
+            out.append(f)
+            continue
+        dec = unicodedata.normalize("NFKD", c)
+        kept = "".join(d for d in dec if not unicodedata.combining(d) and ord(d) < 128)
+        out.append(kept if kept else c)
+    return "".join(out)
+
+
 def _build_stop(args: dict) -> Callable[[str], Optional[str]]:
     words = frozenset(args.get("words", ()))
     return lambda t: None if t in words else t
@@ -51,7 +75,23 @@ def _build_stop(args: dict) -> Callable[[str], Optional[str]]:
 def _build_porter(args: dict) -> Callable[[str], Optional[str]]:
     from .porter import porter_stem
 
+    protected = frozenset(args.get("protected", ()))
+    if protected:  # KeywordMarkerFilter analog: protected terms skip stemming
+        return lambda t: t if t in protected else porter_stem(t)
     return porter_stem
+
+
+def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
+    """SnowballPorterFilterFactory (language=English / Porter2) analog
+    (reference: lucene/analysis/common/.../snowball/
+    SnowballPorterFilterFactory.java, branch_8x). ``protected`` lists
+    terms exempt from stemming (KeywordMarkerFilter analog)."""
+    from .snowball import snowball_stem
+
+    protected = frozenset(args.get("protected", ()))
+    if protected:
+        return lambda t: t if t in protected else snowball_stem(t)
+    return snowball_stem
 
 
 def _build_length(args: dict) -> Callable[[str], Optional[str]]:
@@ -115,14 +155,134 @@ def _build_edge_ngram(args: dict):
     return fn
 
 
+def _build_ngram(args: dict):
+    """NGramTokenFilter analog (reference: lucene/analysis/common/.../
+    ngram/NGramTokenFilter.java, branch_8x): each token expands to ALL its
+    substrings of length min_gram..max_gram, emitted at the token's
+    position (posIncr-0 list semantics, same as edge_ngram: grams share
+    the token's freq, the token counts once toward dl). Tokens shorter
+    than min_gram drop unless ``preserve_original``."""
+    lo = int(args.get("min_gram", 1))
+    hi = int(args.get("max_gram", 2))
+    preserve = bool(args.get("preserve_original", False))
+    if not (1 <= lo <= hi):
+        raise ValueError("ngram needs 1 <= min_gram <= max_gram")
+
+    def fn(t: str):
+        n = len(t)
+        if n < lo:
+            return t if preserve else None
+        grams = [
+            t[i : i + g]
+            for g in range(lo, min(hi, n) + 1)
+            for i in range(n - g + 1)
+        ]
+        if preserve and n > hi:
+            grams.append(t)
+        return grams if len(grams) > 1 else grams[0]
+
+    return fn
+
+
+def _build_word_delimiter(args: dict):
+    """WordDelimiterGraphFilter analog (reference: lucene/analysis/common/
+    .../miscellaneous/WordDelimiterGraphFilter.java, branch_8x), operating
+    post-lowercase so splitOnCaseChange is unavailable (documented
+    deviation — pair with a whitespace-ish source if case-split matters).
+    Splits a token into alpha and digit runs at non-alphanumerics and
+    (optionally) letter<->digit boundaries; subwords emit at the original
+    token's position (posIncr-0 list semantics — the graph's stacked
+    positions collapse, same approximation as edge_ngram/synonym).
+
+    args: generate_word_parts (default True), generate_number_parts
+    (default True), split_on_numerics (default True), catenate_words,
+    catenate_numbers, catenate_all (defaults False), preserve_original
+    (default False), stem_english_possessive (default True)."""
+    gen_words = bool(args.get("generate_word_parts", True))
+    gen_nums = bool(args.get("generate_number_parts", True))
+    split_num = bool(args.get("split_on_numerics", True))
+    cat_words = bool(args.get("catenate_words", False))
+    cat_nums = bool(args.get("catenate_numbers", False))
+    cat_all = bool(args.get("catenate_all", False))
+    preserve = bool(args.get("preserve_original", False))
+    possessive = bool(args.get("stem_english_possessive", True))
+
+    def fn(t: str):
+        orig = t
+        if possessive and t.endswith("'s"):
+            t = t[:-2]
+        # split into maximal alnum runs, then optionally at digit boundaries
+        runs: List[str] = []
+        cur = []
+        kinds = []  # parallel: True if digit run
+
+        def flush():
+            if cur:
+                runs.append("".join(cur))
+                kinds.append(cur[0].isdigit())
+
+        prev_digit = None
+        for ch in t:
+            if not ch.isalnum():
+                flush()
+                cur, prev_digit = [], None
+                continue
+            d = ch.isdigit()
+            if cur and split_num and d != prev_digit:
+                flush()
+                cur = []
+            cur.append(ch)
+            prev_digit = d
+        flush()
+
+        out: List[str] = []
+        if len(runs) <= 1 and runs and runs[0] == orig:
+            return orig  # nothing to delimit
+        for r, is_num in zip(runs, kinds):
+            if (is_num and gen_nums) or (not is_num and gen_words):
+                out.append(r)
+        if cat_words:
+            wcat = "".join(r for r, k in zip(runs, kinds) if not k)
+            if wcat:
+                out.append(wcat)
+        if cat_nums:
+            ncat = "".join(r for r, k in zip(runs, kinds) if k)
+            if ncat:
+                out.append(ncat)
+        if cat_all:
+            acat = "".join(runs)
+            if acat:
+                out.append(acat)
+        if preserve:
+            out.append(orig)
+        out = list(dict.fromkeys(out))
+        if not out:
+            return None
+        return out if len(out) > 1 else out[0]
+
+    return fn
+
+
+def _build_keep(args: dict) -> Callable[[str], Optional[str]]:
+    """KeepWordFilter analog: drop every token NOT in the word set."""
+    words = frozenset(args.get("words", ()))
+    return lambda t: t if t in words else None
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "stop": _build_stop,
     "porter_stem": _build_porter,
-    "ascii_folding": lambda args: _ascii_fold,
+    "snowball_stem": _build_snowball,
+    "ascii_folding": lambda args: (
+        _ascii_fold_full if args.get("full") else _ascii_fold
+    ),
     "length": _build_length,
     "truncate": _build_truncate,
     "synonym": _build_synonym,
     "edge_ngram": _build_edge_ngram,
+    "ngram": _build_ngram,
+    "word_delimiter": _build_word_delimiter,
+    "keep": _build_keep,
 }
 
 

@@ -445,9 +445,10 @@ def _build_via_runs(
     os.makedirs(stats_runs)
 
     @ray.remote(num_cpus=1)
-    def build_one(pid: int) -> None:
+    def build_one(pid: int) -> float:
         import glob as _glob
 
+        t0 = time.perf_counter()
         if pid not in done_set:
             if pid in has_runs:
                 from pyarrow import feather as _ft
@@ -459,10 +460,20 @@ def _build_via_runs(
             else:
                 write_partition(_empty_analyzed_table(), pid=pid)
         _spill_partition_stats(index_root, pid, stats_runs, num_shards)
+        return time.perf_counter() - t0
 
-    ray.get([build_one.remote(pid) for pid in range(P)])
+    task_secs = ray.get([build_one.remote(pid) for pid in range(P)])
     shutil.rmtree(runs_dir, ignore_errors=True)
     phases["segment_build"] = round(time.perf_counter() - t_ph, 3)
+    if task_secs:
+        # per-task distribution: separates skew (max >> p50) from
+        # bandwidth/steal inflation (p50 itself grows with cluster width)
+        ts = np.sort(np.asarray(task_secs))
+        phases["build_task_secs"] = {
+            "p50": round(float(ts[len(ts) // 2]), 3),
+            "max": round(float(ts[-1]), 3),
+            "sum": round(float(ts.sum()), 3),
+        }
     t_ph = time.perf_counter()
 
     from ..index.stats import reduce_stats_shards

@@ -2280,6 +2280,48 @@ def q_dedup_embed_lsh_recall(sf_dir: str):
     ).astype(np.int64)
 
 
+SUGGEST_PREFIXES = ["d", "jo", "s"]
+
+
+def q_suggest_terms(sf_dir: str) -> pd.DataFrame:
+    """Prefix suggester over the index's global term stats (TermsComponent
+    / SuggestComponent analog, SURVEY.md §2 suggester row; reference:
+    solr/core/.../component/TermsComponent.java, branch_8x). The
+    dictionary IS the distributed stats table; lookups push the prefix
+    range into read_parquet and merge per-block top-k."""
+    from ..search.suggest import suggest
+
+    idx = ensure_ft_index(sf_dir)
+    res = suggest(idx, SUGGEST_PREFIXES, k=5, weight="total_tf")
+    return res.astype(
+        {"rank": np.int64, "df": np.int64, "total_tf": np.int64}
+    )
+
+
+def sql_suggest_terms() -> str:
+    pfx = ",".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+  FROM toks GROUP BY term
+),
+pfx(prefix) AS (VALUES {pfx}),
+ranked AS (
+  SELECT pfx.prefix, ts.term, ts.df, ts.total_tf,
+         row_number() OVER (
+           PARTITION BY pfx.prefix
+           ORDER BY ts.total_tf DESC, ts.term ASC
+         ) AS rank
+  FROM pfx JOIN ts ON ts.term LIKE pfx.prefix || '%'
+)
+SELECT prefix, rank, term, df, total_tf FROM ranked
+WHERE rank <= 5 ORDER BY prefix, rank
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -2323,6 +2365,7 @@ QUERIES = {
     "facet_top_terms": q_facet_top_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
+    "suggest_terms": q_suggest_terms,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2382,6 +2425,7 @@ ORACLES = {
     "facet_top_terms": sql_facet_top_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
     "knn_mlt_docs": sql_knn_mlt_docs(),
+    "suggest_terms": sql_suggest_terms(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),

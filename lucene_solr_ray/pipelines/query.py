@@ -160,9 +160,13 @@ def realtime_get(index_root: str, urls: List[str]):
     Routes each url to its owning partition (same hash as the build
     router), scans that partition's segments NEWEST generation first, and
     skips tombstoned docs — so an updated url resolves to its live
-    version. A point-lookup API: k ≪ N, runs driver-side against the
-    docmap parquet (url-sorted, binary-searched); returns a DataFrame of
-    (url, partition_id, local_docid, dl) for found urls, input order.
+    version. A point-lookup API: k ≪ N. Docmaps are url-sorted, so the
+    lookup reads parquet ROW-GROUP statistics (min/max url per group) and
+    fetches only the one row group a url can live in — I/O per probe is
+    O(row_group), not O(segment), and a 100M-doc partition costs a
+    metadata read plus one ~10k-row group per url. Norms rows align 1:1
+    with docmap rows (both are written in url order at build), so dl
+    comes from the matching norms row group by global row index.
     """
     import bisect
 
@@ -175,37 +179,81 @@ def realtime_get(index_root: str, urls: List[str]):
     root = read_root_manifest(index_root)
     P = root["num_partitions"]
     pks = part_keys(list(urls), P)
-    rows = []
-    dm_cache: Dict[str, tuple] = {}
-    for url, pid in zip(urls, pks):
-        for seg in reversed(partition_segments(index_root, int(pid))):
-            ent = dm_cache.get(seg)
+
+    meta_cache: Dict[str, tuple] = {}  # seg -> (pf_dm, mins, maxs, rg_off, pf_nn, nn_off, dead)
+    rg_cache: Dict[tuple, tuple] = {}  # (seg, rg) -> (urls_list, ids)
+
+    def seg_meta(seg: str):
+        ent = meta_cache.get(seg)
+        if ent is None:
+            pf_dm = _pq.ParquetFile(os.path.join(seg, "docmap.parquet"))
+            md = pf_dm.metadata
+            url_idx = md.schema.to_arrow_schema().get_field_index("url")
+            mins, maxs, off = [], [], [0]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(url_idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = None  # stats unavailable: scan every group
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            for g in range(md.num_row_groups):
+                off.append(off[-1] + md.row_group(g).num_rows)
+            pf_nn = _pq.ParquetFile(os.path.join(seg, "norms.parquet"))
+            nn_off = [0]
+            for g in range(pf_nn.metadata.num_row_groups):
+                nn_off.append(nn_off[-1] + pf_nn.metadata.row_group(g).num_rows)
+            dpath = os.path.join(seg, "deletes.parquet")
+            dead = (
+                set(_pq.read_table(dpath)["local_docid"].to_pylist())
+                if os.path.exists(dpath)
+                else frozenset()
+            )
+            ent = meta_cache[seg] = (pf_dm, mins, maxs, off, pf_nn, nn_off, dead)
+        return ent
+
+    def probe(seg: str, url: str):
+        """-> (local_docid, dl) | 'dead' | None."""
+        pf_dm, mins, maxs, off, pf_nn, nn_off, dead = seg_meta(seg)
+        if mins is None:
+            groups = range(pf_dm.metadata.num_row_groups)
+        else:
+            # urls sorted across groups: the owning group is the last one
+            # whose min <= url, provided its max >= url
+            g = bisect.bisect_right(mins, url) - 1
+            groups = [g] if (g >= 0 and url <= maxs[g]) else []
+        for g in groups:
+            ent = rg_cache.get((seg, g))
             if ent is None:
-                dm = _pq.read_table(
-                    os.path.join(seg, "docmap.parquet"), columns=["local_docid", "url"]
+                t = pf_dm.read_row_group(g, columns=["local_docid", "url"])
+                ent = rg_cache[(seg, g)] = (
+                    t["url"].to_pylist(),
+                    t["local_docid"].to_numpy(),
                 )
-                nn = _pq.read_table(os.path.join(seg, "norms.parquet"), columns=["dl"])
-                dpath = os.path.join(seg, "deletes.parquet")
-                dead = (
-                    set(_pq.read_table(dpath)["local_docid"].to_pylist())
-                    if os.path.exists(dpath)
-                    else frozenset()
-                )
-                ent = dm_cache[seg] = (
-                    dm["url"].to_pylist(),
-                    dm["local_docid"].to_numpy(),
-                    nn["dl"].to_numpy(),
-                    dead,
-                )
-            seg_urls, ids, dls, dead = ent
+            seg_urls, ids = ent
             i = bisect.bisect_left(seg_urls, url)
             if i < len(seg_urls) and seg_urls[i] == url:
                 d = int(ids[i])
                 if d in dead:
-                    continue  # tombstoned here; a newer generation owns it
+                    return "dead"
+                row = off[g] + i  # global docmap row == norms row
+                ng = bisect.bisect_right(nn_off, row) - 1
+                dl = pf_nn.read_row_group(ng, columns=["dl"])["dl"][
+                    row - nn_off[ng]
+                ].as_py()
+                return d, int(dl)
+        return None
+
+    rows = []
+    for url, pid in zip(urls, pks):
+        for seg in reversed(partition_segments(index_root, int(pid))):
+            r = probe(seg, url)
+            if r == "dead":
+                continue  # tombstoned here; a newer generation owns it
+            if r is not None:
                 rows.append(
-                    {"url": url, "partition_id": int(pid), "local_docid": d,
-                     "dl": int(dls[i])}
+                    {"url": url, "partition_id": int(pid),
+                     "local_docid": r[0], "dl": r[1]}
                 )
                 break
     return pd.DataFrame(rows, columns=["url", "partition_id", "local_docid", "dl"])

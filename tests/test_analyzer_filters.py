@@ -303,3 +303,127 @@ def test_edge_ngram_index_search(ray_session, tmp_path):
     assert root["sum_dl"] == plain["sum_dl"]
     hits = search(idx, [{"query_id": 0, "kind": "term", "terms": ["sear"]}], k=10)
     assert sorted(hits["url"]) == ["u://000"]
+
+
+def test_snowball_porter2_golden():
+    """~90 published Porter2 input/output pairs, including every
+    special-case list (exceptions, 1a invariants, gener/commun/arsen R1
+    prefixes, li-ending, ogi, short-word e-restore, ll-trim)."""
+    from lucene_solr_ray.analysis.snowball import snowball_stem as s
+
+    golden = {
+        "caresses": "caress", "ponies": "poni", "ties": "tie", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "dying": "die",
+        "lying": "lie", "tying": "tie", "idly": "idl", "gently": "gentl",
+        "ugly": "ugli", "early": "earli", "only": "onli", "singly": "singl",
+        "news": "news", "innings": "inning", "proceed": "proceed",
+        "exceed": "exceed", "succeed": "succeed", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "radically": "radic",
+        "differently": "differ", "vilely": "vile",
+        "analogously": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formality": "formal",
+        "sensitivity": "sensit", "sensibility": "sensibl",
+        "triplicate": "triplic", "electricity": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "homologous": "homolog", "communism": "communism",
+        "archaeology": "archaeolog", "cry": "cri", "by": "by",
+        "say": "say", "fly": "fli", "hesitancy": "hesit",
+        "running": "run", "generate": "generat", "skis": "ski",
+        "skies": "sky", "dies": "die", "cries": "cri", "saying": "say",
+        "controlling": "control", "rolling": "roll", "install": "instal",
+        "hoping": "hope", "exceeding": "exceed",
+    }
+    for w, e in golden.items():
+        assert s(w) == e, (w, s(w), e)
+
+
+def test_word_delimiter_and_ngram_filters():
+    from lucene_solr_ray.analysis.filters import FILTER_BUILDERS
+
+    wd = FILTER_BUILDERS["word_delimiter"]({"catenate_all": True})
+    assert wd("j2se") == ["j", "2", "se", "j2se"]
+    assert wd("o'neil's") == ["o", "neil", "oneil"]  # possessive stripped
+    assert wd("wi-fi") == ["wi", "fi", "wifi"]
+    assert wd("hello") == "hello"  # single run passes through unchanged
+    wd2 = FILTER_BUILDERS["word_delimiter"](
+        {"generate_number_parts": False, "catenate_words": True}
+    )
+    assert wd2("big5dog") == ["big", "dog", "bigdog"]
+    wd3 = FILTER_BUILDERS["word_delimiter"]({"split_on_numerics": False})
+    assert wd3("j2se") == "j2se"  # alnum run stays whole
+    assert wd3("a-b2c") == ["a", "b2c"]
+
+    ng = FILTER_BUILDERS["ngram"]({"min_gram": 2, "max_gram": 3})
+    assert ng("abcd") == ["ab", "bc", "cd", "abc", "bcd"]
+    assert ng("a") is None
+    ngp = FILTER_BUILDERS["ngram"]({"min_gram": 2, "max_gram": 3,
+                                    "preserve_original": True})
+    assert ngp("a") == "a"
+    assert ngp("abcd")[-1] == "abcd"
+
+    keep = FILTER_BUILDERS["keep"]({"words": ["alpha"]})
+    assert keep("alpha") == "alpha" and keep("beta") is None
+
+
+def test_ascii_folding_full_table():
+    from lucene_solr_ray.analysis.filters import FILTER_BUILDERS
+
+    full = FILTER_BUILDERS["ascii_folding"]({"full": True})
+    head = FILTER_BUILDERS["ascii_folding"]({})
+    # head table cases agree
+    assert full("café") == head("café") == "cafe"
+    assert full("straße") == "strasse"
+    # NFKD-only cases the head table misses
+    assert full("ḃṁẽ") == "bme"
+    assert full("ｆｕｌｌｗｉｄｔｈ") == "fullwidth"
+    assert full("ǟǡ") == "aa"
+    # non-decomposable non-Latin stays put
+    assert full("жархеолог") == "жархеолог"
+
+
+def test_snowball_protected_and_index(ray_session, tmp_path):
+    """snowball_stem spec end-to-end: stemmed index matches stemmed query
+    terms; ``protected`` exempts KeywordMarker terms."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    ch = build_filter_chain(
+        [{"name": "snowball_stem", "protected": ["running"]}]
+    )
+    assert ch("running") == "running" and ch("jumping") == "jump"
+
+    pages = pa.table(
+        {
+            "url": ["u://000", "u://001"],
+            "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+            "text": pa.array(
+                ["generously rational hoping", "unrelated words here"]
+            ),
+            "lang": pa.array(["en"] * 2),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    spec = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", "snowball_stem"],
+    }
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=1, analyzer_spec=spec)
+    # index-side terms are stems; query analysis applies the same spec
+    hits = search(idx, [{"query_id": 0, "kind": "term", "terms": ["ration"]}], k=10)
+    assert sorted(hits["url"]) == ["u://000"]

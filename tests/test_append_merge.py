@@ -235,3 +235,39 @@ def test_ten_generation_append_merge(ray_session, tmp_path_factory):
     rb = _frame(search(union, queries, k=10))
     assert ra.equals(rb)
     assert (ra["query_id"] == 9000).any()  # gen-8 update is searchable
+
+
+def test_realtime_get_tombstone_aware(corpora, incremental_index):
+    """realtime_get on the appended index: updated urls resolve to the
+    LIVE (generation-1) version — dl must match the updated text's token
+    count, not the original's — and the row-group-pruned probe agrees
+    with a full docmap scan."""
+    from lucene_solr_ray.analysis.tokenizer import StandardTokenizer
+    from lucene_solr_ray.pipelines.query import realtime_get
+
+    a_path, b_plus_path, _ = corpora
+    tb = pq.read_table(b_plus_path, columns=["url", "text"])
+    upd = {
+        u: t
+        for u, t in zip(tb["url"].to_pylist(), tb["text"].to_pylist())
+        if "zqupdated" in t
+    }
+    probe_urls = list(upd)[:10]
+    # plus one url only in batch A and one that exists nowhere
+    ta = pq.read_table(a_path, columns=["url", "text", "lang"])
+    a_only = next(
+        (u, t)
+        for u, t, l in zip(
+            ta["url"].to_pylist(), ta["text"].to_pylist(), ta["lang"].to_pylist()
+        )
+        if u not in upd and l == "en"  # build indexes lang=="en" only
+    )
+    res = realtime_get(
+        incremental_index, probe_urls + [a_only[0], "u://nonexistent"]
+    )
+    got = dict(zip(res["url"], res["dl"]))
+    tok = StandardTokenizer().tokenize_lower
+    assert "u://nonexistent" not in got
+    assert got[a_only[0]] == len(tok(a_only[1]))
+    for u in probe_urls:
+        assert got[u] == len(tok(upd[u])), (u, got[u], len(tok(upd[u])))

@@ -1,0 +1,51 @@
+"""Suggester over global term stats: prefix pruning, weight ordering,
+multi-prefix merge, min_df."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.pipelines.build import build_index
+from lucene_solr_ray.search.suggest import suggest
+
+
+def _mk_index(tmp_path):
+    texts = [
+        "search searching searched sort",
+        "search sorted sorting",
+        "search apple sort sort sort",
+        "apple banana",
+    ]
+    pages = pa.table(
+        {
+            "url": [f"u://{i:03d}" for i in range(len(texts))],
+            "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2)
+    return idx
+
+
+def test_suggest_ordering_and_prune(ray_session, tmp_path):
+    idx = _mk_index(tmp_path)
+    res = suggest(idx, ["s", "so", "zz"], k=3, weight="total_tf")
+    s = res[res["prefix"] == "s"]
+    # total_tf: sort=4, search=3, sorted/sorting/searching/searched=1
+    assert list(s["term"]) == ["sort", "search", "searched"]
+    assert list(s["total_tf"]) == [4, 3, 1]
+    assert list(s["rank"]) == [1, 2, 3]
+    so = res[res["prefix"] == "so"]
+    assert list(so["term"]) == ["sort", "sorted", "sorting"]
+    assert (res["prefix"] == "zz").sum() == 0  # no completions
+
+    # df weight reorders: search df=3 > sort df=2
+    by_df = suggest(idx, ["s"], k=2, weight="df")
+    assert list(by_df["term"]) == ["search", "sort"]
+
+    # min_df prunes the singletons
+    md = suggest(idx, ["s"], k=10, weight="total_tf", min_df=2)
+    assert set(md["term"]) == {"sort", "search"}
