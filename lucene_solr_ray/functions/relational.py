@@ -448,3 +448,112 @@ def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
             lambda t: t.rename_columns([from_col]), batch_format="pyarrow"
         )
     return reachable
+
+
+def facet_pivot(ds, col_a: str, col_b: str, topn_a: int = 5, topn_b: int = 5):
+    """facet.pivot (reference: solr/core/src/java/org/apache/solr/handler/
+    component/PivotFacetProcessor.java ~600 LoC, branch_8x; SURVEY.md
+    §2.6): nested two-level facet — top-N values of ``col_a`` by count,
+    and within each the top-M ``col_b`` values.
+
+    Scale shape: per-batch Arrow group_by([a,b]) pre-aggregates map-side,
+    the shuffle moves one packed (a, b, partial_count) row per distinct
+    pair per block (never data rows), and the final single-key groupby
+    sums partials. The nested top-N selection runs on the tiny aggregated
+    result. Returns a pandas DataFrame (col_a, col_b, count) ordered by
+    (a-count desc, col_a asc, count desc, col_b asc)."""
+    SEP = "\x1f"
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([col_a, col_b])
+            .group_by([col_a, col_b])
+            .aggregate([([], "count_all")])
+        )
+        packed = pc.binary_join_element_wise(
+            pc.cast(g[col_a], pa.string()), pc.cast(g[col_b], pa.string()), SEP
+        )
+        return pa.table({"pair": packed, "partial": g["count_all"]})
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="count"))
+    )
+    df = agg.to_pandas()  # ≤ |a|×|b| distinct pairs — the aggregated residue
+    ab = df["pair"].str.split(SEP, n=1, expand=True)
+    df = pd.DataFrame({col_a: ab[0], col_b: ab[1], "count": df["count"].astype("int64")})
+    a_tot = (
+        df.groupby(col_a)["count"].sum().sort_values(ascending=False)
+        .reset_index()
+        .sort_values(["count", col_a], ascending=[False, True], kind="mergesort")
+    )
+    keep_a = list(a_tot[col_a].head(topn_a))
+    out = []
+    for a in keep_a:
+        sub = df[df[col_a] == a].sort_values(
+            ["count", col_b], ascending=[False, True], kind="mergesort"
+        ).head(topn_b)
+        out.append(sub)
+    res = pd.concat(out, ignore_index=True) if out else df.head(0)
+    return res[[col_a, col_b, "count"]]
+
+
+def facet_range(ds, col: str, start: float, end: float, gap: float):
+    """facet.range (reference: solr/core/src/java/org/apache/solr/handler/
+    component/RangeFacetProcessor.java ~400 LoC, branch_8x): counts per
+    [start + i*gap, start + (i+1)*gap) bucket over [start, end). Bucket
+    assignment is one vectorized floor-divide per batch; partial counts
+    pre-aggregate map-side (value_counts) so the shuffle moves at most
+    n_buckets rows per block. Returns (bucket_lo:float64, count:int64)
+    for every bucket in range, zero-filled, ordered by bucket_lo."""
+    n_buckets = int(np.ceil((end - start) / gap))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((v - start) / gap)
+        m = (b >= 0) & (b < n_buckets)
+        ids, cnt = np.unique(b[m].astype(np.int64), return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ids), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("partial", alias_name="count"))
+    )
+    df = agg.to_pandas()
+    full = pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)})
+    df = full.merge(df, on="bucket", how="left").fillna({"count": 0})
+    return pd.DataFrame(
+        {
+            "bucket_lo": start + df["bucket"].to_numpy() * gap,
+            "count": df["count"].astype("int64"),
+        }
+    )
+
+
+def group_topk(ds, key: str, order_cols: Sequence[str],
+               descending: Sequence[bool], n: int):
+    """Result grouping, group.limit=n (reference: solr/core/src/java/org/
+    apache/solr/search/Grouping.java ~1,000 LoC + lucene/grouping, branch
+    _8x): top-``n`` rows per ``key`` group by sort order — collapse() is
+    the n=1 case. Map-side prune first: each block keeps only its local
+    top-n per key (vectorized pandas sort + groupby.head — C kernels), so
+    the shuffle moves ≤ n × (keys-per-block) rows; the per-group Python
+    callable then runs on ≤ n × blocks tiny groups."""
+    asc = [not d for d in descending]
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(list(order_cols), ascending=asc, kind="mergesort")
+            .groupby(key, sort=False)
+            .head(n)
+        )
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    return pruned.groupby(key).map_groups(
+        lambda g: g.sort_values(list(order_cols), ascending=asc, kind="mergesort").head(n),
+        batch_format="pandas",
+    )

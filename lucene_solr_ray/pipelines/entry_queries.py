@@ -2322,6 +2322,447 @@ WHERE rank <= 5 ORDER BY prefix, rank
 """
 
 
+SPELL_INPUTS = ["quary", "joyn", "windoe"]
+
+
+def q_spellcheck_terms(sf_dir: str) -> pd.DataFrame:
+    """DirectSpellChecker analog over the index vocabulary (reference:
+    lucene/suggest/.../spell/DirectSpellChecker.java, branch_8x): edit
+    distance ≤ 2, first letter pinned (prefix_len=1), ranked
+    (distance asc, df desc, term asc)."""
+    from ..search.spellcheck import spellcheck
+
+    idx = ensure_ft_index(sf_dir)
+    res = spellcheck(idx, SPELL_INPUTS, max_edits=2, topn=3, prefix_len=1)
+    return res.astype({"rank": np.int64, "distance": np.int64, "df": np.int64})
+
+
+def sql_spellcheck_terms() -> str:
+    vals = ",".join(f"('{t}')" for t in SPELL_INPUTS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+inp(input) AS (VALUES {vals}),
+cand AS (
+  SELECT inp.input, vocab.term AS suggestion,
+         levenshtein(vocab.term, inp.input) AS distance, vocab.df
+  FROM inp JOIN vocab
+    ON substr(vocab.term, 1, 1) = substr(inp.input, 1, 1)
+   AND abs(length(vocab.term) - length(inp.input)) <= 2
+   AND vocab.term <> inp.input
+),
+ranked AS (
+  SELECT input, suggestion, distance, df,
+         row_number() OVER (
+           PARTITION BY input
+           ORDER BY distance ASC, df DESC, suggestion ASC
+         ) AS rank
+  FROM cand WHERE distance <= 2
+)
+SELECT input, rank, suggestion, distance, df FROM ranked
+WHERE rank <= 3 ORDER BY input, rank
+"""
+
+
+def q_ltr_rerank_topk(sf_dir: str) -> pd.DataFrame:
+    """LTR rescoring window (reference: solr/contrib/ltr/.../LTRRescorer
+    .java, branch_8x): BM25 top-50 first pass, distributed per-partition
+    feature probe (dl, tf_sum, matched_frac from postings), linear-model
+    rerank to top-10."""
+    from ..search.ltr import ltr_rerank
+
+    idx = ensure_ft_index(sf_dir)
+    res = ltr_rerank(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=10,
+        rerank_k=50,
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score2_e6": np.floor(res["score2"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ltr_rerank_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    n_terms = len(FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS bm25,
+         sum(tf.freq) AS tf_sum,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+cand AS (
+  SELECT scored.*, dl.dl FROM scored JOIN dl USING (doc_id)
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+),
+rescored AS (
+  SELECT doc_id,
+         0.0 + 1.0 * bm25 + (-0.25) * ln(1.0 + dl) + 0.03125 * tf_sum
+             + 0.5 * (n_matched / {n_terms}.0) AS score2
+  FROM cand
+)
+SELECT row_number() OVER (ORDER BY score2 DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score2 * 1000000) AS BIGINT) AS score2_e6
+FROM rescored
+ORDER BY score2 DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+def q_highlight_snippets(sf_dir: str) -> pd.DataFrame:
+    """UnifiedHighlighter analog (reference: lucene/highlighter/.../
+    uhighlight/UnifiedHighlighter.java, branch_8x): snippets for the BM25
+    top-10 — docs filtered distributed by hit keys, ±2-token window
+    anchored at the first occurrence of the highest-priority query term."""
+    from ..search.highlight import highlight
+
+    hits = q_ft_bm25_or_topk(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    res = highlight(
+        docs,
+        hits["doc_id"].tolist(),
+        FT_TERMS_OR,
+        window=2,
+        key_col="doc_id",
+        text_col="text",
+        mark=None,
+    )
+    return res.astype({"doc_id": np.int64, "pos": np.int64})
+
+
+def sql_highlight_snippets() -> str:
+    # anchor = first query term (priority order) present; pos is its first
+    # occurrence (list_position is 1-based → pos = lp - 1, 0-based like the
+    # engine); snippet = tokens[pos-2 .. pos+2] (list_slice is 1-based
+    # inclusive)
+    t0, t1, t2 = FT_TERMS_OR
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sdl FROM dl),
+lt(v) AS (VALUES {",".join(f"({int(v)})" for v in np.unique(LENGTH_TABLE))}),
+norml AS (
+  SELECT dl.doc_id, (SELECT max(v) FROM lt WHERE v <= dl.dl) AS nl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ('{t0}', '{t1}', '{t2}') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top10 AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+anch AS (
+  SELECT d.doc_id,
+         string_split(d.text, ' ') AS l,
+         list_position(string_split(d.text, ' '), '{t0}') AS p0,
+         list_position(string_split(d.text, ' '), '{t1}') AS p1,
+         list_position(string_split(d.text, ' '), '{t2}') AS p2
+  FROM documents d JOIN top10 USING (doc_id)
+),
+pick AS (
+  SELECT doc_id, l,
+         CASE WHEN p0 > 0 THEN '{t0}' WHEN p1 > 0 THEN '{t1}'
+              WHEN p2 > 0 THEN '{t2}' END AS term,
+         CASE WHEN p0 > 0 THEN p0 WHEN p1 > 0 THEN p1
+              WHEN p2 > 0 THEN p2 END AS lp
+  FROM anch
+)
+SELECT doc_id, term, CAST(lp - 1 AS BIGINT) AS pos,
+       array_to_string(list_slice(l, greatest(lp - 2, 1), lp + 2), ' ') AS snippet
+FROM pick WHERE term IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+def q_facet_pivot_orders(sf_dir: str) -> pd.DataFrame:
+    """facet.pivot (reference: solr/core/.../component/PivotFacetProcessor
+    .java, branch_8x): top-3 order statuses, nested top-3 priorities in
+    each; counts pre-aggregated map-side per block."""
+    from ..functions.relational import facet_pivot
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    res = facet_pivot(ds, "o_orderstatus", "o_orderpriority", topn_a=3, topn_b=3)
+    res = res.rename(columns={"count": "n"})
+    return res.astype({"n": np.int64})
+
+
+def sql_facet_pivot_orders() -> str:
+    return """
+WITH pc AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+at AS (
+  SELECT o_orderstatus, sum(n) AS tot FROM pc GROUP BY o_orderstatus
+  ORDER BY tot DESC, o_orderstatus ASC LIMIT 3
+),
+ranked AS (
+  SELECT pc.o_orderstatus, pc.o_orderpriority, pc.n,
+         row_number() OVER (
+           PARTITION BY pc.o_orderstatus
+           ORDER BY pc.n DESC, pc.o_orderpriority ASC
+         ) AS r
+  FROM pc JOIN at USING (o_orderstatus)
+)
+SELECT o_orderstatus, o_orderpriority, n FROM ranked WHERE r <= 3
+"""
+
+
+def q_facet_range_totalprice(sf_dir: str) -> pd.DataFrame:
+    """facet.range (reference: solr/core/.../component/RangeFacetProcessor
+    .java, branch_8x): 50k-wide totalprice buckets over [0, 600k),
+    zero-filled, partial counts pre-aggregated map-side."""
+    from ..functions.relational import facet_range
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    res = facet_range(ds, "o_totalprice", 0.0, 600_000.0, 50_000.0)
+    return pd.DataFrame(
+        {
+            "bucket_lo": res["bucket_lo"].to_numpy().astype(np.int64),
+            "n": res["count"].astype(np.int64),
+        }
+    )
+
+
+def sql_facet_range_totalprice() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket
+  FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000
+),
+g(bucket) AS (SELECT * FROM generate_series(0, 11))
+SELECT g.bucket * 50000 AS bucket_lo, count(b.bucket) AS n
+FROM g LEFT JOIN b USING (bucket)
+GROUP BY g.bucket ORDER BY g.bucket
+"""
+
+
+def q_group_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Result grouping, group.limit=3 (reference: solr/core/.../search/
+    Grouping.java + lucene/grouping, branch_8x): top-3 orders per status
+    by (totalprice desc, orderkey asc); blocks prune to their local top-3
+    per group before the shuffle."""
+    from ..functions.relational import group_topk
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderkey", "o_totalprice"]
+    ).map_batches(_cents("o_totalprice"), batch_format="pyarrow")
+    res = group_topk(
+        ds, "o_orderstatus", ["o_totalprice_c", "o_orderkey"], [True, False], 3
+    )
+    df = res.to_pandas()[["o_orderstatus", "o_orderkey", "o_totalprice_c"]]
+    return df.sort_values(
+        ["o_orderstatus", "o_totalprice_c", "o_orderkey"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True).astype(
+        {"o_orderkey": np.int64, "o_totalprice_c": np.int64}
+    )
+
+
+def sql_group_top_orders() -> str:
+    cents = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+WITH c AS (
+  SELECT o_orderstatus, o_orderkey, {cents} AS o_totalprice_c FROM orders
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderstatus
+    ORDER BY o_totalprice_c DESC, o_orderkey ASC
+  ) AS r FROM c
+)
+SELECT o_orderstatus, o_orderkey, o_totalprice_c FROM ranked
+WHERE r <= 3 ORDER BY o_orderstatus, o_totalprice_c DESC, o_orderkey
+"""
+
+
+def q_pii_scrub_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction URP stage over webtext (SURVEY.md §2.2 URP chain +
+    training-data curation): deterministic synthetic PII is injected per
+    doc, then the vectorized RE2 scrub chain masks it; the full masked
+    text value-hashes against the SQL oracle."""
+    from ..stages.urp import build_stage_chain
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], 200))
+        ids = batch["doc_id"].to_numpy()
+        extra = [
+            f" contact user{i}@mail{i % 7}.com from 192.168.{i % 256}.{i % 250}"
+            f" call 555-867-5309"
+            for i in ids
+        ]
+        txt = pc.binary_join_element_wise(
+            batch["text"], pa.array(extra, type=pa.string()), ""
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", txt
+        )
+
+    (scrub,) = build_stage_chain([{"name": "pii_scrub", "col": "text"}])
+    out = ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        scrub, batch_format="pyarrow"
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df.astype({"doc_id": np.int64})
+
+
+def sql_pii_scrub_docs() -> str:
+    from ..stages.urp import PII_PATTERNS
+
+    (p_email, r_email), (p_ip, r_ip), (p_phone, r_phone) = PII_PATTERNS
+    return f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+         || '.com from 192.168.' || (doc_id % 256) || '.' || (doc_id % 250)
+         || ' call 555-867-5309',
+    '{p_email}', '{r_email}', 'g'),
+    '{p_ip}', '{r_ip}', 'g'),
+    '{p_phone}', '{r_phone}', 'g') AS text
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+def q_facet_range_dates(sf_dir: str) -> pd.DataFrame:
+    """facet.range with a date-math gap (RangeFacetProcessor + DateMath,
+    SURVEY.md §2.6/§2.9): daily event counts — the datemath /DAY value
+    source feeds a single-key count aggregate (map-side combined)."""
+    from ..functions.scalars import compile_value_source
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    vs = compile_value_source(["datemath", "ts", "/DAY"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({"day_ms": pa.array(vs(batch), type=pa.int64())})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow").groupby(
+        "day_ms"
+    ).count()
+    df = agg.to_pandas().rename(columns={"count()": "n"})
+    df = df.sort_values("day_ms").reset_index(drop=True)
+    return df.astype({"day_ms": np.int64, "n": np.int64})
+
+
+def sql_facet_range_dates() -> str:
+    return """
+SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_elevate_topk(sf_dir: str) -> pd.DataFrame:
+    """QueryElevationComponent (reference: solr/core/.../component/
+    QueryElevationComponent.java, branch_8x): the BM25 top-10 with the
+    rank-5 and rank-9 docs pinned to the top (config order) and the
+    rank-2 doc excluded; remaining docs keep score order."""
+    from ..search.elevate import elevate
+
+    idx = ensure_ft_index(sf_dir)
+    first = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    by_rank = dict(zip(first["rank"], first["url"]))
+    res = elevate(
+        first, elevated=[by_rank[5], by_rank[9]], excluded=[by_rank[2]]
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+        }
+    )
+
+
+def sql_elevate_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top10 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (
+         ORDER BY CASE r WHEN 5 THEN 0 WHEN 9 THEN 1 ELSE 2 END, r
+       ) AS rank,
+       doc_id
+FROM top10 WHERE r <> 2
+ORDER BY rank
+"""
+    )
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -2366,6 +2807,15 @@ QUERIES = {
     "ft_shingle_stats": q_ft_shingle_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
+    "spellcheck_terms": q_spellcheck_terms,
+    "ltr_rerank_topk": q_ltr_rerank_topk,
+    "highlight_snippets": q_highlight_snippets,
+    "facet_pivot_orders": q_facet_pivot_orders,
+    "facet_range_totalprice": q_facet_range_totalprice,
+    "group_top_orders": q_group_top_orders,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "facet_range_dates": q_facet_range_dates,
+    "elevate_topk": q_elevate_topk,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2426,6 +2876,15 @@ ORACLES = {
     "ft_shingle_stats": sql_ft_shingle_stats(),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
+    "spellcheck_terms": sql_spellcheck_terms(),
+    "ltr_rerank_topk": sql_ltr_rerank_topk(),
+    "highlight_snippets": sql_highlight_snippets(),
+    "facet_pivot_orders": sql_facet_pivot_orders(),
+    "facet_range_totalprice": sql_facet_range_totalprice(),
+    "group_top_orders": sql_group_top_orders(),
+    "pii_scrub_docs": sql_pii_scrub_docs(),
+    "facet_range_dates": sql_facet_range_dates(),
+    "elevate_topk": sql_elevate_topk(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),

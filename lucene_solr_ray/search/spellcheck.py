@@ -1,0 +1,118 @@
+"""Spell correction over the index vocabulary.
+
+DirectSpellChecker analog (reference: lucene/suggest/src/java/org/apache/
+lucene/search/spell/DirectSpellChecker.java ~500 LoC + solr/core/.../
+handler/component/SpellCheckComponent.java, branch_8x; SURVEY.md §2
+suggester/LTR row). Lucene walks an FST intersected with a Levenshtein
+automaton; the Ray-Data-native equivalent treats the build-time global
+stats table as the dictionary and runs the banded vectorized Levenshtein
+(`multiterm.levenshtein_batch`) over it:
+
+- candidates prune by the length band ``|len(cand) - len(term)| <=
+  max_edits`` BEFORE any DP (the automaton's cheapest invariant), then
+  by a first-character match when ``prefix_len >= 1`` (DirectSpellChecker
+  defaults to prefix 1 — typos rarely hit the first letter);
+- each block emits its local top-n per input term, the driver merges the
+  tiny (blocks × terms × n) residue — same shape as `suggest`.
+
+Ordering is (distance asc, df desc, term asc): DirectSpellChecker's
+score-then-frequency comparator with a deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .multiterm import levenshtein_batch
+
+__all__ = ["spellcheck"]
+
+
+def spellcheck(
+    index_root: str,
+    terms: List[str],
+    max_edits: int = 2,
+    topn: int = 5,
+    prefix_len: int = 1,
+    min_df: int = 1,
+) -> pd.DataFrame:
+    """Top-``topn`` corrections per input term from the index vocabulary.
+    A term's exact self (distance 0) is never suggested. Returns a
+    DataFrame of (input, rank, suggestion, distance, df)."""
+    import ray.data
+
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    ds = ray.data.read_parquet(stats_dir, columns=["term", "df"])
+    tlist = list(terms)
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        vocab = np.asarray(batch["term"].to_pylist(), dtype=object)
+        dfs = batch["df"].to_numpy()
+        lens = np.fromiter((len(v) for v in vocab), dtype=np.int64, count=len(vocab))
+        outs = []
+        for tid, term in enumerate(tlist):
+            band = np.abs(lens - len(term)) <= max_edits
+            if min_df > 1:
+                band &= dfs >= min_df
+            if prefix_len >= 1 and term:
+                band &= np.fromiter(
+                    (v[:prefix_len] == term[:prefix_len] for v in vocab),
+                    dtype=bool, count=len(vocab),
+                )
+            cand = vocab[band]
+            if len(cand) == 0:
+                continue
+            dist = levenshtein_batch(cand, term)
+            ok = (dist <= max_edits) & (dist > 0)
+            if not ok.any():
+                continue
+            sub = pd.DataFrame(
+                {
+                    "suggestion": cand[ok],
+                    "distance": dist[ok],
+                    "df": dfs[band][ok],
+                }
+            ).sort_values(
+                ["distance", "df", "suggestion"],
+                ascending=[True, False, True], kind="mergesort",
+            ).head(topn)
+            sub["term_id"] = tid
+            outs.append(pa.Table.from_pandas(sub, preserve_index=False))
+        if not outs:
+            return pa.table(
+                {
+                    "suggestion": pa.array([], type=pa.string()),
+                    "distance": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "term_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    res = ds.map_batches(local_topn, batch_format="pyarrow").to_pandas()
+    if "term_id" not in res.columns:  # every block came back empty
+        res = pd.DataFrame(
+            columns=["suggestion", "distance", "df", "term_id"]
+        )
+    rows = []
+    for tid, term in enumerate(tlist):
+        sub = res[res["term_id"] == tid].sort_values(
+            ["distance", "df", "suggestion"],
+            ascending=[True, False, True], kind="mergesort",
+        ).head(topn)
+        for r, (_, row) in enumerate(sub.iterrows(), start=1):
+            rows.append(
+                {
+                    "input": term, "rank": r, "suggestion": row["suggestion"],
+                    "distance": int(row["distance"]), "df": int(row["df"]),
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["input", "rank", "suggestion", "distance", "df"]
+    )

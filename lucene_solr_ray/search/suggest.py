@@ -100,6 +100,8 @@ def suggest(
         return t.select(["term", "df", "total_tf", "prefix_id"])
 
     res = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if "prefix_id" not in res.columns:  # every block came back empty
+        res = pd.DataFrame(columns=["term", "df", "total_tf", "prefix_id"])
     rows = []
     for pid, p in enumerate(plist):
         sub = res[res["prefix_id"] == pid]

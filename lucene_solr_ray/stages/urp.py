@@ -106,6 +106,33 @@ def _drop_nulls(col: str):
     return fn
 
 
+# (pattern, replacement) pairs applied in order; RE2 syntax (both Arrow's
+# replace_substring_regex and DuckDB's regexp_replace compile RE2, so the
+# SQL oracle uses the same patterns verbatim with the 'g' flag)
+PII_PATTERNS: List[tuple] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def _pii_scrub(col: str = "text"):
+    """PII redaction for webtext curation (the large-scale training-data
+    equivalent of a RegexReplaceProcessorFactory stack): emails, IPv4
+    addresses and NNN-NNN-NNNN phone numbers become typed mask tokens.
+    One vectorized RE2 pass per pattern, chained — order matters (emails
+    first so their dotted hosts can't half-match the IP pattern)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        arr = batch[col]
+        for pat, rep in PII_PATTERNS:
+            arr = pc.replace_substring_regex(arr, pat, rep)
+        return batch.set_column(i, col, arr)
+
+    return fn
+
+
 STAGE_FACTORIES: Dict[str, Callable] = {
     "trim": _trim,
     "lowercase": _lowercase,
@@ -115,6 +142,7 @@ STAGE_FACTORIES: Dict[str, Callable] = {
     "min_token_filter": _min_token_filter,
     "field_length": _field_length,
     "drop_nulls": _drop_nulls,
+    "pii_scrub": _pii_scrub,
 }
 
 

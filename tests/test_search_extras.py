@@ -1,0 +1,168 @@
+"""Spellcheck, highlight, LTR rerank, and the grouping/pivot/range facet
+operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from lucene_solr_ray.pipelines.build import build_index
+
+
+def _mk_index(tmp_path):
+    texts = [
+        "query planning and query execution",
+        "join ordering for the query engine",
+        "window functions join the party",
+        "banana apple cherry",
+    ]
+    pages = pa.table(
+        {
+            "url": [f"u://{i:03d}" for i in range(len(texts))],
+            "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2)
+    return idx, texts
+
+
+def test_spellcheck(ray_session, tmp_path):
+    from lucene_solr_ray.search.spellcheck import spellcheck
+
+    idx, _ = _mk_index(tmp_path)
+    res = spellcheck(idx, ["quary", "jion", "zzz"], max_edits=2, topn=3)
+    q = res[res["input"] == "quary"]
+    assert list(q["suggestion"])[0] == "query" and list(q["distance"])[0] == 1
+    # prefix_len=1 pins the first letter: 'jion' (j...) finds 'join'
+    j = res[res["input"] == "jion"]
+    assert "join" in list(j["suggestion"])
+    assert (res["input"] == "zzz").sum() == 0  # nothing within 2 edits
+    # exact self never suggested
+    r2 = spellcheck(idx, ["query"], max_edits=2, topn=5)
+    assert "query" not in set(r2["suggestion"])
+
+
+def test_highlight(ray_session, tmp_path):
+    from lucene_solr_ray.search.highlight import highlight
+
+    _, texts = _mk_index(tmp_path)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    res = highlight(docs, [0, 1, 2], ["query", "join"], window=2,
+                    key_col="doc_id")
+    by_id = {r["doc_id"]: r for _, r in res.iterrows()}
+    # doc 0: 'query' at pos 0 → window clipped at the start, term marked
+    assert by_id[0]["pos"] == 0
+    assert by_id[0]["snippet"] == "<em>query</em> planning and"
+    # doc 1: 'query' (priority 1) beats 'join' even though join is first
+    assert by_id[1]["term"] == "query"
+    assert by_id[1]["snippet"] == "for the <em>query</em> engine"
+    # doc 2: only 'join' present
+    assert by_id[2]["term"] == "join" and by_id[2]["pos"] == 2
+    # unmarked mode
+    plain = highlight(docs, [0], ["query"], window=1, key_col="doc_id",
+                      mark=None)
+    assert plain["snippet"][0] == "query planning"
+
+
+def test_ltr_rerank(ray_session, tmp_path):
+    from lucene_solr_ray.pipelines.query import search
+    from lucene_solr_ray.search.ltr import ltr_rerank
+
+    idx, _ = _mk_index(tmp_path)
+    qs = [{"query_id": 0, "kind": "or", "terms": ["query", "join"]}]
+    first = search(idx, qs, k=10, sim_config={"dtype": "float64", "mode": "div"})
+    # identity model (bm25 only) must reproduce the first-pass ranking
+    ident = {"bias": 0.0, "w_bm25": 1.0, "w_log_dl": 0.0, "w_tf": 0.0,
+             "w_matched": 0.0}
+    res = ltr_rerank(idx, qs, model=ident, k=10, rerank_k=10,
+                     sim_config={"dtype": "float64", "mode": "div"})
+    assert list(res["url"]) == list(first["url"])
+    assert np.allclose(res["score2"].to_numpy(), first["score"].to_numpy())
+    # a strong matched_frac weight pushes the 2-term docs above 1-term docs
+    cover = {"bias": 0.0, "w_bm25": 0.0, "w_log_dl": 0.0, "w_tf": 0.0,
+             "w_matched": 10.0}
+    res2 = ltr_rerank(idx, qs, model=cover, k=10, rerank_k=10,
+                      sim_config={"dtype": "float64", "mode": "div"})
+    # doc 1 contains both terms (frac 1.0); docs 0 and 2 have one each
+    assert res2.iloc[0]["url"] == "u://001"
+    assert set(res2.head(3)["url"]) == {"u://001", "u://000", "u://002"}
+
+
+def test_group_topk_and_facets(ray_session):
+    from lucene_solr_ray.functions.relational import (
+        facet_pivot, facet_range, group_topk,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "v": [5, 3, 9, 1, 7, 2, 8, 4],
+            "id": list(range(8)),
+        }
+    )
+    ds = ray.data.from_pandas(df, override_num_blocks=3)
+    got = group_topk(ds, "k", ["v", "id"], [True, False], 2).to_pandas()
+    got = got.sort_values(["k", "v"], ascending=[True, False])
+    assert list(got["v"]) == [9, 7, 8, 4]
+
+    piv = facet_pivot(
+        ray.data.from_pandas(df, override_num_blocks=3), "k", "v", 1, 2
+    )
+    # top-1 'a' (5 rows), its top v values each count 1 → ties break v asc
+    assert list(piv["k"]) == ["a", "a"]
+    assert list(piv["count"]) == [1, 1]
+    assert list(piv["v"]) == ["1", "3"]  # packed keys stringify
+
+    rng = facet_range(
+        ray.data.from_pandas(df, override_num_blocks=3), "v", 0.0, 10.0, 5.0
+    )
+    assert list(rng["bucket_lo"]) == [0.0, 5.0]
+    assert list(rng["count"]) == [4, 4]
+
+
+def test_pii_scrub_stage():
+    from lucene_solr_ray.stages.urp import build_stage_chain
+
+    (fn,) = build_stage_chain([{"name": "pii_scrub", "col": "text"}])
+    t = pa.table(
+        {
+            "text": [
+                "mail me at a.b+x@exa-mple.co.uk today",
+                "server 10.0.255.7 then call 555-123-4567",
+                "no pii here",
+                "two mails x@y.io z@w.org and 1.2.3.4",
+            ]
+        }
+    )
+    out = fn(t)["text"].to_pylist()
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server <IP> then call <PHONE>"
+    assert out[2] == "no pii here"
+    assert out[3] == "two mails <EMAIL> <EMAIL> and <IP>"
+
+
+def test_elevate():
+    from lucene_solr_ray.search.elevate import elevate
+
+    hits = pd.DataFrame(
+        {
+            "rank": [1, 2, 3, 4],
+            "url": ["a", "b", "c", "d"],
+            "score": [9.0, 8.0, 7.0, 6.0],
+        }
+    )
+    res = elevate(hits, elevated=["c", "d"], excluded=["b"])
+    assert list(res["url"]) == ["c", "d", "a"]
+    assert list(res["rank"]) == [1, 2, 3]
+    # forceElevation: a pinned doc outside the first pass appends with NaN
+    res2 = elevate(hits, elevated=["zz"], k=3)
+    assert list(res2["url"]) == ["zz", "a", "b"]
+    assert np.isnan(res2["score"][0])
