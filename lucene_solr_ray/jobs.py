@@ -71,6 +71,17 @@ def main(argv=None):
     c = sub.add_parser("check", help="CheckIndex invariants")
     c.add_argument("--index-root", required=True)
 
+    d = sub.add_parser("delta", help="DIH-style watermark delta import")
+    d.add_argument("--input", nargs="+", required=True)
+    d.add_argument("--index-root", required=True)
+    d.add_argument("--lang", default="en")
+    d.add_argument("--since", type=int, default=None,
+                   help="seed watermark (epoch micros) if none stored yet")
+
+    r = sub.add_parser("replicate", help="master→replica segment pull")
+    r.add_argument("--src", required=True)
+    r.add_argument("--dst", required=True)
+
     args = ap.parse_args(argv)
     _init_ray()
 
@@ -116,6 +127,23 @@ def main(argv=None):
             print(json.dumps({"rows": len(res), "out": args.out}))
         else:
             print(res.to_string())
+    elif args.cmd == "delta":
+        from .pipelines.replicate import delta_import
+
+        res = delta_import(
+            _expand(args.input),
+            args.index_root,
+            lang=None if args.lang in ("", "none") else args.lang,
+            since=args.since,
+        )
+        print(json.dumps({k: res.get(k) for k in
+                          ("imported_docs", "delta_watermark", "noop")}))
+    elif args.cmd == "replicate":
+        from .pipelines.replicate import replicate_index
+
+        res = replicate_index(args.src, args.dst)
+        print(json.dumps({"fetched": len(res["fetched"]),
+                          "skipped": len(res["skipped"])}))
     elif args.cmd == "check":
         from .index.checkindex import check_index
 
