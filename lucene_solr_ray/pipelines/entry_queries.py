@@ -2763,6 +2763,71 @@ ORDER BY rank
     )
 
 
+def q_json_facet_orders(sf_dir: str) -> pd.DataFrame:
+    """json.facet DSL (reference: solr/core/.../search/facet/FacetRequest
+    .java + SlotAcc.java, branch_8x; SURVEY.md §2.6): nested terms facet —
+    top-3 statuses with a sum stat, top-2 priorities within each — one
+    groupby per level, flattened to rows for the oracle compare."""
+    from ..functions.json_facet import json_facet
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    ).map_batches(_cents("o_totalprice"), batch_format="pyarrow")
+    res = json_facet(
+        ds,
+        {
+            "by_status": {
+                "type": "terms", "field": "o_orderstatus", "limit": 3,
+                "facet": {
+                    "sum_price_c": "sum(o_totalprice_c)",
+                    "by_prio": {
+                        "type": "terms", "field": "o_orderpriority", "limit": 2,
+                    },
+                },
+            }
+        },
+    )
+    rows = []
+    for b in res["by_status"]["buckets"]:
+        for sb in b["by_prio"]["buckets"]:
+            rows.append(
+                {
+                    "o_orderstatus": b["val"], "n": b["count"],
+                    "sum_price_c": int(b["sum_price_c"]),
+                    "o_orderpriority": sb["val"], "pn": sb["count"],
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["o_orderstatus", "n", "sum_price_c", "o_orderpriority", "pn"]
+    ).astype({"n": np.int64, "sum_price_c": np.int64, "pn": np.int64})
+
+
+def sql_json_facet_orders() -> str:
+    cents = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, {cents} AS pc FROM orders
+),
+st AS (
+  SELECT o_orderstatus, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_price_c
+  FROM c GROUP BY o_orderstatus
+  ORDER BY n DESC, o_orderstatus ASC LIMIT 3
+),
+pr AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS pn,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY count(*) DESC, o_orderpriority ASC
+         ) AS r
+  FROM c GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT st.o_orderstatus, st.n, st.sum_price_c, pr.o_orderpriority, pr.pn
+FROM st JOIN pr USING (o_orderstatus)
+WHERE pr.r <= 2
+ORDER BY st.n DESC, st.o_orderstatus, pr.pn DESC, pr.o_orderpriority
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -2816,6 +2881,7 @@ QUERIES = {
     "pii_scrub_docs": q_pii_scrub_docs,
     "facet_range_dates": q_facet_range_dates,
     "elevate_topk": q_elevate_topk,
+    "json_facet_orders": q_json_facet_orders,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2885,6 +2951,7 @@ ORACLES = {
     "pii_scrub_docs": sql_pii_scrub_docs(),
     "facet_range_dates": sql_facet_range_dates(),
     "elevate_topk": sql_elevate_topk(),
+    "json_facet_orders": sql_json_facet_orders(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),

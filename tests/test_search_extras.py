@@ -166,3 +166,36 @@ def test_elevate():
     res2 = elevate(hits, elevated=["zz"], k=3)
     assert list(res2["url"]) == ["zz", "a", "b"]
     assert np.isnan(res2["score"][0])
+
+
+def test_json_facet(ray_session):
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = pd.DataFrame(
+        {
+            "s": ["x"] * 6 + ["y"] * 3 + ["z"] * 1,
+            "p": ["a", "a", "b", "b", "b", "c", "a", "a", "b", "a"],
+            "v": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        }
+    )
+    ds = ray.data.from_pandas(df, override_num_blocks=3)
+    res = json_facet(
+        ds,
+        {
+            "by_s": {
+                "type": "terms", "field": "s", "limit": 2,
+                "facet": {
+                    "sum_v": "sum(v)",
+                    "avg_v": "avg(v)",
+                    "by_p": {"type": "terms", "field": "p", "limit": 1},
+                },
+            }
+        },
+    )
+    assert res["count"] == 10
+    b = res["by_s"]["buckets"]
+    assert [x["val"] for x in b] == ["x", "y"]  # count desc, val asc
+    assert b[0]["count"] == 6 and b[0]["sum_v"] == 21.0 and b[0]["avg_v"] == 3.5
+    # nested: within 'x', top priority is 'b' (3); within 'y', 'a' (2)
+    assert b[0]["by_p"]["buckets"] == [{"val": "b", "count": 3}]
+    assert b[1]["by_p"]["buckets"] == [{"val": "a", "count": 2}]
