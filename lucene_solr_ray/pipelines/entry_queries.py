@@ -2828,6 +2828,42 @@ ORDER BY st.n DESC, st.o_orderstatus, pr.pn DESC, pr.o_orderpriority
 """
 
 
+def q_pack_token_windows(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing for pretraining (training-data extension): docs
+    concatenate in doc_id order and cut into 1024-token windows; each doc
+    learns its global token span and first/last window id via a two-pass
+    scan (per-block totals → prefix offsets → broadcast), no shuffle."""
+    from ..functions.packing import pack_token_windows
+
+    ds = pack_token_windows(
+        _docs_path(sf_dir), window=1024, id_col="doc_id", text_col="text"
+    )
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df.astype(
+        {c: np.int64 for c in
+         ["doc_id", "n_tokens", "tok_start", "pack_first", "pack_last"]}
+    )
+
+
+def sql_pack_token_windows() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 1024 AS pack_first,
+       (tok_start + greatest(n_tokens, 1) - 1) // 1024 AS pack_last
+FROM c ORDER BY doc_id
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -2882,6 +2918,7 @@ QUERIES = {
     "facet_range_dates": q_facet_range_dates,
     "elevate_topk": q_elevate_topk,
     "json_facet_orders": q_json_facet_orders,
+    "pack_token_windows": q_pack_token_windows,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
@@ -2952,6 +2989,7 @@ ORACLES = {
     "facet_range_dates": sql_facet_range_dates(),
     "elevate_topk": sql_elevate_topk(),
     "json_facet_orders": sql_json_facet_orders(),
+    "pack_token_windows": sql_pack_token_windows(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),

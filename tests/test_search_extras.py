@@ -199,3 +199,20 @@ def test_json_facet(ray_session):
     # nested: within 'x', top priority is 'b' (3); within 'y', 'a' (2)
     assert b[0]["by_p"]["buckets"] == [{"val": "b", "count": 3}]
     assert b[1]["by_p"]["buckets"] == [{"val": "a", "count": 2}]
+
+
+def test_pack_token_windows(ray_session, tmp_path):
+    from lucene_solr_ray.functions.packing import pack_token_windows
+
+    texts = ["a b c", "d e", "f g h i", "j", "k l m"]  # 3,2,4,1,3 tokens
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(5)), "text": texts}), p
+    )
+    df = pack_token_windows(p, window=4).to_pandas().sort_values("doc_id")
+    assert list(df["n_tokens"]) == [3, 2, 4, 1, 3]
+    assert list(df["tok_start"]) == [0, 3, 5, 9, 10]
+    # windows of 4: doc0 [0,3)->w0; doc1 [3,5) straddles w0/w1;
+    # doc2 [5,9) straddles w1/w2; doc3 [9,10)->w2; doc4 [10,13) w2/w3
+    assert list(df["pack_first"]) == [0, 0, 1, 2, 2]
+    assert list(df["pack_last"]) == [0, 1, 2, 2, 3]
