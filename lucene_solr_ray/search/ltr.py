@@ -51,15 +51,13 @@ def _extract_features(index_root: str, cand: pd.DataFrame, terms: List[str]):
     """Distributed per-partition feature probe. ``cand`` has (query_id,
     partition_id, url, score). Returns a DataFrame (query_id, url, dl,
     tf_sum, n_matched)."""
-    by_pid: Dict[int, list] = {}
+    by_pid: Dict[int, dict] = {}
     for pid, url in zip(cand["partition_id"], cand["url"]):
-        by_pid.setdefault(int(pid), [])
-        if url not in by_pid[int(pid)]:
-            by_pid[int(pid)].append(url)
+        by_pid.setdefault(int(pid), {})[url] = None  # ordered de-dup
     items = [
         {
             "partition_id": pid,
-            "urls": urls,
+            "urls": list(urls),
             "seg_dirs": list(reversed(partition_segments(index_root, pid))),
         }
         for pid, urls in by_pid.items()

@@ -52,22 +52,28 @@ def spellcheck(
     tlist = list(terms)
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        vocab = np.asarray(batch["term"].to_pylist(), dtype=object)
-        dfs = batch["df"].to_numpy()
-        lens = np.fromiter((len(v) for v in vocab), dtype=np.int64, count=len(vocab))
+        # prune with Arrow kernels BEFORE any Python materialization: at
+        # scale a stats block holds ~10^5-10^6 terms, and only the tiny
+        # length-band ∩ prefix slice should ever become Python strings
+        lens = pc.utf8_length(batch["term"])
         outs = []
         for tid, term in enumerate(tlist):
-            band = np.abs(lens - len(term)) <= max_edits
+            band = pc.and_(
+                pc.greater_equal(lens, len(term) - max_edits),
+                pc.less_equal(lens, len(term) + max_edits),
+            )
             if min_df > 1:
-                band &= dfs >= min_df
+                band = pc.and_(band, pc.greater_equal(batch["df"], min_df))
             if prefix_len >= 1 and term:
-                band &= np.fromiter(
-                    (v[:prefix_len] == term[:prefix_len] for v in vocab),
-                    dtype=bool, count=len(vocab),
+                band = pc.and_(
+                    band,
+                    pc.starts_with(batch["term"], term[:prefix_len]),
                 )
-            cand = vocab[band]
-            if len(cand) == 0:
+            sub_t = batch.filter(band)
+            if sub_t.num_rows == 0:
                 continue
+            cand = np.asarray(sub_t["term"].to_pylist(), dtype=object)
+            dfs = sub_t["df"].to_numpy()
             dist = levenshtein_batch(cand, term)
             ok = (dist <= max_edits) & (dist > 0)
             if not ok.any():
@@ -76,7 +82,7 @@ def spellcheck(
                 {
                     "suggestion": cand[ok],
                     "distance": dist[ok],
-                    "df": dfs[band][ok],
+                    "df": dfs[ok],
                 }
             ).sort_values(
                 ["distance", "df", "suggestion"],
