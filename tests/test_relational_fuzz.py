@@ -1,0 +1,130 @@
+"""Property-based checks: the distributed relational operators must agree
+with straightforward single-process pandas references on random inputs
+(random block splits included — partition count must never change a
+result)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = ["a", "b", "c"]
+
+rows_st = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=-5, max_value=5),
+        st.sampled_from(["p", "q", "r", "s"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+FUZZ = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(rows):
+    return pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "v": [r[1] for r in rows],
+            "p": [r[2] for r in rows],
+            "id": list(range(len(rows))),
+        }
+    )
+
+
+@given(rows=rows_st, n=st.integers(min_value=1, max_value=4),
+       blocks=st.integers(min_value=1, max_value=5))
+@FUZZ
+def test_group_topk_matches_pandas(ray_session, rows, n, blocks):
+    from lucene_solr_ray.functions.relational import group_topk
+
+    df = _df(rows)
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    got = (
+        group_topk(ds, "k", ["v", "id"], [True, False], n)
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("k", sort=False)
+        .head(n)
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "p", "id"]], ref[["k", "v", "p", "id"]])
+
+
+@given(rows=rows_st, blocks=st.integers(min_value=1, max_value=5))
+@FUZZ
+def test_facet_range_matches_numpy(ray_session, rows, blocks):
+    from lucene_solr_ray.functions.relational import facet_range
+
+    df = _df(rows)
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    got = facet_range(ds, "v", -4.0, 4.0, 2.0)
+    v = df["v"].to_numpy(dtype=np.float64)
+    b = np.floor((v + 4.0) / 2.0)
+    ref = [int(((b == i) & (v >= -4) & (v < 4)).sum()) for i in range(4)]
+    assert list(got["count"]) == ref
+    assert list(got["bucket_lo"]) == [-4.0, -2.0, 0.0, 2.0]
+
+
+@given(rows=rows_st, ta=st.integers(min_value=1, max_value=3),
+       tb=st.integers(min_value=1, max_value=3),
+       blocks=st.integers(min_value=1, max_value=5))
+@FUZZ
+def test_facet_pivot_matches_pandas(ray_session, rows, ta, tb, blocks):
+    from lucene_solr_ray.functions.relational import facet_pivot
+
+    df = _df(rows)
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    got = facet_pivot(ds, "k", "p", topn_a=ta, topn_b=tb)
+
+    pc = df.groupby(["k", "p"]).size().reset_index(name="count")
+    at = (
+        pc.groupby("k")["count"].sum().reset_index()
+        .sort_values(["count", "k"], ascending=[False, True], kind="mergesort")
+    )
+    exp = []
+    for a in at["k"].head(ta):
+        sub = pc[pc["k"] == a].sort_values(
+            ["count", "p"], ascending=[False, True], kind="mergesort"
+        ).head(tb)
+        exp.append(sub)
+    ref = pd.concat(exp, ignore_index=True)[["k", "p", "count"]]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False
+    )
+
+
+@given(rows=rows_st, blocks=st.integers(min_value=1, max_value=5),
+       lim=st.integers(min_value=1, max_value=3))
+@FUZZ
+def test_json_facet_matches_pandas(ray_session, rows, blocks, lim):
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = _df(rows)
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    res = json_facet(
+        ds,
+        {"by_k": {"type": "terms", "field": "k", "limit": lim,
+                   "facet": {"sum_v": "sum(v)"}}},
+    )
+    assert res["count"] == len(df)
+    cnt = df.groupby("k").agg(count=("v", "size"), sum_v=("v", "sum")).reset_index()
+    cnt = cnt.sort_values(["count", "k"], ascending=[False, True],
+                          kind="mergesort").head(lim)
+    got = res["by_k"]["buckets"]
+    assert [b["val"] for b in got] == list(cnt["k"])
+    assert [b["count"] for b in got] == list(cnt["count"])
+    assert [b["sum_v"] for b in got] == [float(x) for x in cnt["sum_v"]]
