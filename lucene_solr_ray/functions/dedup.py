@@ -338,10 +338,30 @@ def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg
 
 
+def default_actor_concurrency(n=None):
+    """Cluster-derived actor-pool sizing for stateful map stages: an
+    autoscaling ``(2, cpus - headroom)`` pool. The cap grows with the
+    cluster (a hardcoded small constant serializes the stage on a real
+    cluster) while the floor keeps small inputs from paying dozens of
+    actor spin-ups + first-touch page-fault costs for a handful of
+    blocks. Headroom matters: a pool sized == num_cpus deadlocks the
+    pipeline it feeds (measured on this engine). Pass an int or tuple to
+    override."""
+    if n is not None:
+        return n
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(2, cpus - 4 if cpus > 8 else cpus - 1))
+
+
 def minhash_near_dup_pairs(ds, threshold: float = 0.8,
                            num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                            id_col: str = "doc_id", text_col: str = "text",
-                           concurrency=4, max_bucket: int = 128,
+                           concurrency=None, max_bucket: int = 128,
                            join_partitions: Optional[int] = None,
                            fetch_texts_from: Optional[str] = None):
     """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard.
@@ -367,7 +387,7 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
             id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=default_actor_concurrency(concurrency),
     )
 
     # (band_id, band_hash) mixed into ONE int64 bucket key: single-key
@@ -464,7 +484,8 @@ def _fetch_verify_pairs(uniq, parquet_path: str, id_col: str, text_col: str,
             )
 
     return uniq.map_batches(
-        FetchVerify, batch_format="pyarrow", batch_size=batch_size, concurrency=2
+        FetchVerify, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(2, 8),  # point-read fetchers: modest pool is plenty
     )
 
 
@@ -512,7 +533,7 @@ class SimHashStage:
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                           text_col: str = "text", n_tables: int = 4, concurrency=4,
+                           text_col: str = "text", n_tables: int = 4, concurrency=None,
                            max_bucket: int = 256):
     """Near-dup pairs with Hamming distance <= max_hamming: bucket by each
     of ``n_tables`` 16-bit slices (pigeonhole: any pair within distance 3
@@ -521,7 +542,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=default_actor_concurrency(concurrency),
     )
 
     def explode(batch: pa.Table) -> pa.Table:
