@@ -187,7 +187,9 @@ def run_bench() -> dict:
             "rollup_pricing", "join_nation_revenue", "token_counts",
             "dedup_exact", "ann_bruteforce", "window_user_hourly",
             "quality_scores", "dedup_minhash", "percentile_totalprice",
-            "semi_join_building",
+            "semi_join_building", "suggest_terms", "spellcheck_terms",
+            "ltr_rerank_topk", "group_top_orders", "json_facet_orders",
+            "pack_token_windows",
         ]:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))
