@@ -216,3 +216,34 @@ def test_pack_token_windows(ray_session, tmp_path):
     # doc2 [5,9) straddles w1/w2; doc3 [9,10)->w2; doc4 [10,13) w2/w3
     assert list(df["pack_first"]) == [0, 0, 1, 2, 2]
     assert list(df["pack_last"]) == [0, 1, 2, 2, 3]
+
+
+def test_json_facet_nested_stats(ray_session):
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = pd.DataFrame(
+        {
+            "s": ["x", "x", "x", "y"],
+            "p": ["a", "a", "b", "a"],
+            "v": [1.0, 3.0, 5.0, 7.0],
+        }
+    )
+    res = json_facet(
+        ray.data.from_pandas(df, override_num_blocks=2),
+        {
+            "by_s": {
+                "type": "terms", "field": "s", "limit": 2,
+                "facet": {
+                    "by_p": {
+                        "type": "terms", "field": "p", "limit": 2,
+                        "facet": {"mx": "max(v)"},  # stats inside nested
+                    },
+                },
+            }
+        },
+    )
+    x = res["by_s"]["buckets"][0]
+    assert x["val"] == "x"
+    sub = {b["val"]: b for b in x["by_p"]["buckets"]}
+    assert sub["a"]["count"] == 2 and sub["a"]["mx"] == 3.0
+    assert sub["b"]["count"] == 1 and sub["b"]["mx"] == 5.0
