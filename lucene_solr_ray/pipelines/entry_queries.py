@@ -1651,38 +1651,23 @@ def q_hll_distinct_custkey(sf_dir: str) -> pd.DataFrame:
 
 
 def q_percentile_totalprice(sf_dir: str):
-    """Discrete percentiles via a mergeable VALUE HISTOGRAM (PercentileAgg
-    analog, exact quantile_disc semantics): per-block (value, count)
-    partials combine map-side, one small groupby-sum shuffles counts (the
-    shuffle is bounded by the value-domain cardinality — cents prices —
-    not the row count), the cumulative walk picks the quantiles. Replaces
-    the previous full distributed sort + two split_at_indices passes; for
-    unbounded continuous domains use functions/sketches.py's t-digest."""
+    """Discrete percentiles via TWO-PASS histogram refinement
+    (functions/quantiles.py): every block reduces to a fixed 4096-bin
+    histogram (driver sees B×4096 ints regardless of N or value-domain
+    cardinality), then only the bin owning each rank is re-read and
+    locally sorted — exact quantile_disc semantics with every exchange
+    bounded. For approximate streaming quantiles use the t-digest in
+    functions/sketches.py."""
     ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
         _cents("o_totalprice"), batch_format="pyarrow"
     ).select_columns(["o_totalprice_c"])
 
-    def partial_hist(batch: pa.Table) -> pa.Table:
-        t = batch.group_by("o_totalprice_c").aggregate([("o_totalprice_c", "count")])
-        return t.select(["o_totalprice_c", "o_totalprice_c_count"]).rename_columns(
-            ["o_totalprice_c", "cnt"]
-        )
+    from ..functions.quantiles import exact_quantiles
 
-    hist = (
-        ds.map_batches(partial_hist, batch_format="pyarrow")
-        .groupby("o_totalprice_c")
-        .sum("cnt")
-        .to_pandas()
-        .sort_values("o_totalprice_c")
-    )
-    cum = hist["sum(cnt)"].cumsum().to_numpy()
-    vals = hist["o_totalprice_c"].to_numpy()
-    n = int(cum[-1])
-    out = {}
-    for q, name in [(0.5, "p50_c"), (0.9, "p90_c")]:
-        target = max(int(np.ceil(q * n)), 1)
-        out[name] = int(vals[int(np.searchsorted(cum, target))])
-    return pd.DataFrame([out]).astype(np.int64)
+    qv = exact_quantiles(ds, "o_totalprice_c", [0.5, 0.9])
+    return pd.DataFrame(
+        [{"p50_c": qv[0.5], "p90_c": qv[0.9]}]
+    ).astype(np.int64)
 
 
 def sql_percentile_totalprice() -> str:

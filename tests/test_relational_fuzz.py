@@ -128,3 +128,20 @@ def test_json_facet_matches_pandas(ray_session, rows, blocks, lim):
     assert [b["val"] for b in got] == list(cnt["k"])
     assert [b["count"] for b in got] == list(cnt["count"])
     assert [b["sum_v"] for b in got] == [float(x) for x in cnt["sum_v"]]
+
+
+@given(vals=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                     min_size=1, max_size=60),
+       blocks=st.integers(min_value=1, max_value=5))
+@FUZZ
+def test_exact_quantiles_matches_quantile_disc(ray_session, vals, blocks):
+    from lucene_solr_ray.functions.quantiles import exact_quantiles
+
+    df = pd.DataFrame({"v": vals})
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    srt = sorted(vals)
+    for q in qs:
+        target = max(int(np.ceil(q * len(vals))), 1)
+        assert got[q] == srt[target - 1], (q, got[q], srt)
