@@ -524,6 +524,9 @@ def facet_range(ds, col: str, start: float, end: float, gap: float):
         .aggregate(Sum("partial", alias_name="count"))
     )
     df = agg.to_pandas()
+    if "bucket" not in df.columns:  # every row fell outside [start, end)
+        df = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                           "count": pd.Series(dtype="int64")})
     full = pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64)})
     df = full.merge(df, on="bucket", how="left").fillna({"count": 0})
     return pd.DataFrame(
