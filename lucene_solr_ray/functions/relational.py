@@ -418,27 +418,40 @@ def block_join_parents(ds_children, child_parent_key: str, parent_pred_fn,
 
 
 def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
-                   max_hops: int = 2, num_partitions: Optional[int] = None):
+                   max_hops: int = 2, num_partitions: Optional[int] = None,
+                   broadcast_threshold: int = 1_000_000):
     """{!graph} traversal (reference: solr/core/src/java/org/apache/solr/
     search/join/GraphQuery.java ~350 LoC; SURVEY.md §2.5): iterative
     frontier expansion — each hop is one distributed semi-join of the edge
     table against the current frontier, then a distinct on the far column.
     ``edges_ds_fn`` is a zero-arg factory returning a fresh edges Dataset
     (each hop re-reads; at scale the edges would be a cached/materialized
-    Dataset). The driver holds only hop COUNTERS, never key sets — the
-    frontier stays a Dataset. Returns the distinct reachable ``to_col``
-    keys (including the start hop's targets)."""
+    Dataset).
+
+    Frontier routing is adaptive, mirroring the reference's own split
+    (GraphQuery collects the frontier as an in-memory automaton/term set
+    when it fits, else falls back to a filter query): a frontier below
+    ``broadcast_threshold`` keys is broadcast once via the object store and
+    each hop becomes one streaming filter pass over the edges — no
+    all-to-all. A larger frontier stays fully distributed through a hash
+    semi-join. The driver never materializes edge rows either way; the hop
+    COUNT is the only driver-side state. Returns the distinct reachable
+    ``to_col`` keys (including the start hop's targets)."""
     import ray.data as _rd
 
-    frontier = None  # Dataset of (from_col) keys
     start = _rd.from_items([{from_col: k} for k in start_keys])
     frontier = start
+    frontier_n = len(start_keys)
     reachable = None
     for _ in range(max_hops):
         edges = edges_ds_fn()
-        hop = semi_join(
-            edges, frontier, on=from_col, num_partitions=num_partitions
-        )
+        if frontier_n is not None and frontier_n <= broadcast_threshold:
+            f_ref = broadcast_table(frontier)
+            hop = semi_join_broadcast_table(edges, f_ref, on=from_col)
+        else:
+            hop = semi_join(
+                edges, frontier, on=from_col, num_partitions=num_partitions
+            )
         targets = distinct(hop, [to_col])
         reachable = targets if reachable is None else distinct(
             reachable.union(targets), [to_col]
@@ -447,6 +460,9 @@ def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
         frontier = targets.map_batches(
             lambda t: t.rename_columns([from_col]), batch_format="pyarrow"
         )
+        frontier_n = None  # unknown until counted; count() below is cheap
+        frontier = frontier.materialize()
+        frontier_n = frontier.count()
     return reachable
 
 

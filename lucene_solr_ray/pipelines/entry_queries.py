@@ -2138,27 +2138,27 @@ def q_graph_2hop_parts(sf_dir: str):
     iterative distributed semi-joins; the frontier never leaves the
     cluster. Node ids are namespaced ('p:'/'o:') so the two key spaces
     can't collide."""
-    def edges():
-        li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
-        def ns(batch: pa.Table) -> pa.Table:
-            o = batch["l_orderkey"].to_numpy()
-            p = batch["l_partkey"].to_numpy()
-            src = ["p:%d" % x for x in p] + ["o:%d" % x for x in o]
-            dst = ["o:%d" % x for x in o] + ["p:%d" % x for x in p]
-            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    def ns(batch: pa.Table) -> pa.Table:
+        # Namespace in the low bit: parts are even, orders odd — keys stay
+        # int64 so every hop's shuffle moves fixed-width ints, not strings.
+        o = batch["l_orderkey"].to_numpy().astype(np.int64) * 2 + 1
+        p = batch["l_partkey"].to_numpy().astype(np.int64) * 2
+        return pa.table({
+            "src": pa.array(np.concatenate([p, o])),
+            "dst": pa.array(np.concatenate([o, p])),
+        })
 
-        return li.map_batches(ns, batch_format="pyarrow")
+    edges_ds = li.map_batches(ns, batch_format="pyarrow").materialize()
 
     reach = rel.graph_traverse(
-        edges, "src", "dst", [f"p:{GRAPH_START_PART}"], max_hops=2
+        lambda: edges_ds, "src", "dst", [GRAPH_START_PART * 2], max_hops=2
     )
 
     def parts_only(batch: pa.Table) -> pa.Table:
-        keep = pc.starts_with(batch["dst"], "p:")
-        t = batch.filter(keep)
-        ids = np.array([int(s[2:]) for s in t["dst"].to_pylist()], dtype=np.int64)
-        return pa.table({"partkey": pa.array(ids)})
+        d = batch["dst"].to_numpy()
+        return pa.table({"partkey": pa.array(d[d % 2 == 0] // 2)})
 
     return reach.map_batches(parts_only, batch_format="pyarrow")
 
