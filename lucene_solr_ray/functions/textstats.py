@@ -30,6 +30,7 @@ __all__ = [
     "rolling_fingerprint",
     "LangIdStage",
     "quality_score_batch",
+    "ngram_repetition_batch",
 ]
 
 _WS = re.compile(r"\s+")
@@ -187,6 +188,45 @@ class LangIdStage:
         return batch.append_column(
             "lang_pred", pa.array(preds.tolist(), type=pa.string())
         )
+
+
+def ngram_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style top n-gram repetition signals (published pretraining
+    curation heuristic): the fraction of a document's tokens covered by its
+    single most frequent word bigram / trigram, integer-scaled x1e6 (token
+    fraction; the paper's char-fraction variant differs only in the weight
+    column). Fully vectorized: n-grams materialize as shifted views over the
+    batch's flat token array (an n-gram exists where the shifted doc index
+    matches), one Arrow group_by counts (doc, gram) pairs, a second takes
+    the per-doc max — no Python loop over rows or tokens."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    lens, flat, idx = _split_tokens(texts)
+    out = {}
+    for order, name in ((2, "top_bigram_frac_e6"), (3, "top_trigram_frac_e6")):
+        top = np.zeros(n, dtype=np.int64)
+        if len(flat) >= order:
+            same = idx[: -(order - 1)] == idx[order - 1 :]
+            parts = [flat.slice(k, len(flat) - order + 1) for k in range(order)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            gidx = idx[: -(order - 1)][same]
+            per = (
+                pa.table({"i": gidx, "g": pa.array(grams.filter(pa.array(same)))})
+                .group_by(["i", "g"])
+                .aggregate([("g", "count")])
+            )
+            if per.num_rows:
+                mx = per.group_by("i").aggregate([("g_count", "max")])
+                top[mx["i"].to_numpy()] = mx["g_count_max"].to_numpy()
+        frac = order * top * 1_000_000 // np.maximum(lens, 1)
+        frac[lens < order] = 0
+        out[name] = frac
+    res = batch
+    for name, arr in out.items():
+        res = res.append_column(name, pa.array(arr))
+    return res
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

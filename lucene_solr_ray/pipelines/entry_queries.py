@@ -798,6 +798,55 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_ngram_repetition(sf_dir: str):
+    """Gopher-style top n-gram repetition (fraction of tokens covered by
+    the most frequent word bigram/trigram) — pretraining curation heuristic
+    over the documents table, vectorized per batch (textstats.py)."""
+    from ..functions.textstats import ngram_repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        ngram_repetition_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "top_bigram_frac_e6", "top_trigram_frac_e6"])
+
+
+def sql_ngram_repetition() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g FROM pos WHERE i + 1 <= len(ts)
+),
+tri AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM pos WHERE i + 2 <= len(ts)
+),
+bmax AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+tmax AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+)
+SELECT n.doc_id,
+       CAST(COALESCE(2 * bmax.mc, 0) * 1000000 // GREATEST(n.n, 1) AS BIGINT)
+         AS top_bigram_frac_e6,
+       CAST(COALESCE(3 * tmax.mc, 0) * 1000000 // GREATEST(n.n, 1) AS BIGINT)
+         AS top_trigram_frac_e6
+FROM n LEFT JOIN bmax USING (doc_id) LEFT JOIN tmax USING (doc_id)
+"""
+
+
 def sql_quality_scores() -> str:
     from ..functions.textstats import STOPWORDS
 
@@ -2897,6 +2946,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "doc_stats": q_doc_stats,
     "quality_scores": q_quality_scores,
+    "ngram_repetition": q_ngram_repetition,
     "langid_eval": q_langid_eval,
     # dedup (§2.7 SignatureUpdateProcessor + extensions)
     "dedup_exact": q_dedup_exact,
@@ -2978,6 +3028,7 @@ ORACLES = {
     "doc_fingerprints": sql_doc_fingerprints(),
     "doc_stats": sql_doc_stats(),
     "quality_scores": sql_quality_scores(),
+    "ngram_repetition": sql_ngram_repetition(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),

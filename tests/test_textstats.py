@@ -1,0 +1,58 @@
+"""Curation-kernel unit tests (textstats.py): n-gram repetition plus the
+brute-force cross-check of the vectorized quality kernels on adversarial
+token shapes (empty docs, 1-token docs, all-repeat docs, batch-boundary
+neighbors)."""
+
+from collections import Counter
+
+import pyarrow as pa
+
+from lucene_solr_ray.functions.textstats import (
+    ngram_repetition_batch,
+    quality_score_batch,
+)
+
+
+def _brute_topgram(text: str, order: int) -> int:
+    toks = text.split(" ")
+    n = len(toks)
+    if n < order:
+        return 0
+    grams = Counter(
+        " ".join(toks[i : i + order]) for i in range(n - order + 1)
+    )
+    return order * max(grams.values()) * 1_000_000 // max(n, 1)
+
+
+def test_ngram_repetition_matches_bruteforce():
+    texts = [
+        "a b a b a b",          # top bigram covers all tokens
+        "x y z",                # every bigram unique
+        "",                     # empty
+        "w",                    # shorter than any gram
+        "p p p p p",            # degenerate single-token repeat
+        "one two one two three one two",
+        "a a b a a b a a",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    r = ngram_repetition_batch(t).to_pandas()
+    for i, text in enumerate(texts):
+        assert r.top_bigram_frac_e6[i] == _brute_topgram(text, 2), text
+        assert r.top_trigram_frac_e6[i] == _brute_topgram(text, 3), text
+
+
+def test_ngram_repetition_batch_isolation():
+    # neighbors in the flat token array must not form cross-doc grams
+    t = pa.table({"doc_id": [0, 1], "text": ["q q", "q q"]})
+    r = ngram_repetition_batch(t).to_pandas()
+    # each doc: one bigram "q q" x1 over 2 tokens -> 1.0; if the boundary
+    # leaked, doc 0 would see "q q" twice
+    assert list(r.top_bigram_frac_e6) == [1_000_000, 1_000_000]
+    assert list(r.top_trigram_frac_e6) == [0, 0]
+
+
+def test_quality_scores_empty_and_single():
+    t = pa.table({"doc_id": [0, 1], "text": ["", "word"]})
+    r = quality_score_batch(t).to_pandas()
+    assert r.repetition_ratio_e6[0] == 0
+    assert r.mean_word_len_e6[1] == 4_000_000
