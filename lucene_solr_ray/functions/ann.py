@@ -155,56 +155,87 @@ def lsh_cosine_topk(
         matn = mat / norms[:, None]
         signs = (np.einsum("tpd,bd->tbp", planes, matn) > 0).astype(np.uint32)
         codes = (signs << np.arange(n_planes, dtype=np.uint32)).sum(axis=2)  # (T, B)
-        out = {"table_id": [], "bucket": [], "vec_id": [], "vec": []}
-        # keep only vectors landing in some query's bucket (candidate prune)
+        # keep only vectors landing in some query's bucket (candidate
+        # prune) — all-numpy accumulation, vec column emitted as a
+        # zero-copy ListArray over the flat float buffer
+        sel_t, sel_b, sel_id, sel_rows = [], [], [], []
         for t in range(n_tables):
-            wanted = set(qb[t].tolist())
-            sel = np.isin(codes[t], list(wanted))
-            out["table_id"].extend([t] * int(sel.sum()))
-            out["bucket"].extend(codes[t][sel].tolist())
-            out["vec_id"].extend(ids[sel].tolist())
-            out["vec"].extend(matn[sel].tolist())
+            sel = np.isin(codes[t], qb[t])
+            m = int(sel.sum())
+            if not m:
+                continue
+            sel_t.append(np.full(m, t, dtype=np.int32))
+            sel_b.append(codes[t][sel].astype(np.int64))
+            sel_id.append(ids[sel])
+            sel_rows.append(matn[sel])
+        if not sel_t:
+            return pa.table(
+                {
+                    "table_id": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        rows = np.concatenate(sel_rows)
+        d = matn.shape[1]
+        off = np.arange(rows.shape[0] + 1, dtype=np.int32) * d
         return pa.table(
             {
-                "table_id": pa.array(out["table_id"], type=pa.int32()),
-                "bucket": pa.array(out["bucket"], type=pa.int64()),
-                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                "vec": pa.array(out["vec"], type=pa.list_(pa.float64())),
+                "table_id": pa.array(np.concatenate(sel_t)),
+                "bucket": pa.array(np.concatenate(sel_b)),
+                "vec_id": pa.array(np.concatenate(sel_id), type=pa.int64()),
+                "vec": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(rows.reshape(-1))
+                ),
             }
         )
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(g: pa.Table) -> pa.Table:
         Q = (
             ray.get(query_matrix_ref)
             if not isinstance(query_matrix_ref, np.ndarray)
             else query_matrix_ref
         )
         qb = q_buckets(Q)
-        t = int(g.table_id.iloc[0])
-        bucket = int(g.bucket.iloc[0])
-        q_here = [qi for qi in range(len(qids)) if qb[t, qi] == bucket]
-        if not q_here:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        ids = g.vec_id.to_numpy()
-        mat = np.asarray(g.vec.tolist(), dtype=np.float64)
-        out_q, out_id, out_sim = [], [], []
-        for qi in q_here:
-            sims = Q[qi] @ mat.T
-            if exclude_self:
-                sims = np.where(ids == qids[qi], -np.inf, sims)
-            out_q.extend([qids[qi]] * len(ids))
-            out_id.extend(ids.tolist())
-            out_sim.extend(sims.tolist())
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "sim": out_sim})
+        t = g["table_id"][0].as_py()
+        bucket = g["bucket"][0].as_py()
+        q_here = np.nonzero(qb[t] == bucket)[0]
+        if not len(q_here):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        ids = g["vec_id"].to_numpy()
+        mat = decode_fixed_dim(g["vec"])
+        qid_arr = np.asarray(qids)[q_here]
+        sims = Q[q_here] @ mat.T  # (q_here, B)
+        if exclude_self:
+            sims = np.where(ids[None, :] == qid_arr[:, None], -np.inf, sims)
+        B = len(ids)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qid_arr, B), type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, len(q_here)), type=pa.int64()),
+                "sim": pa.array(sims.reshape(-1), type=pa.float64()),
+            }
+        )
 
     cands = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["table_id", "bucket"])
-        .map_groups(score_bucket, batch_format="pandas")
+        .map_groups(score_bucket, batch_format="pyarrow")
     )
-    # a (query, vec) pair can appear in several tables — dedup then merge
-    uniq = cands.groupby(["query_id", "vec_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a (query, vec) pair can appear in several tables with IDENTICAL sim
+    # (same Q, same normalized vector) — dedup is therefore a native Max
+    # aggregate, not a per-group Python head(1)
+    from ray.data.aggregate import Max
+
+    uniq = cands.groupby(["query_id", "vec_id"]).aggregate(
+        Max("sim", alias_name="sim")
     )
     return uniq.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
@@ -296,7 +327,7 @@ def ivf_cosine_topk(
             }
         )
 
-    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+    def score_cell(g: pa.Table) -> pa.Table:
         Q = (
             ray.get(query_matrix_ref)
             if not isinstance(query_matrix_ref, np.ndarray)
@@ -304,28 +335,47 @@ def ivf_cosine_topk(
         )
         Cc = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
         cells_of_q = probe_cells(Q, Cc)
-        cell = int(g.cell.iloc[0])
-        q_here = [qi for qi in range(len(qids)) if cell in cells_of_q[qi]]
-        if not q_here:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        ids = g.vec_id.to_numpy()
-        mat = np.asarray(g.vec.tolist(), dtype=np.float64)
-        out_q, out_id, out_sim = [], [], []
-        for qi in q_here:
-            sims = Q[qi] @ mat.T
-            if exclude_self:
-                sims = np.where(ids == qids[qi], -np.inf, sims)
-            kk = min(k, len(ids))
-            idx = np.argpartition(-sims, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
-            out_q.extend([qids[qi]] * len(idx))
-            out_id.extend(ids[idx].tolist())
-            out_sim.extend(sims[idx].tolist())
-        return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "sim": out_sim})
+        cell = g["cell"][0].as_py()
+        q_here = np.nonzero((cells_of_q == cell).any(axis=1))[0]
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if not len(q_here):
+            return empty
+        ids = g["vec_id"].to_numpy()
+        mat = decode_fixed_dim(g["vec"])
+        qid_arr = np.asarray(qids)[q_here]
+        sims = Q[q_here] @ mat.T  # (q_here, B)
+        if exclude_self:
+            sims = np.where(ids[None, :] == qid_arr[:, None], -np.inf, sims)
+        B = len(ids)
+        kk = min(k, B)
+        if B > kk:
+            # per-query local top-k inside the cell before the merge
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            idx = np.tile(np.arange(B), (len(q_here), 1))
+        rows = np.repeat(qid_arr, idx.shape[1])
+        picked = idx.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows, type=pa.int64()),
+                "vec_id": pa.array(ids[picked], type=pa.int64()),
+                "sim": pa.array(
+                    np.take_along_axis(sims, idx, axis=1).reshape(-1),
+                    type=pa.float64(),
+                ),
+            }
+        )
 
     cands = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("cell")
-        .map_groups(score_cell, batch_format="pandas")
+        .map_groups(score_cell, batch_format="pyarrow")
     )
     return cands.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
