@@ -171,6 +171,89 @@ def q_ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ft_bool_nested_topk(sf_dir: str) -> pd.DataFrame:
+    """Nested BooleanQuery tree (reference BooleanQuery/BooleanWeight,
+    branch_8x; SURVEY.md §2.3): must=[or(query, join)],
+    should=[window, and(data, fast)], must_not=[slow] — should clauses add
+    score without being required (Lucene msm default 0 when must present);
+    float64/div similarity for SQL parity."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0,
+            "kind": "bool",
+            "must": [{"kind": "or", "terms": ["query", "join"]}],
+            "should": [
+                {"kind": "term", "terms": ["window"]},
+                {"kind": "and", "terms": ["data", "fast"]},
+            ],
+            "must_not": [{"kind": "term", "terms": ["slow"]}],
+        }],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_bool_nested_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in ["query", "join", "window", "data", "fast", "slow"])
+    idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         {idf}
+         - {idf}
+           / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'query'  THEN s END) AS s_query,
+         max(CASE WHEN term = 'join'   THEN s END) AS s_join,
+         max(CASE WHEN term = 'window' THEN s END) AS s_window,
+         max(CASE WHEN term = 'data'   THEN s END) AS s_data,
+         max(CASE WHEN term = 'fast'   THEN s END) AS s_fast,
+         max(CASE WHEN term = 'slow'   THEN s END) AS s_slow
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         COALESCE(s_query, 0) + COALESCE(s_join, 0)
+         + COALESCE(s_window, 0)
+         + CASE WHEN s_data IS NOT NULL AND s_fast IS NOT NULL
+                THEN s_data + s_fast ELSE 0 END AS score
+  FROM piv
+  WHERE (s_query IS NOT NULL OR s_join IS NOT NULL) AND s_slow IS NULL
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def q_ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (df, total_tf) for fixed terms — the ExactStatsCache surface
     (SURVEY.md §2.6 index-build aggregations)."""
@@ -2928,6 +3011,7 @@ FROM c ORDER BY doc_id
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
+    "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
     "ft_index_stats": q_ft_index_stats,
@@ -3011,6 +3095,7 @@ QUERIES = {
 
 ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
+    "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
     "ft_index_stats": sql_ft_index_stats(),

@@ -69,8 +69,39 @@ def prepare_search_context(
     # chain (prefix/wildcard/fuzzy are lowercased like the index terms;
     # regexp is taken verbatim — lowercasing would mangle \W-style classes)
     _PATTERN_KINDS = ("prefix", "wildcard", "fuzzy")
-    queries = [
-        dict(
+
+    def norm_tree(node: dict) -> dict:
+        """Analyze every leaf's terms inside a nested ``bool`` tree."""
+        if node.get("kind") == "bool":
+            out = {k: v for k, v in node.items()
+                   if k not in ("must", "should", "must_not")}
+            for sec in ("must", "should", "must_not"):
+                if node.get(sec):
+                    out[sec] = [norm_tree(c) for c in node[sec]]
+            return out
+        return dict(
+            node,
+            terms=[nt for nt in (norm_term(t) for t in node["terms"]) if nt is not None],
+        )
+
+    def leaf_terms(node: dict) -> List[str]:
+        if node.get("kind") == "bool":
+            return [
+                t
+                for sec in ("must", "should", "must_not")
+                for c in node.get(sec, ())
+                for t in leaf_terms(c)
+            ]
+        return list(node["terms"])
+
+    def norm_query(q: dict) -> dict:
+        if q.get("kind") == "bool":
+            nq = norm_tree(q)
+            # "terms" = every leaf term in the tree, so the stats broadcast
+            # and per-actor contribution cache cover nested clauses too
+            nq["terms"] = sorted(set(leaf_terms(nq)))
+            return nq
+        return dict(
             q,
             terms=[nt for nt in (norm_term(t) for t in q["terms"]) if nt is not None]
             if q.get("kind") not in ("prefix", "wildcard", "regexp", "fuzzy")
@@ -83,8 +114,8 @@ def prepare_search_context(
                 else {}
             ),
         )
-        for q in queries
-    ]
+
+    queries = [norm_query(q) for q in queries]
     all_terms = sorted({t for q in queries for t in q["terms"]})
     stats = read_query_term_stats(index_root, all_terms)
     weights: Dict[str, np.floating] = {}

@@ -26,7 +26,7 @@ partition size.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -39,16 +39,19 @@ __all__ = ["score_query_exhaustive", "topk_select", "SearcherStage", "lookup_url
 
 
 def topk_select(cand: np.ndarray, scores: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Top-k by (score desc, docid asc) over candidate docids + scores."""
+    """Top-k by (score desc, docid asc) over candidate docids + scores.
+    Preserves the score dtype: the default paths accumulate in float32
+    (Lucene semantics), the float64 oracle-parity similarity must not be
+    rounded back to float32 here or e6-floored scores flip at boundaries."""
     if len(cand) == 0:
-        return cand.astype(np.int64), scores.astype(np.float32)
+        return cand.astype(np.int64), scores
     nsc = -scores
     if len(cand) > k:
         kth = np.partition(nsc, k - 1)[k - 1]
         mask = nsc <= kth
         cand, nsc = cand[mask], nsc[mask]
     order = np.lexsort((cand, nsc))[:k]
-    return cand[order].astype(np.int64), (-nsc[order]).astype(np.float32)
+    return cand[order].astype(np.int64), -nsc[order]
 
 
 def score_query_exhaustive(
@@ -99,7 +102,10 @@ def score_query_exhaustive(
         cand = np.nonzero(matched)[0]
         scores_c = np.ones(len(cand), dtype=np.float32)
     else:
-        scores = np.zeros(n_docs, dtype=np.float32)
+        # accumulate in the similarity's dtype: float32 (Lucene semantics)
+        # by default; float64 end-to-end for the SQL-oracle-parity mode —
+        # a float32 round-trip here flips e6-floored scores at boundaries
+        scores = np.zeros(n_docs, dtype=sim.dtype)
         hits = np.zeros(n_docs, dtype=np.uint16)
         n_terms = len(terms)
         missing = False
@@ -133,6 +139,113 @@ def score_query_exhaustive(
         keep = ~reader.deleted[cand]
         cand, scores_c = cand[keep], scores_c[keep]
     return topk_select(cand, scores_c, k)
+
+
+def _bool_eval_node(
+    reader: SegmentReader,
+    node: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    tcache: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """FULL (no top-k) evaluation of one query-tree node over a segment →
+    (sorted docids, scores). Inner nodes must never truncate: a clause's
+    low-scoring match can still be required for the parent's conjunction.
+
+    Nested-BooleanQuery semantics (reference: lucene/core/src/java/org/
+    apache/lucene/search/BooleanQuery.java + BooleanWeight.java ~550+400
+    LoC, branch_8x): a doc matches a ``bool`` node iff ALL ``must``
+    children match, at least ``min_should_match`` ``should`` children
+    match (Lucene's default: 0 when must clauses exist, else 1), and no
+    ``must_not`` child matches; its score is the SUM of the scores of all
+    matching scoring clauses (must + should — should adds score even when
+    not required for the match)."""
+    n = reader.num_docs
+    kind = node.get("kind", "term")
+    if kind == "bool":
+        must = node.get("must", ())
+        should = node.get("should", ())
+        mnot = node.get("must_not", ())
+        msm = int(node.get("min_should_match", 0 if must else 1))
+        scores = np.zeros(n, dtype=sim.dtype)
+        mask = None
+        for c in must:
+            cid, csc = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
+            scores[cid] += csc
+            m = np.zeros(n, dtype=bool)
+            m[cid] = True
+            mask = m if mask is None else (mask & m)
+        if should:
+            sh_cnt = np.zeros(n, dtype=np.uint16)
+            for c in should:
+                cid, csc = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
+                scores[cid] += csc
+                sh_cnt[cid] += 1
+            need = max(1, msm) if mask is None else msm
+            if need > 0:
+                m = sh_cnt >= need
+                mask = m if mask is None else (mask & m)
+        if mask is None:
+            # no scoring clauses at all: nothing can match
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=sim.dtype)
+        for c in mnot:
+            cid, _ = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
+            mask[cid] = False
+        cand = np.nonzero(mask)[0]
+        return cand, scores[cand]
+    if kind not in ("term", "or", "and"):
+        raise ValueError(f"bool sub-clause kind {kind!r} not supported")
+    terms = node["terms"]
+    scores = np.zeros(n, dtype=sim.dtype)
+    hits = np.zeros(n, dtype=np.uint16)
+    missing = False
+    for term in terms:
+        entry = tcache.get(term) if tcache is not None else False
+        if entry is False or (entry is not None and entry[1] is None):
+            o = reader.lookup(term)
+            if o < 0:
+                entry = None
+            else:
+                tp = reader.postings(o)
+                entry = (
+                    tp.docids,
+                    sim.score_freqs(
+                        weights.get(term, sim.dtype(0.0)), tp.freqs,
+                        reader.norms[tp.docids], cache_inv,
+                    ),
+                )
+        if entry is None:
+            missing = True
+            continue
+        docids, contrib = entry
+        scores[docids] += contrib
+        hits[docids] += 1
+    if kind == "and":
+        if missing:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=sim.dtype)
+        cand = np.nonzero(hits == len(terms))[0]
+    else:
+        cand = np.nonzero(hits >= max(1, int(node.get("min_should_match", 1))))[0]
+    return cand, scores[cand]
+
+
+def score_query_bool(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    tcache: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Nested BooleanQuery top-k over one segment: full tree evaluation,
+    liveDocs filter, then the standard (score desc, docid asc) top-k."""
+    cand, scores = _bool_eval_node(reader, q, weights, cache_inv, sim, tcache)
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    return topk_select(cand, scores, k)
 
 
 def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
@@ -266,11 +379,13 @@ def _score_query_cached(
     k: int,
     exclude: Sequence[str] = (),
     min_should_match: int = 1,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """score_query_exhaustive with per-term (docids, contrib) reuse —
-    bit-identical results (same contribs, same float32 accumulation order)."""
+    bit-identical results (same contribs, same accumulation order and
+    dtype: float32 default, float64 in the SQL-oracle-parity mode)."""
     n_docs = reader.num_docs
-    scores = np.zeros(n_docs, dtype=np.float32)
+    scores = np.zeros(n_docs, dtype=dtype)
     hits = np.zeros(n_docs, dtype=np.uint16)
     n_terms = len(terms)
     missing = False
@@ -411,6 +526,11 @@ class SearcherStage:
                         self.sim, self.k, exclude=exclude,
                         slop=int(q.get("slop", 0)),
                     )
+                elif q["kind"] == "bool":
+                    docids, scores = score_query_bool(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, tcache=tcache,
+                    )
                 elif use_wand and plain:
                     docids, scores = score_query_wand(
                         reader, q["terms"], q["kind"], self.weights,
@@ -422,6 +542,7 @@ class SearcherStage:
                     docids, scores = _score_query_cached(
                         reader, q["terms"], q["kind"], tcache, self.k,
                         exclude=exclude, min_should_match=msm,
+                        dtype=self.sim.dtype,
                     )
                 else:
                     docids, scores = score_query_exhaustive(
@@ -458,6 +579,6 @@ class SearcherStage:
                 "partition_id": pid,
                 "local_docid": doc.astype(np.int32),
                 "url": pa.array(urls, type=pa.string()),
-                "score": np.array(out_score, dtype=np.float32),
+                "score": np.array(out_score, dtype=self.sim.dtype),
             }
         )

@@ -40,3 +40,17 @@ def corpus_queries(small_corpus):
 
     dfs = corpus_df_stats(small_corpus)
     return generate_query_set(dfs, seed=42)
+
+
+@pytest.fixture(scope="session")
+def built_indexes(ray_session, small_corpus, tmp_path_factory):
+    """P=1 control + P=4 distributed index over the small corpus (shared by
+    the search-correctness test modules)."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    base = tmp_path_factory.mktemp("indexes")
+    idx1 = str(base / "p1")
+    idx4 = str(base / "p4")
+    build_index(small_corpus, idx1, num_partitions=1)
+    build_index(small_corpus, idx4, num_partitions=4, check_extraction=True)
+    return idx1, idx4

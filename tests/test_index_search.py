@@ -15,16 +15,6 @@ from lucene_solr_ray.pipelines.query import search
 from lucene_solr_ray.search.oracle import OracleIndex
 
 
-@pytest.fixture(scope="session")
-def built_indexes(ray_session, small_corpus, tmp_path_factory):
-    base = tmp_path_factory.mktemp("indexes")
-    idx1 = str(base / "p1")
-    idx4 = str(base / "p4")
-    build_index(small_corpus, idx1, num_partitions=1)
-    build_index(small_corpus, idx4, num_partitions=4, check_extraction=True)
-    return idx1, idx4
-
-
 def _frame(df):
     return df[["query_id", "rank", "url", "score"]].reset_index(drop=True)
 
