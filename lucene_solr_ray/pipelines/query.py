@@ -71,7 +71,8 @@ def prepare_search_context(
     _PATTERN_KINDS = ("prefix", "wildcard", "fuzzy")
 
     def norm_tree(node: dict) -> dict:
-        """Analyze every leaf's terms inside a nested ``bool`` tree."""
+        """Analyze every leaf's terms inside a nested ``bool`` tree
+        (``const`` wraps one child under ``of``; boosts pass through)."""
         if node.get("kind") == "bool":
             out = {k: v for k, v in node.items()
                    if k not in ("must", "should", "must_not")}
@@ -79,6 +80,8 @@ def prepare_search_context(
                 if node.get(sec):
                     out[sec] = [norm_tree(c) for c in node[sec]]
             return out
+        if node.get("kind") == "const":
+            return dict(node, of=norm_tree(node["of"]))
         return dict(
             node,
             terms=[nt for nt in (norm_term(t) for t in node["terms"]) if nt is not None],
@@ -92,10 +95,12 @@ def prepare_search_context(
                 for c in node.get(sec, ())
                 for t in leaf_terms(c)
             ]
+        if node.get("kind") == "const":
+            return leaf_terms(node["of"])
         return list(node["terms"])
 
     def norm_query(q: dict) -> dict:
-        if q.get("kind") == "bool":
+        if q.get("kind") in ("bool", "const"):
             nq = norm_tree(q)
             # "terms" = every leaf term in the tree, so the stats broadcast
             # and per-actor contribution cache cover nested clauses too

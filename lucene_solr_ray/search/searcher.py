@@ -163,6 +163,13 @@ def _bool_eval_node(
     not required for the match)."""
     n = reader.num_docs
     kind = node.get("kind", "term")
+    boost = sim.dtype(node.get("boost", 1.0))
+    if kind == "const":
+        # ConstantScoreQuery (reference: lucene/core/.../search/
+        # ConstantScoreQuery.java ~200 LoC, branch_8x): matching docs of the
+        # wrapped query score exactly ``boost`` — the filter-context wrapper
+        cid, _ = _bool_eval_node(reader, node["of"], weights, cache_inv, sim, tcache)
+        return cid, np.full(len(cid), boost, dtype=sim.dtype)
     if kind == "bool":
         must = node.get("must", ())
         should = node.get("should", ())
@@ -193,7 +200,10 @@ def _bool_eval_node(
             cid, _ = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
             mask[cid] = False
         cand = np.nonzero(mask)[0]
-        return cand, scores[cand]
+        out = scores[cand]
+        # BoostQuery wrapper (reference: lucene/core/.../search/
+        # BoostQuery.java, branch_8x): multiplies the wrapped query's score
+        return (cand, out * boost) if boost != sim.dtype(1.0) else (cand, out)
     if kind not in ("term", "or", "and"):
         raise ValueError(f"bool sub-clause kind {kind!r} not supported")
     terms = node["terms"]
@@ -227,7 +237,8 @@ def _bool_eval_node(
         cand = np.nonzero(hits == len(terms))[0]
     else:
         cand = np.nonzero(hits >= max(1, int(node.get("min_should_match", 1))))[0]
-    return cand, scores[cand]
+    out = scores[cand]
+    return (cand, out * boost) if boost != sim.dtype(1.0) else (cand, out)
 
 
 def score_query_bool(
@@ -526,7 +537,7 @@ class SearcherStage:
                         self.sim, self.k, exclude=exclude,
                         slop=int(q.get("slop", 0)),
                     )
-                elif q["kind"] == "bool":
+                elif q["kind"] in ("bool", "const"):
                     docids, scores = score_query_bool(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, tcache=tcache,

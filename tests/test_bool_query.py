@@ -111,3 +111,39 @@ def test_bool_deep_nesting_bruteforce(built_indexes, small_corpus):
         if (cnt[a] > 0 or (cnt[b] > 0 and cnt[c] > 0)) and cnt[d] == 0
     }
     assert got == exp
+
+
+def test_bool_boost_and_const(built_indexes, corpus_queries):
+    """BoostQuery multiplies a clause's score; ConstantScoreQuery scores
+    exactly its boost regardless of tf/idf (reference BoostQuery.java /
+    ConstantScoreQuery.java, branch_8x)."""
+    idx1, idx4 = built_indexes
+    terms = sorted({t for q in corpus_queries for t in q["terms"]})[:2]
+    a, b = terms
+
+    def t(x, **kw):
+        return dict({"kind": "term", "terms": [x]}, **kw)
+
+    r = search(idx4, [
+        {"query_id": 0, "kind": "bool", "should": [t(a)]},
+        {"query_id": 1, "kind": "bool", "should": [t(a, boost=2.0)]},
+        {"query_id": 2, "kind": "bool",
+         "should": [{"kind": "const", "of": t(a), "boost": 7.0}]},
+        {"query_id": 3, "kind": "bool",
+         "must": [t(a)],
+         "should": [{"kind": "const", "of": t(b), "boost": 100.0}]},
+    ], k=10**6)
+    base = r[r.query_id == 0].set_index("url")["score"]
+    boosted = r[r.query_id == 1].set_index("url")["score"]
+    assert set(base.index) == set(boosted.index)
+    assert np.allclose(boosted[base.index].to_numpy(),
+                       2.0 * base.to_numpy(), rtol=1e-6)
+    const = r[r.query_id == 2]
+    assert set(const["url"]) == set(base.index)
+    assert (const["score"].to_numpy() == np.float32(7.0)).all()
+    # const-in-should: docs also matching b jump by exactly 100
+    mixed = r[r.query_id == 3].set_index("url")["score"]
+    assert set(mixed.index) == set(base.index)
+    deltas = mixed[base.index].to_numpy() - base.to_numpy()
+    assert set(np.round(deltas).astype(int)) <= {0, 100}
+    assert (np.round(deltas) == 100).any()
