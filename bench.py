@@ -189,7 +189,7 @@ def run_bench() -> dict:
             "quality_scores", "dedup_minhash", "percentile_totalprice",
             "semi_join_building", "suggest_terms", "spellcheck_terms",
             "ltr_rerank_topk", "group_top_orders", "json_facet_orders",
-            "pack_token_windows",
+            "pack_token_windows", "graph_2hop_parts", "ngram_repetition",
         ]:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))

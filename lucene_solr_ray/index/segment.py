@@ -388,6 +388,47 @@ class SegmentReader:
             return i
         return -1
 
+    def docid_of_url(self, url: str):
+        """Reverse docmap lookup: url → local_docid or None. The docmap is
+        written url-sorted with fixed row groups, so the probe reads
+        parquet row-group statistics plus ONE row group — O(row_group)
+        I/O per point lookup (the realtime-get discipline), never the
+        whole docmap. Row groups are cached per reader."""
+        import bisect
+
+        if not hasattr(self, "_dm_meta"):
+            pf = pq.ParquetFile(os.path.join(self.seg_dir, "docmap.parquet"))
+            md = pf.metadata
+            uidx = md.schema.to_arrow_schema().get_field_index("url")
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(uidx).statistics
+                if st is None or not st.has_min_max:
+                    mins = None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            self._dm_meta = (pf, mins, maxs)
+            self._dm_groups = {}
+        pf, mins, maxs = self._dm_meta
+        if mins is None:
+            groups = range(pf.metadata.num_row_groups)
+        else:
+            g = bisect.bisect_right(mins, url) - 1
+            groups = [g] if (g >= 0 and url <= maxs[g]) else []
+        for g in groups:
+            ent = self._dm_groups.get(g)
+            if ent is None:
+                t = pf.read_row_group(g, columns=["local_docid", "url"])
+                ent = self._dm_groups[g] = (
+                    t["url"].to_pylist(), t["local_docid"].to_numpy()
+                )
+            urls_g, ids = ent
+            i = bisect.bisect_left(urls_g, url)
+            if i < len(urls_g) and urls_g[i] == url:
+                return int(ids[i])
+        return None
+
     def prefix_range(self, prefix: str) -> tuple:
         """Ordinal range [lo, hi) of terms starting with ``prefix`` — the
         sorted-term-block range scan behind PrefixQuery (reference:

@@ -30,7 +30,7 @@ from ..search.similarity import Bm25Similarity
 from ..search.topk import merge_topk_group
 from ..state.manifest import partition_segments, read_root_manifest
 
-__all__ = ["search", "prepare_search_context", "realtime_get"]
+__all__ = ["search", "prepare_search_context", "realtime_get", "explain"]
 
 
 def prepare_search_context(
@@ -293,3 +293,144 @@ def realtime_get(index_root: str, urls: List[str]):
                 )
                 break
     return pd.DataFrame(rows, columns=["url", "partition_id", "local_docid", "dl"])
+
+
+class ExplainStage:
+    """Actor-pool stage for ``explain``: one batch row = one winner doc.
+    Readers cached per actor; the probe finds the doc's owning segment
+    (newest live generation, same rule the searcher scores under)."""
+
+    def __init__(self, ctx_ref):
+        import ray as _ray
+
+        ctx = _ray.get(ctx_ref) if not isinstance(ctx_ref, dict) else ctx_ref
+        self.index_root = ctx["index_root"]
+        self.terms_by_q = ctx["terms_by_q"]
+        self.weights = ctx["weights"]
+        self.dfs = ctx["dfs"]
+        self.sim = Bm25Similarity.from_config(ctx.get("sim"))
+        self.cache_inv = self.sim.norm_inverse_cache(ctx["avgdl"])
+        self._readers: Dict[str, object] = {}
+
+    def _reader(self, seg):
+        from ..search.searcher import SegmentReader
+
+        r = self._readers.get(seg)
+        if r is None:
+            r = self._readers[seg] = SegmentReader(seg)
+        return r
+
+    def _find(self, pid: int, url: str):
+        """(reader, local_docid) of the live version of url, or None."""
+        for seg in reversed(partition_segments(self.index_root, pid)):
+            reader = self._reader(seg)
+            if reader.num_docs == 0:
+                continue
+            d = reader.docid_of_url(url)
+            if d is None:
+                continue
+            if reader.deleted is not None and reader.deleted[d]:
+                continue
+            return reader, d
+        return None
+
+    def __call__(self, batch: pa.Table):
+        out = {"query_id": [], "url": [], "term": [], "freq": [],
+               "df": [], "weight": [], "norm_length": [], "contribution": []}
+        from ..analysis.smallfloat import LENGTH_TABLE
+
+        for row in batch.to_pylist():
+            qid, url, pid = row["query_id"], row["url"], row["partition_id"]
+            hit = self._find(int(pid), url)
+            if hit is None:
+                continue
+            reader, d = hit
+            nb = int(reader.norms[d])
+            for term in self.terms_by_q[qid]:
+                o = reader.lookup(term)
+                freq = 0
+                if o >= 0:
+                    tp = reader.postings(o)
+                    i = int(np.searchsorted(tp.docids, d))
+                    if i < len(tp.docids) and tp.docids[i] == d:
+                        freq = int(tp.freqs[i])
+                w = self.weights.get(term, self.sim.dtype(0.0))
+                contrib = (
+                    float(self.sim.score_freqs(
+                        w, np.array([freq], dtype=np.uint32),
+                        np.array([nb], dtype=np.uint8), self.cache_inv,
+                    )[0])
+                    if freq > 0
+                    else 0.0
+                )
+                out["query_id"].append(qid)
+                out["url"].append(url)
+                out["term"].append(term)
+                out["freq"].append(freq)
+                out["df"].append(int(self.dfs.get(term, 0)))
+                out["weight"].append(float(w))
+                out["norm_length"].append(int(LENGTH_TABLE[nb]))
+                out["contribution"].append(contrib)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "url": pa.array(out["url"], type=pa.string()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "freq": pa.array(out["freq"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
+                "weight": pa.array(out["weight"], type=pa.float64()),
+                "norm_length": pa.array(out["norm_length"], type=pa.int64()),
+                "contribution": pa.array(out["contribution"], type=pa.float64()),
+            }
+        )
+
+
+def explain(index_root: str, queries: List[dict], k: int = 10,
+            sim_config: Optional[dict] = None, method: str = "auto"):
+    """Per-term score breakdown for each query's top-k docs — the
+    ``[explain]`` document transformer / ``IndexSearcher.explain`` analog
+    (reference: solr/core/src/java/org/apache/solr/response/transform/
+    ExplainAugmenterFactory.java + lucene IndexSearcher#explain, branch_8x;
+    SURVEY.md §2.2 document transformers, §2.9 tf/idf/norm debug scalars).
+
+    Runs the normal distributed search, then fans the k·Q winner rows
+    through an ExplainStage actor pool that recomputes each (doc, term)
+    contribution from the same postings/norms/global-stats state the
+    scorer used. Flat term/and/or kinds only (nested trees explain their
+    leaves poorly in tabular form). Returns a DataFrame
+    (query_id, url, term, freq, df, weight, norm_length, contribution);
+    per-(query_id, url) float32 term-order sums equal the search score."""
+    for q in queries:
+        if q.get("kind", "term") not in ("term", "and", "or"):
+            raise ValueError("explain supports flat term/and/or queries")
+    res = search(index_root, queries, k=k, sim_config=sim_config, method=method)
+    ctx = prepare_search_context(index_root, queries, k, method, sim_config)
+    from ..index.stats import read_query_term_stats
+
+    all_terms = sorted({t for q in ctx["queries"] for t in q["terms"]})
+    stats = read_query_term_stats(index_root, all_terms)
+    ectx = {
+        "index_root": index_root,
+        "terms_by_q": {q["query_id"]: q["terms"] for q in ctx["queries"]},
+        "weights": ctx["weights"],
+        "dfs": {t: stats.get(t, (0, 0))[0] for t in all_terms},
+        "avgdl": ctx["avgdl"],
+        "sim": sim_config,
+    }
+    ectx_ref = ray.put(ectx)
+    winners = ray.data.from_pandas(
+        res[["query_id", "partition_id", "url"]]
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    out = winners.map_batches(
+        ExplainStage,
+        fn_constructor_kwargs={"ctx_ref": ectx_ref},
+        batch_format="pyarrow",
+        concurrency=(1, max(2, min(ncpu, 8))),
+    )
+    import pandas as pd
+
+    df = out.to_pandas()
+    if len(df):
+        df = df.sort_values(["query_id", "url", "term"]).reset_index(drop=True)
+    return df
