@@ -34,23 +34,31 @@ import re
 from typing import Dict
 
 import pandas as pd
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Std, Sum
 
 __all__ = ["json_facet"]
 
-_AGG_RE = re.compile(r"^(sum|avg|min|max|stddev)\((\w+)\)$")
+_AGG_RE = re.compile(r"^(sum|avg|min|max|stddev|unique)\((\w+)\)$")
+_PCT_RE = re.compile(r"^percentile\((\w+),(\d+(?:\.\d+)?)\)$")
 _AGG_CLS = {"sum": Sum, "avg": Mean, "min": Min, "max": Max, "stddev": Std}
 
 
 def _split_spec(facet: Dict):
-    """Partition a facet dict into (stat aggs, nested facets)."""
+    """Partition a facet dict into (stat aggs, nested facets). Stat values:
+    ("<fn>", col) for plain aggs, ("unique", col) for exact distinct,
+    ("percentile", col, p) for quantiles."""
     stats, nested = {}, {}
     for name, sub in (facet or {}).items():
         if isinstance(sub, str):
-            m = _AGG_RE.match(sub.replace(" ", ""))
+            compact = sub.replace(" ", "")
+            m = _AGG_RE.match(compact)
+            if m:
+                stats[name] = (m.group(1), m.group(2))
+                continue
+            m = _PCT_RE.match(compact)
             if not m:
                 raise ValueError(f"unsupported agg {sub!r}")
-            stats[name] = (m.group(1), m.group(2))
+            stats[name] = ("percentile", m.group(1), float(m.group(2)))
         elif isinstance(sub, dict) and sub.get("type") == "terms":
             nested[name] = sub
         else:
@@ -65,10 +73,30 @@ def _terms_level(ds, spec: Dict, parent_field=None):
     limit = int(spec.get("limit", 10))
     stats, nested = _split_spec(spec.get("facet"))
     keys = ([parent_field] if parent_field else []) + [field]
-    aggs = [Count(alias_name="count")] + [
-        _AGG_CLS[fn](col, alias_name=name) for name, (fn, col) in stats.items()
-    ]
+    aggs = [Count(alias_name="count")]
+    uniques = {}
+    for name, st in stats.items():
+        if st[0] == "unique":
+            uniques[name] = st[1]
+        elif st[0] == "percentile":
+            # UniqueAgg/PercentileAgg analogs (solr/core/.../facet/
+            # UniqueAgg.java, PercentileAgg.java, branch_8x). The Quantile
+            # aggregate collects the bucket's values (exact, linear
+            # interpolation = SQL quantile_cont); for buckets too large to
+            # collect, the mergeable t-digest (functions/sketches.py) is
+            # the constant-memory alternative.
+            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
+        else:
+            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
     df = ds.groupby(keys).aggregate(*aggs).to_pandas()
+    for name, col in uniques.items():
+        # exact distinct without value collection: one groupby over the
+        # distinct (keys, col) pairs, then a native count per key — both
+        # shuffles move only distinct combinations
+        pairs = ds.groupby(keys + [col]).aggregate(Count(alias_name="_c"))
+        u = pairs.groupby(keys).aggregate(Count(alias_name=name)).to_pandas()
+        df = df.merge(u, on=keys, how="left")
+        df[name] = df[name].fillna(0).astype("int64")
     # Solr default bucket sort: count desc, value asc (within parent)
     df = df.sort_values(
         ([parent_field] if parent_field else []) + ["count", field],
@@ -90,8 +118,8 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
     out = []
     for _, row in df.iterrows():
         b = {"val": row[field], "count": int(row["count"])}
-        for name in stats:
-            b[name] = float(row[name])
+        for name, st in stats.items():
+            b[name] = int(row[name]) if st[0] == "unique" else float(row[name])
         for name, (sdf, sstats, ssub) in sub_results.items():
             sfield = [c for c in sdf.columns if c not in
                       ("count", *sstats) and c != field][0]

@@ -2945,6 +2945,55 @@ def q_json_facet_orders(sf_dir: str) -> pd.DataFrame:
     ).astype({"n": np.int64, "sum_price_c": np.int64, "pn": np.int64})
 
 
+def q_json_facet_unique_pct(sf_dir: str) -> pd.DataFrame:
+    """json.facet ``unique``/``percentile`` bucket aggs (UniqueAgg.java +
+    PercentileAgg.java analogs, branch_8x; SURVEY.md §2.6): top statuses
+    with exact distinct customers (two-phase native distinct, no value
+    collection) and the median order price per bucket."""
+    from ..functions.json_facet import json_facet
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_custkey", "o_totalprice"]
+    ).map_batches(_cents("o_totalprice"), batch_format="pyarrow")
+    res = json_facet(
+        ds,
+        {
+            "by_status": {
+                "type": "terms", "field": "o_orderstatus", "limit": 3,
+                "facet": {
+                    "uniq_cust": "unique(o_custkey)",
+                    "p50_price_c": "percentile(o_totalprice_c, 50)",
+                },
+            }
+        },
+    )
+    rows = [
+        {
+            "o_orderstatus": b["val"], "n": b["count"],
+            "uniq_cust": int(b["uniq_cust"]),
+            "p50_price_c": float(b["p50_price_c"]),
+        }
+        for b in res["by_status"]["buckets"]
+    ]
+    return pd.DataFrame(
+        rows, columns=["o_orderstatus", "n", "uniq_cust", "p50_price_c"]
+    ).astype({"n": np.int64, "uniq_cust": np.int64, "p50_price_c": np.float64})
+
+
+def sql_json_facet_unique_pct() -> str:
+    cents = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(DISTINCT o_custkey) AS uniq_cust,
+       quantile_cont({cents}, 0.5) AS p50_price_c
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY n DESC, o_orderstatus ASC
+LIMIT 3
+"""
+
+
 def sql_json_facet_orders() -> str:
     cents = _SQL_CENTS.format(col="o_totalprice")
     return f"""
@@ -3063,6 +3112,7 @@ QUERIES = {
     "facet_range_dates": q_facet_range_dates,
     "elevate_topk": q_elevate_topk,
     "json_facet_orders": q_json_facet_orders,
+    "json_facet_unique_pct": q_json_facet_unique_pct,
     "pack_token_windows": q_pack_token_windows,
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
@@ -3136,6 +3186,7 @@ ORACLES = {
     "facet_range_dates": sql_facet_range_dates(),
     "elevate_topk": sql_elevate_topk(),
     "json_facet_orders": sql_json_facet_orders(),
+    "json_facet_unique_pct": sql_json_facet_unique_pct(),
     "pack_token_windows": sql_pack_token_windows(),
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
