@@ -229,6 +229,41 @@ def ngram_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return res
 
 
+def url_normalize_batch(batch: pa.Table, url_col: str = "url",
+                        out_col: str = "url_norm") -> pa.Table:
+    """URL canonicalization for webtext dedup keys (public crawl-pipeline
+    practice; the uniqueKey-normalization step ahead of
+    SignatureUpdateProcessor-style dedup). Rules, in order:
+
+    1. drop the #fragment;
+    2. lowercase scheme and host (path/query case-sensitive per RFC 3986);
+    3. strip utm_* tracking query params (tidying separators);
+    4. drop a trailing slash (not after another slash).
+
+    All steps are RE2/Arrow kernels over the whole column — each rule is
+    one C call per batch, mirrored 1:1 by a SQL regexp_replace chain."""
+    u = batch[url_col]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    # 1. fragment
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    # 2. lowercase scheme://host — split once at ://, then host/path
+    parts = pc.split_pattern(u, "://", max_splits=1)
+    scheme = pc.utf8_lower(pc.list_element(parts, 0))
+    rest = pc.list_element(parts, 1)
+    host = pc.utf8_lower(pc.replace_substring_regex(rest, r"/.*$", ""))
+    path = pc.replace_substring_regex(rest, r"^[^/]*", "")
+    u = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(scheme, host, "://"), path, ""
+    )
+    # 3. utm params: mid-query (followed by &) then trailing (with its sep)
+    u = pc.replace_substring_regex(u, r"utm_[a-z]+=[^&#]*&", "")
+    u = pc.replace_substring_regex(u, r"[?&]utm_[a-z]+=[^&#]*$", "")
+    # 4. trailing slash
+    u = pc.replace_substring_regex(u, r"([^/])/$", r"\1")
+    return batch.append_column(out_col, u)
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality signals (Gopher/C4-style public heuristics):
     mean word length, stopword ratio, alpha ratio, repetition ratio —

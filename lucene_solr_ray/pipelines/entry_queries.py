@@ -930,6 +930,66 @@ FROM n LEFT JOIN bmax USING (doc_id) LEFT JOIN tmax USING (doc_id)
 """
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (crawl-pipeline dedup-key normalization ahead
+    of SignatureUpdateProcessor-style dedup): dirty URLs are synthesized
+    deterministically from doc_id (mixed case, trailing slash, utm_*
+    params, fragments) and normalized by the RE2-kernel chain in
+    textstats.url_normalize_batch; the SQL oracle mirrors both the
+    construction and every rule 1:1."""
+    from ..functions.textstats import url_normalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        s = np.char.mod("%d", ids)
+        u = np.char.add("HTTPS://Site", np.char.mod("%d", ids % 97))
+        u = np.char.add(u, ".Example/Path")
+        u = np.char.add(u, s)
+        u = np.char.add(u, np.where(ids % 3 == 0, "/", ""))
+        u = np.char.add(u, np.char.add("?id=", s))
+        u = np.char.add(
+            u, np.where(ids % 2 == 0, "&utm_source=feed&utm_campaign=x", "")
+        )
+        u = np.char.add(u, np.where(ids % 5 == 0, "#frag", ""))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(u.tolist(), type=pa.string())}
+        )
+
+    return (
+        ds.map_batches(mk, batch_format="pyarrow")
+        .map_batches(url_normalize_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "url_norm"])
+    )
+
+
+def sql_url_normalize() -> str:
+    return r"""
+WITH dirty AS (
+  SELECT doc_id,
+         'HTTPS://Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example/Path'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || '?id=' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM dirty),
+s2 AS (
+  SELECT doc_id,
+         lower(split_part(url, '://', 1)) || '://'
+         || lower(regexp_replace(split_part(url, '://', 2), '/.*$', ''))
+         || regexp_replace(split_part(url, '://', 2), '^[^/]*', '') AS url
+  FROM s1
+),
+s3 AS (SELECT doc_id, regexp_replace(url, 'utm_[a-z]+=[^&#]*&', '', 'g') AS url FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(url, '[?&]utm_[a-z]+=[^&#]*$', '') AS url FROM s3)
+SELECT doc_id, regexp_replace(url, '([^/])/$', '\1') AS url_norm FROM s4
+"""
+
+
 def sql_quality_scores() -> str:
     from ..functions.textstats import STOPWORDS
 
@@ -3080,6 +3140,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "quality_scores": q_quality_scores,
     "ngram_repetition": q_ngram_repetition,
+    "url_normalize": q_url_normalize,
     "langid_eval": q_langid_eval,
     # dedup (§2.7 SignatureUpdateProcessor + extensions)
     "dedup_exact": q_dedup_exact,
@@ -3164,6 +3225,7 @@ ORACLES = {
     "doc_stats": sql_doc_stats(),
     "quality_scores": sql_quality_scores(),
     "ngram_repetition": sql_ngram_repetition(),
+    "url_normalize": sql_url_normalize(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),

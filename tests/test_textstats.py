@@ -56,3 +56,21 @@ def test_quality_scores_empty_and_single():
     r = quality_score_batch(t).to_pandas()
     assert r.repetition_ratio_e6[0] == 0
     assert r.mean_word_len_e6[1] == 4_000_000
+
+
+def test_url_normalize_rules():
+    from lucene_solr_ray.functions.textstats import url_normalize_batch
+
+    cases = {
+        "HTTPS://Site1.Example/P/?id=9&utm_source=f&utm_campaign=x#frag":
+            "https://site1.example/P/?id=9",
+        "https://a.example/p?utm_source=x": "https://a.example/p",
+        "http://B.example/q?utm_a=1&id=2&utm_b=3": "http://b.example/q?id=2",
+        "https://c.example/": "https://c.example",
+        "https://d.example/x/": "https://d.example/x",
+        "https://e.example/x?id=1#f": "https://e.example/x?id=1",
+        "https://f.example/CaseKept/Path": "https://f.example/CaseKept/Path",
+    }
+    t = pa.table({"url": list(cases)})
+    got = url_normalize_batch(t)["url_norm"].to_pylist()
+    assert got == list(cases.values())
