@@ -148,6 +148,34 @@ def unique_stream(ds, col: str):
     return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+def stratified_sample(ds, strata_col: str, id_col: str, fracs: Dict[str, float],
+                      default_frac: float = 0.0):
+    """Per-stratum deterministic sampling — the training-data mixture
+    rebalancing step (keep 50% of stratum A, 5% of stratum B, ...), built
+    on the same Knuth multiplicative hash as the flat sampler so a SQL
+    oracle reproduces it bit-exactly and re-runs are stable at any scale.
+    One streaming filter pass: per batch, the stratum column maps to its
+    threshold via Arrow ``index_in`` against the (tiny) fracs table, the
+    id hashes vectorized, rows keep where hash < threshold[stratum]."""
+    keys = list(fracs)
+    thr = np.array(
+        [int(f * (1 << 32)) for f in fracs.values()]
+        + [int(default_frac * (1 << 32))],
+        dtype=np.uint64,
+    )
+    key_arr = pa.array(keys)
+
+    def samp(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[strata_col], value_set=key_arr)
+        idx = idx.fill_null(len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = thr[idx]
+        k = batch[id_col].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
 def having(ds, predicate_fn):
     """HavingStream: vectorized arrow predicate over aggregated rows."""
     return ds.map_batches(

@@ -2061,6 +2061,29 @@ WHERE (o_orderkey * 2654435761) % 4294967296 < {int(0.05 * (1 << 32))}
 """
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    """Per-stratum deterministic sampling (training-data mixture
+    rebalancing: keep 50% en, 20% de, 5% of everything else) — one
+    streaming filter pass, thresholds looked up per batch via Arrow
+    index_in; hash identical to the flat sampler so the SQL oracle
+    reproduces rows exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return rel.stratified_sample(
+        ds, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default_frac=0.05
+    )
+
+
+def sql_stratified_sample_docs() -> str:
+    t_en = int(0.5 * (1 << 32))
+    t_de = int(0.2 * (1 << 32))
+    t_def = int(0.05 * (1 << 32))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN {t_en} WHEN 'de' THEN {t_de} ELSE {t_def} END
+"""
+
+
 def q_cursor_page_orders(sf_dir: str):
     """cursorMark deep paging: fetch page 1 (k=20) by (totalprice_c desc,
     orderkey asc), then page 2 via the KEYSET cursor — returns page 2,
@@ -3194,6 +3217,7 @@ QUERIES = {
     "function_datemath": q_function_datemath,
     "hll_distinct_custkey": q_hll_distinct_custkey,
     "random_sample_orders": q_random_sample_orders,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3268,6 +3292,7 @@ ORACLES = {
     "function_scale_recip": sql_function_scale_recip(),
     "function_datemath": sql_function_datemath(),
     "random_sample_orders": sql_random_sample_orders(),
+    "stratified_sample_docs": sql_stratified_sample_docs(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
