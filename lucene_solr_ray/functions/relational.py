@@ -148,6 +148,120 @@ def unique_stream(ds, col: str):
     return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+def asof_join(ds_left, ds_right, key: str, ts_col: str,
+              right_cols: Sequence[str], num_partitions: Optional[int] = None,
+              direction: str = "backward"):
+    """AS-OF join (task-brief custom operator; no reference analog — the
+    classic time-series/attribution join): for every LEFT row, attach the
+    RIGHT row of the same ``key`` with the greatest ``ts_col`` ≤ the left
+    row's (direction="backward"; "forward" = smallest ≥).
+
+    Partitioning assumption (documented per the brief): co-location by
+    ``key`` hash. Both sides union into ONE dataset with a side tag and
+    shuffle ONCE on ``bucket = hash(key) % P`` — P groups total, so the
+    per-group callable runs P times, NOT once per key; inside a bucket a
+    single vectorized ``pandas.merge_asof(by=key)`` handles every key at
+    once after one sort. Skew is bounded by the largest bucket; salt the
+    key into the bucket hash if one key dominates.
+
+    Right columns are suffixed ``_r``; left rows without a match carry
+    nulls (left-join semantics)."""
+
+    def tag(side: int):
+        def fn(batch: pa.Table, side=side) -> pa.Table:
+            k = batch[key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            if pa.types.is_integer(k.type):
+                # splitmix64 finalizer over the raw key — no Python per row
+                x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                x = (x + np.uint64(0x9E3779B97F4A7C15))
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                h = x ^ (x >> np.uint64(31))
+            else:
+                try:
+                    import polars as pl
+
+                    h = pl.from_arrow(k.cast(pa.string())).hash(seed=7).to_numpy()
+                except Exception:
+                    import zlib
+
+                    h = np.fromiter(
+                        (zlib.crc32(str(v).encode()) for v in k.to_pylist()),
+                        dtype=np.uint64, count=len(k),
+                    )
+            P = default_shuffle_partitions(num_partitions)
+            return batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            ).append_column("_bucket", pa.array((h % P).astype(np.int64)))
+        return fn
+
+    # input schemas are metadata (no execution); the tagged datasets' schemas
+    # can be None when a side is empty, so derive union columns from these
+    l_schema = ds_left.schema()
+    r_schema = ds_right.schema()
+
+    lt = ds_left.map_batches(tag(0), batch_format="pyarrow")
+    rt = ds_right.map_batches(tag(1), batch_format="pyarrow")
+
+    # align schemas for the union: add each other's missing columns as nulls
+    l_names, r_names = set(l_schema.names), set(r_schema.names)
+
+    def widen(missing, types):
+        def fn(batch: pa.Table) -> pa.Table:
+            for name in missing:
+                batch = batch.append_column(
+                    name, pa.nulls(batch.num_rows, type=types[name])
+                )
+            return batch.select(sorted(batch.column_names))
+        return fn
+
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    lt = lt.map_batches(widen(sorted(r_names - l_names), r_types), batch_format="pyarrow")
+    rt = rt.map_batches(widen(sorted(l_names - r_names), l_types), batch_format="pyarrow")
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g._side == 0].drop(columns=["_side", "_bucket"])
+        R = g[g._side == 1].drop(columns=["_side", "_bucket"])
+        L = L.drop(columns=[c for c in right_cols if c in L.columns and c != ts_col and c != key])
+        R = R[[key, ts_col] + [c for c in right_cols if c not in (key, ts_col)]]
+        L = L.sort_values(ts_col, kind="mergesort")
+        R = R.sort_values(ts_col, kind="mergesort")
+        if len(L) == 0:
+            # keep the output schema stable across buckets: empty left still
+            # carries the right-side columns with their real dtypes
+            for c in right_cols:
+                if c not in L.columns:
+                    L[c] = pd.Series(dtype=R[c].dtype)
+            return L
+        out = pd.merge_asof(
+            L, R, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
+        )
+        return out
+
+    both = lt.union(rt)
+    out = both.groupby("_bucket").map_groups(asof_bucket, batch_format="pandas")
+
+    # pandas promotes int columns to float64 inside the null-widened union
+    # groups; cast every surviving column back to its source arrow type
+    want = dict(r_types)
+    want.update(l_types)  # left wins for shared names (output rows are left rows)
+
+    def restore_types(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name in batch.column_names:
+            col = batch[name]
+            tgt = want.get(name)
+            if tgt is not None and col.type != tgt:
+                col = pc.cast(col, tgt)
+            cols.append(col)
+        return pa.table(dict(zip(batch.column_names, cols)))
+
+    return out.map_batches(restore_types, batch_format="pyarrow")
+
+
 def stratified_sample(ds, strata_col: str, id_col: str, fracs: Dict[str, float],
                       default_frac: float = 0.0):
     """Per-stratum deterministic sampling — the training-data mixture

@@ -2061,6 +2061,41 @@ WHERE (o_orderkey * 2654435761) % 4294967296 < {int(0.05 * (1 << 32))}
 """
 
 
+def q_asof_last_error(sf_dir: str):
+    """AS-OF join (task-brief custom operator): for each click event, the
+    latest error event of the same user at or before the click — one
+    key-hash-bucket shuffle, one vectorized merge_asof(by=key) per bucket
+    (relational.asof_join; partitioning assumption documented there)."""
+    def side(ev_type, cols):
+        ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+        return ds.map_batches(
+            lambda t, e=ev_type, c=cols: t.filter(pc.equal(t["event_type"], e)).select(c),
+            batch_format="pyarrow",
+        )
+
+    left = side("click", ["event_id", "user_id", "ts"])
+    right = side("error", ["user_id", "ts"]).map_batches(
+        lambda t: t.append_column("err_ts", t["ts"]), batch_format="pyarrow"
+    )
+    joined = rel.asof_join(left, right, key="user_id", ts_col="ts",
+                           right_cols=["err_ts"])
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_valid(t["err_ts"])).select(["event_id", "err_ts"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_asof_last_error() -> str:
+    return """
+SELECT c.event_id, max(e.ts) AS err_ts
+FROM events c
+JOIN events e
+  ON e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+"""
+
+
 def q_stratified_sample_docs(sf_dir: str):
     """Per-stratum deterministic sampling (training-data mixture
     rebalancing: keep 50% en, 20% de, 5% of everything else) — one
@@ -3218,6 +3253,7 @@ QUERIES = {
     "hll_distinct_custkey": q_hll_distinct_custkey,
     "random_sample_orders": q_random_sample_orders,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "asof_last_error": q_asof_last_error,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3293,6 +3329,7 @@ ORACLES = {
     "function_datemath": sql_function_datemath(),
     "random_sample_orders": sql_random_sample_orders(),
     "stratified_sample_docs": sql_stratified_sample_docs(),
+    "asof_last_error": sql_asof_last_error(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),

@@ -145,3 +145,48 @@ def test_exact_quantiles_matches_quantile_disc(ray_session, vals, blocks):
     for q in qs:
         target = max(int(np.ceil(q * len(vals))), 1)
         assert got[q] == srt[target - 1], (q, got[q], srt)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=0, max_value=100)),
+        min_size=1, max_size=40),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=0, max_value=100),
+                  st.integers(min_value=-5, max_value=5)),
+        min_size=0, max_size=40),
+    blocks=st.integers(min_value=1, max_value=5),
+)
+@FUZZ
+def test_asof_join_matches_merge_asof(ray_session, left, right, blocks):
+    from lucene_solr_ray.functions.relational import asof_join
+
+    ldf = pd.DataFrame({"k": [r[0] for r in left],
+                        "ts": [np.int64(r[1]) for r in left],
+                        "lid": np.arange(len(left), dtype=np.int64)})
+    rdf = pd.DataFrame({"k": pd.Series([r[0] for r in right], dtype=np.int64),
+                        "ts": pd.Series([r[1] for r in right], dtype=np.int64),
+                        "rv": pd.Series([r[2] for r in right], dtype=np.int64)})
+    # dedup right on (k, ts): merge_asof keeps the LAST row of a tie group,
+    # which depends on input order — pin the reference by keeping max rv
+    rdf = (rdf.sort_values(["k", "ts", "rv"], kind="mergesort")
+              .groupby(["k", "ts"], sort=False).tail(1).reset_index(drop=True))
+
+    lds = ray.data.from_pandas(ldf, override_num_blocks=blocks)
+    rds = ray.data.from_pandas(rdf, override_num_blocks=blocks)
+    got = (asof_join(lds, rds, key="k", ts_col="ts", right_cols=["rv"])
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+
+    ref = pd.merge_asof(
+        ldf.sort_values("ts", kind="mergesort"),
+        rdf.sort_values("ts", kind="mergesort"),
+        on="ts", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    assert len(got) == len(ref)
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), ref["rv"].astype("float64"), check_names=False
+    )
+    assert got["lid"].dtype == np.int64 and got["ts"].dtype == np.int64
