@@ -148,6 +148,31 @@ def unique_stream(ds, col: str):
     return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+def _key_bucket_hash(k) -> np.ndarray:
+    """Deterministic uint64 hash of a key column for bucket shuffles.
+    Integer keys take a pure-numpy splitmix64 path (no Python per row);
+    everything else goes through polars' vectorized hash kernel."""
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    if pa.types.is_integer(k.type):
+        x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+    try:
+        import polars as pl
+
+        return pl.from_arrow(k.cast(pa.string())).hash(seed=7).to_numpy()
+    except Exception:
+        import zlib
+
+        return np.fromiter(
+            (zlib.crc32(str(v).encode()) for v in k.to_pylist()),
+            dtype=np.uint64, count=len(k),
+        )
+
+
 def asof_join(ds_left, ds_right, key: str, ts_col: str,
               right_cols: Sequence[str], num_partitions: Optional[int] = None,
               direction: str = "backward"):
@@ -169,28 +194,7 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str,
 
     def tag(side: int):
         def fn(batch: pa.Table, side=side) -> pa.Table:
-            k = batch[key]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            if pa.types.is_integer(k.type):
-                # splitmix64 finalizer over the raw key — no Python per row
-                x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
-                x = (x + np.uint64(0x9E3779B97F4A7C15))
-                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                h = x ^ (x >> np.uint64(31))
-            else:
-                try:
-                    import polars as pl
-
-                    h = pl.from_arrow(k.cast(pa.string())).hash(seed=7).to_numpy()
-                except Exception:
-                    import zlib
-
-                    h = np.fromiter(
-                        (zlib.crc32(str(v).encode()) for v in k.to_pylist()),
-                        dtype=np.uint64, count=len(k),
-                    )
+            h = _key_bucket_hash(batch[key])
             P = default_shuffle_partitions(num_partitions)
             return batch.append_column(
                 "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
@@ -260,6 +264,56 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str,
         return pa.table(dict(zip(batch.column_names, cols)))
 
     return out.map_batches(restore_types, batch_format="pyarrow")
+
+
+def session_windows(ds, key: str, ts_col: str, gap_us: int,
+                    num_partitions: Optional[int] = None):
+    """Gap-based sessionization (streaming session windows — absent from
+    both the reference, SURVEY.md §2.10, and Ray Data): group each key's
+    events into sessions split wherever the time gap to the previous event
+    exceeds ``gap_us`` microseconds, and emit one row per session with
+    ``(key, session_start, session_end, n_events)``.
+
+    Partitioning assumption: co-location by ``key`` hash — ONE shuffle on
+    ``bucket = hash(key) % P`` (P groups total, not one per key). Inside a
+    bucket everything is vectorized: one lexsort by (key, ts), a diff for
+    the gap breaks, cumsum for session ids, then a single pandas groupby
+    (C path) for the per-session min/max/count. Skew is bounded by the
+    hottest bucket; salt the key if one key dominates."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _key_bucket_hash(batch[key])
+        P = default_shuffle_partitions(num_partitions)
+        return batch.select([key, ts_col]).append_column(
+            "_bucket", pa.array((h % P).astype(np.int64))
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        ts_us = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" \
+            else ts.astype(np.int64)
+        k = g[key].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        sid = np.cumsum(new_key | gap)
+        out = (
+            pd.DataFrame({key: k, "_sid": sid, "_ts": g[ts_col].to_numpy()})
+            .groupby([key, "_sid"], sort=False)
+            .agg(session_start=("_ts", "min"), session_end=("_ts", "max"),
+                 n_events=("_ts", "size"))
+            .reset_index()
+            .drop(columns=["_sid"])
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(sessions, batch_format="pandas")
 
 
 def stratified_sample(ds, strata_col: str, id_col: str, fracs: Dict[str, float],

@@ -2096,6 +2096,47 @@ GROUP BY c.event_id
 """
 
 
+def q_session_windows_users(sf_dir: str):
+    """Gap-based session windows (streaming-shaped training-pipeline
+    extension; the reference has no windows — SURVEY.md §2.10): split each
+    user's event stream into sessions at >30-minute gaps, one row per
+    session with start/end/count. ONE key-hash-bucket shuffle; per-bucket
+    numpy lexsort + diff + cumsum + C-path groupby
+    (relational.session_windows; partitioning assumption documented there)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = rel.session_windows(ds, key="user_id", ts_col="ts",
+                              gap_us=30 * 60 * 1_000_000)
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "session_start": t["session_start"].cast(pa.timestamp("us")),
+            "session_end": t["session_end"].cast(pa.timestamp("us")),
+            "n_events": t["n_events"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def sql_session_windows_users() -> str:
+    return """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 1800000000
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_stratified_sample_docs(sf_dir: str):
     """Per-stratum deterministic sampling (training-data mixture
     rebalancing: keep 50% en, 20% de, 5% of everything else) — one
@@ -3254,6 +3295,7 @@ QUERIES = {
     "random_sample_orders": q_random_sample_orders,
     "stratified_sample_docs": q_stratified_sample_docs,
     "asof_last_error": q_asof_last_error,
+    "session_windows_users": q_session_windows_users,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3330,6 +3372,7 @@ ORACLES = {
     "random_sample_orders": sql_random_sample_orders(),
     "stratified_sample_docs": sql_stratified_sample_docs(),
     "asof_last_error": sql_asof_last_error(),
+    "session_windows_users": sql_session_windows_users(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),

@@ -190,3 +190,41 @@ def test_asof_join_matches_merge_asof(ray_session, left, right, blocks):
         got["rv"].astype("float64"), ref["rv"].astype("float64"), check_names=False
     )
     assert got["lid"].dtype == np.int64 and got["ts"].dtype == np.int64
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=0, max_value=200)),
+        min_size=1, max_size=60),
+    gap=st.integers(min_value=1, max_value=50),
+    blocks=st.integers(min_value=1, max_value=5),
+)
+@FUZZ
+def test_session_windows_matches_loop(ray_session, rows, gap, blocks):
+    from lucene_solr_ray.functions.relational import session_windows
+
+    df = pd.DataFrame({"k": pd.Series([r[0] for r in rows], dtype=np.int64),
+                       "ts": pd.Series([r[1] for r in rows], dtype=np.int64)})
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    got = (session_windows(ds, key="k", ts_col="ts", gap_us=gap)
+           .to_pandas()
+           .sort_values(["k", "session_start"]).reset_index(drop=True))
+
+    # independent slow reference: per-key python loop over sorted timestamps
+    exp = []
+    for k, sub in df.groupby("k"):
+        ts = sorted(sub["ts"])
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                exp.append((k, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        exp.append((k, start, prev, n))
+    ref = (pd.DataFrame(exp, columns=["k", "session_start", "session_end", "n_events"])
+           .astype({"k": np.int64, "session_start": np.int64,
+                    "session_end": np.int64, "n_events": np.int64})
+           .sort_values(["k", "session_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[ref.columns], ref)
