@@ -2096,6 +2096,51 @@ GROUP BY c.event_id
 """
 
 
+def q_range_join_windows(sf_dir: str):
+    """RANGE join (task-brief custom operator, no equi-key): count ALL
+    events (any user) that fall inside each user's first-6-hours activity
+    window. Intervals are derived distributed (per-user min ts), then
+    relational.range_join quantizes time into 6h buckets, replicates each
+    interval to the buckets it overlaps, and matches per bucket with two
+    binary searches over sorted left values (partitioning assumption
+    documented there)."""
+    SIX_H = 6 * 3600 * 1_000_000
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "ts_us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    win = rel.rollup(ev, ["user_id"], {"ts_us": ["min"]}).map_batches(
+        lambda t: pa.table({
+            "wuser": t["user_id"],
+            "lo": t["min_ts_us"],
+            "hi": pc.add(t["min_ts_us"], SIX_H),
+        }),
+        batch_format="pyarrow",
+    )
+    pairs = rel.range_join(ev, "ts_us", win, "lo", "hi",
+                           left_cols=[], right_cols=["wuser"],
+                           bucket_width=SIX_H)
+    out = rel.rollup(pairs, ["wuser"], {"wuser": ["count"]})
+    return out.map_batches(
+        lambda t: t.rename_columns(["wuser", "n_events"]), batch_format="pyarrow"
+    )
+
+
+def sql_range_join_windows() -> str:
+    return """
+WITH w AS (
+  SELECT user_id AS wuser,
+         epoch_us(min(ts)) AS lo,
+         epoch_us(min(ts)) + 21600000000 AS hi
+  FROM events GROUP BY user_id
+)
+SELECT w.wuser, count(*) AS n_events
+FROM w JOIN events e ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) < w.hi
+GROUP BY w.wuser
+"""
+
+
 def q_session_windows_users(sf_dir: str):
     """Gap-based session windows (streaming-shaped training-pipeline
     extension; the reference has no windows — SURVEY.md §2.10): split each
@@ -3296,6 +3341,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "asof_last_error": q_asof_last_error,
     "session_windows_users": q_session_windows_users,
+    "range_join_windows": q_range_join_windows,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3373,6 +3419,7 @@ ORACLES = {
     "stratified_sample_docs": sql_stratified_sample_docs(),
     "asof_last_error": sql_asof_last_error(),
     "session_windows_users": sql_session_windows_users(),
+    "range_join_windows": sql_range_join_windows(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),

@@ -228,3 +228,37 @@ def test_session_windows_matches_loop(ray_session, rows, gap, blocks):
                     "session_end": np.int64, "n_events": np.int64})
            .sort_values(["k", "session_start"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[ref.columns], ref)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-20, max_value=120), min_size=1, max_size=50),
+    ivals=st.lists(
+        st.tuples(st.integers(min_value=-20, max_value=120),
+                  st.integers(min_value=0, max_value=40)),
+        min_size=0, max_size=20),
+    width=st.integers(min_value=1, max_value=25),
+    blocks=st.integers(min_value=1, max_value=5),
+)
+@FUZZ
+def test_range_join_matches_cross_filter(ray_session, vals, ivals, width, blocks):
+    from lucene_solr_ray.functions.relational import range_join
+
+    ldf = pd.DataFrame({"v": pd.Series(vals, dtype=np.int64),
+                        "lid": np.arange(len(vals), dtype=np.int64)})
+    rdf = pd.DataFrame({"lo": pd.Series([a for a, _ in ivals], dtype=np.int64),
+                        "hi": pd.Series([a + w for a, w in ivals], dtype=np.int64),
+                        "rid": np.arange(len(ivals), dtype=np.int64)})
+    lds = ray.data.from_pandas(ldf, override_num_blocks=blocks)
+    rds = ray.data.from_pandas(rdf, override_num_blocks=blocks)
+    got = range_join(lds, "v", rds, "lo", "hi",
+                     left_cols=["lid"], right_cols=["rid"],
+                     bucket_width=width).to_pandas()
+
+    # brute-force reference: full cross product, filter lo <= v < hi
+    ref = (ldf.merge(rdf, how="cross")
+           .query("lo <= v < hi")[["lid", "rid"]]
+           .sort_values(["lid", "rid"]).reset_index(drop=True))
+    assert len(got) == len(ref)
+    if len(ref):
+        got = got.sort_values(["lid", "rid"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["lid", "rid"]].astype(np.int64), ref)
