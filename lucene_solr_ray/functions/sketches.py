@@ -21,7 +21,7 @@ from typing import List, Sequence
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["TDigest", "tdigest_quantiles"]
+__all__ = ["TDigest", "tdigest_quantiles", "heavy_hitters"]
 
 
 class TDigest:
@@ -123,3 +123,54 @@ def tdigest_quantiles(ds, col: str, qs: Sequence[float], delta: int = 200):
         part.weights = b["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
         digest.merge(part)
     return {q: digest.quantile(q) for q in qs}
+
+
+def heavy_hitters(ds, text_col: str, capacity: int = 256, k: int = 10,
+                  split: str = " "):
+    """Misra-Gries / Space-Saving heavy hitters over a token stream — the
+    approximate top-k frequent items sketch a tokenizer-training or
+    vocab-discovery pipeline runs over 100 TB of text (no reference
+    analog; mergeable-summaries construction from Agarwal et al. 2012,
+    "Mergeable Summaries", PODS).
+
+    Per batch: vectorized split + one Arrow group_by count, then the MG
+    reduction — if the batch has more than ``capacity`` distinct tokens,
+    subtract the (capacity+1)-th largest count from every count and keep
+    the positive remainder (≤ capacity entries). Each batch therefore
+    ships O(capacity) rows into ONE small groupby-sum shuffle regardless
+    of batch size or vocabulary. Merged estimates obey
+    ``true - N/(capacity+1) <= est <= true`` for total token count N, so
+    every token with frequency > N/(capacity+1) survives.
+
+    Returns a Dataset of the top-``k`` (token, cnt) rows, ties broken by
+    token ascending (facet sort order). When the corpus vocabulary fits
+    in ``capacity`` the sketch is exact."""
+    import pyarrow.compute as pc
+
+    def mg_batch(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch[text_col], split))
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "wt": pa.array([], type=pa.int64())})
+        counts = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        # rename by NAME, not position (column order differs across
+        # pyarrow releases for group_by output)
+        tok = counts["token"]
+        wt = counts["token_count"].to_numpy().astype(np.int64)
+        if len(wt) > capacity:
+            thr = np.partition(wt, len(wt) - capacity - 1)[len(wt) - capacity - 1]
+            keep = wt > thr
+            tok = pc.array_filter(tok.combine_chunks(), pa.array(keep))
+            wt = wt[keep] - thr
+        return pa.table({"token": tok, "wt": pa.array(wt, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.map_batches(mg_batch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("wt", alias_name="cnt"))
+    )
+    return summed.sort(["cnt", "token"], descending=[True, False]).limit(k)

@@ -2096,6 +2096,68 @@ GROUP BY c.event_id
 """
 
 
+def q_topk_tokens_sketch(sf_dir: str):
+    """Misra-Gries heavy hitters: approximate top-10 most frequent tokens
+    across the documents corpus (mergeable bounded-memory summaries —
+    each batch ships at most `capacity` rows into one small groupby-sum
+    shuffle; sketches.heavy_hitters). On this corpus the vocabulary fits
+    within capacity, so the sketch is exact and DuckDB-checkable; the
+    compression path is pytest-gated with the N/(capacity+1) bound."""
+    from lucene_solr_ray.functions.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(ds, "text", capacity=256, k=10)
+
+
+def sql_topk_tokens_sketch() -> str:
+    return """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS cnt
+FROM toks GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 10
+"""
+
+
+def q_hopping_window_events(sf_dir: str):
+    """Hopping (sliding) window aggregate — the overlapping-window variant
+    of window_user_hourly (SURVEY.md §2.10: the reference has no windows;
+    training-pipeline extension): events per (user, 6h window hopping by
+    1h). Each event belongs to exactly size/hop = 6 windows; the
+    replication is one vectorized repeat/arange per batch (map-side, no
+    extra shuffle beyond the final rollup)."""
+    HOP = 3_600_000_000
+    NW = 6
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        hour = batch["ts"].cast(pa.int64()).to_numpy() // HOP
+        n = batch.num_rows
+        user = np.repeat(batch["user_id"].to_numpy(zero_copy_only=False), NW)
+        # window start index k matches t iff k <= t_hour < k + NW
+        win = np.repeat(hour, NW) - np.tile(np.arange(NW, dtype=np.int64), n)
+        return pa.table({"user_id": user, "win": win})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    out = rel.rollup(rep, ["user_id", "win"], {"win": ["count"]})
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "win", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_hopping_window_events() -> str:
+    return """
+SELECT e.user_id,
+       CAST(epoch_us(e.ts) // 3600000000 AS BIGINT) - k.k AS win,
+       count(*) AS n_events
+FROM events e, (SELECT unnest(range(6)) AS k) k
+GROUP BY e.user_id, win
+"""
+
+
 def q_range_join_windows(sf_dir: str):
     """RANGE join (task-brief custom operator, no equi-key): count ALL
     events (any user) that fall inside each user's first-6-hours activity
@@ -3342,6 +3404,8 @@ QUERIES = {
     "asof_last_error": q_asof_last_error,
     "session_windows_users": q_session_windows_users,
     "range_join_windows": q_range_join_windows,
+    "hopping_window_events": q_hopping_window_events,
+    "topk_tokens_sketch": q_topk_tokens_sketch,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3420,6 +3484,8 @@ ORACLES = {
     "asof_last_error": sql_asof_last_error(),
     "session_windows_users": sql_session_windows_users(),
     "range_join_windows": sql_range_join_windows(),
+    "hopping_window_events": sql_hopping_window_events(),
+    "topk_tokens_sketch": sql_topk_tokens_sketch(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),

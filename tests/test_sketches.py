@@ -51,3 +51,39 @@ def test_ann_ivf_recall_gate(ray_session):
 
     df = q_ann_ivf_recall("/root/testdata/sf0.01")
     assert df["recall_x100"].mean() >= 80, df.to_dict("records")
+
+
+def test_heavy_hitters_mg_bound(ray_session):
+    """Misra-Gries heavy hitters under forced compression (vocab >>
+    capacity): estimates obey true - N/(capacity+1) <= est <= true, and
+    every token with true frequency > N/(capacity+1) survives the merge."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream over a 5000-token vocab, forced through capacity 64
+    toks = [f"t{int(i)}" for i in rng.zipf(1.3, size=120_000) if i < 5000]
+    texts = [" ".join(toks[i:i + 200]) for i in range(0, len(toks), 200)]
+    true = Counter(toks)
+    N = len(toks)
+    cap = 64
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}),
+                              override_num_blocks=8)
+    got = heavy_hitters(ds, "text", capacity=cap, k=30).to_pandas()
+    est = dict(zip(got["token"], got["cnt"]))
+
+    bound = N / (cap + 1)
+    for tok, e in est.items():
+        assert e <= true[tok], (tok, e, true[tok])
+        assert true[tok] - e <= bound, (tok, e, true[tok], bound)
+    # the true top-5 sit far above the error bound in a zipf(1.3) stream;
+    # they must all survive into the sketch's top-30
+    top5 = [t for t, _ in true.most_common(5)]
+    assert all(true[t] > 2 * bound for t in top5), "fixture lost its skew"
+    assert set(top5) <= set(got["token"]), (top5, list(got["token"]))
