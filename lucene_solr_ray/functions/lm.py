@@ -1,0 +1,123 @@
+"""Corpus-trained bigram language-model scoring — the CCNet-style
+curation signal (score each document by how typical its token
+transitions are for the corpus; low scores flag boilerplate/noise).
+
+No reference analog (SURVEY.md training-data extensions). Scale shape:
+the LM is NOT broadcast — bigram counts stay a distributed table and
+documents' exploded bigrams reach them via two co-partitioned hash
+joins (bigram key, then context key), so vocabulary size is unbounded.
+All per-batch work is vectorized Arrow/numpy; the only Python per group
+is the final per-doc aggregate, which is Ray's native Sum/Count.
+
+Float caveat (why the oracle-checked contract is integer-exact): the
+mean log-probability sums float64 logs, and summation order differs
+between engines, so ``lm_score_docs`` is pytest-gated against a
+single-process numpy reference instead of DuckDB; the integer
+rare-bigram statistics (``rare_bigram_stats``) run the SAME explode +
+count + join machinery and ARE DuckDB-oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["explode_bigrams", "bigram_counts", "rare_bigram_stats", "lm_score_docs"]
+
+_SEP = "\x1f"
+
+
+def explode_bigrams(ds, id_col: str, text_col: str, split: str = " "):
+    """One row per (doc, adjacent token pair): ``(id, w1, key)`` where
+    ``key = w1 + SEP + w2`` (single-column shuffle/join key)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], split)
+        lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(parts).combine_chunks()
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "w1": pa.array([], type=pa.string()),
+                             "key": pa.array([], type=pa.string())})
+        mask = np.ones(total, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        mask[ends[lens > 0]] = False  # last token of each doc starts no bigram
+        idx = np.nonzero(mask)[0]
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        key = pc.binary_join_element_wise(w1, w2, _SEP)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)[idx]
+        return pa.table({id_col: pa.array(ids), "w1": w1, "key": key})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_counts(bigrams, id_col: str):
+    """Distributed LM training: ``(key, c12)`` bigram counts and
+    ``(w1, c1)`` context counts (c1 = number of bigrams starting w1)."""
+    from ray.data.aggregate import Count
+
+    bgc = (bigrams.select_columns(["key"]).groupby("key")
+           .aggregate(Count(alias_name="c12")))
+    ctx = (bigrams.select_columns(["w1"]).groupby("w1")
+           .aggregate(Count(alias_name="c1")))
+    return bgc, ctx
+
+
+def _joined(ds, id_col: str, text_col: str, num_partitions=None):
+    from .relational import default_shuffle_partitions
+
+    P = default_shuffle_partitions(num_partitions)
+    bg = explode_bigrams(ds, id_col, text_col)
+    bgc, ctx = bigram_counts(bg, id_col)
+    j = bg.join(bgc, join_type="inner", num_partitions=P, on=("key",))
+    return j.join(ctx, join_type="inner", num_partitions=P, on=("w1",))
+
+
+def rare_bigram_stats(ds, id_col: str, text_col: str, rare_max: int = 2,
+                      num_partitions=None):
+    """Integer-exact curation signal: per doc, total bigrams and how many
+    are corpus-rare (bigram count ≤ ``rare_max``). High rare fraction =
+    atypical/noisy text."""
+    from ray.data.aggregate import Count, Sum
+
+    j = _joined(ds, id_col, text_col, num_partitions)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        rare = pc.cast(pc.less_equal(batch["c12"], rare_max), pa.int64())
+        return pa.table({id_col: batch[id_col], "rare": rare})
+
+    flagged = j.map_batches(flag, batch_format="pyarrow")
+    return (flagged.groupby(id_col)
+            .aggregate(Count(alias_name="n_bigrams"),
+                       Sum("rare", alias_name="n_rare")))
+
+
+def lm_score_docs(ds, id_col: str, text_col: str, alpha: float = 0.5,
+                  num_partitions=None):
+    """Per-doc mean bigram log-probability with add-``alpha`` smoothing:
+    ``mean over bigrams of ln((c12 + a) / (c1 + a*V))`` for corpus vocab
+    size V. Float sums are order-dependent — gate with the pytest numpy
+    reference, not a SQL hash (see module docstring)."""
+    from ray.data.aggregate import Count, Mean
+
+    # V = distinct tokens across the corpus (incl. doc-final tokens)
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({"tok": pc.list_flatten(
+            pc.split_pattern(batch[text_col], " "))})
+
+    V = (ds.map_batches(toks, batch_format="pyarrow")
+         .groupby("tok").aggregate(Count(alias_name="_c")).count())
+
+    j = _joined(ds, id_col, text_col, num_partitions)
+
+    def logprob(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy().astype(np.float64)
+        c1 = batch["c1"].to_numpy().astype(np.float64)
+        lp = np.log((c12 + alpha) / (c1 + alpha * V))
+        return pa.table({id_col: batch[id_col], "lp": pa.array(lp)})
+
+    scored = j.map_batches(logprob, batch_format="pyarrow")
+    return scored.groupby(id_col).aggregate(Mean("lp", alias_name="lm_score"))

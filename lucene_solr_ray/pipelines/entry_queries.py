@@ -2096,6 +2096,53 @@ GROUP BY c.event_id
 """
 
 
+def q_lm_rare_bigrams(sf_dir: str):
+    """Corpus-bigram-LM curation signal, integer-exact slice: per doc the
+    total bigram count and how many bigrams are corpus-rare (count <= 2).
+    Same distributed explode + count + co-partitioned-join machinery as
+    the float LM scorer (functions/lm.py; the float mean-log-prob variant
+    is pytest-gated because float sum order is engine-specific)."""
+    from lucene_solr_ray.functions.lm import rare_bigram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return rare_bigram_stats(ds, "doc_id", "text", rare_max=2)
+
+
+def sql_lm_rare_bigrams() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c.c12 <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM bg2 b JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+GROUP BY b.doc_id
+"""
+
+
+def q_lm_score_docs(sf_dir: str):
+    """Mean bigram log-probability per doc (CCNet-style LM quality score;
+    add-0.5 smoothing over corpus-trained bigram counts). No SQL oracle —
+    float sum order is engine-specific — the math is pytest-gated against
+    a single-process numpy reference (tests/test_lm.py); the integer
+    slice of the same pipeline is oracle-checked as lm_rare_bigrams."""
+    from lucene_solr_ray.functions.lm import lm_score_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_score_docs(ds, "doc_id", "text")
+
+
 def q_topk_tokens_sketch(sf_dir: str):
     """Misra-Gries heavy hitters: approximate top-10 most frequent tokens
     across the documents corpus (mergeable bounded-memory summaries —
@@ -3406,6 +3453,8 @@ QUERIES = {
     "range_join_windows": q_range_join_windows,
     "hopping_window_events": q_hopping_window_events,
     "topk_tokens_sketch": q_topk_tokens_sketch,
+    "lm_rare_bigrams": q_lm_rare_bigrams,
+    "lm_score_docs": q_lm_score_docs,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
@@ -3486,6 +3535,7 @@ ORACLES = {
     "range_join_windows": sql_range_join_windows(),
     "hopping_window_events": sql_hopping_window_events(),
     "topk_tokens_sketch": sql_topk_tokens_sketch(),
+    "lm_rare_bigrams": sql_lm_rare_bigrams(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
