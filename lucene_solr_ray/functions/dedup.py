@@ -45,6 +45,7 @@ __all__ = [
     "distinct_pairs",
     "embedding_neardup_remove",
     "embedding_neardup_lsh_pairs",
+    "span_dedup_counts",
 ]
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constants
@@ -734,3 +735,77 @@ def embedding_neardup_lsh_pairs(ds, threshold: float, dim: int,
     cand = _multi_member_rows(exploded, "tb")
     pairs = cand.groupby("tb").map_groups(score_bucket, batch_format="pyarrow")
     return distinct_pairs(pairs)
+
+
+def span_dedup_counts(ds, id_col: str = "doc_id", text_col: str = "text",
+                      window: int = 8, num_partitions: Optional[int] = None):
+    """Exact-substring span dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array method's
+    distributed hash analog): per doc, how many of its ``window``-token
+    spans occur more than once ANYWHERE in the corpus. Docs with high
+    counts carry memorization-prone duplicated passages.
+
+    Per batch: one polars token-hash call, then a Rabin-Karp polynomial
+    rolling hash — token hashes are scaled by per-position powers of an
+    odd constant R (mod 2^64), prefix-summed, and every window hash is
+    ``(ps[i+W] - ps[i]) * R^{-i}`` so the value depends only on the token
+    sequence. Fully vectorized; windows never cross doc boundaries.
+    Shuffle: one groupby(span_hash) count over (hash, doc) rows, the
+    duplicated hashes join back via one co-partitioned hash join, then a
+    per-doc count. 64-bit hashes stand in for exact strings (collision
+    probability ~ n²/2⁶⁵ — documented accepted risk)."""
+    from ray.data.aggregate import Count
+
+    from .relational import default_shuffle_partitions
+
+    R = np.uint64(0x5851F42D4C957F2D)  # odd -> invertible mod 2^64
+    R_INV = np.uint64(pow(0x5851F42D4C957F2D, -1, 1 << 64))
+    W = int(window)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        h, offsets = token_hashes_batch(batch[text_col])
+        total = len(h)
+        if total == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "span_hash": pa.array([], type=pa.int64())})
+        with np.errstate(over="ignore"):
+            pw = np.empty(total, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            if total > 1:
+                np.multiply.accumulate(
+                    np.full(total - 1, R, dtype=np.uint64), out=pw[1:])
+            pwinv = np.empty(total, dtype=np.uint64)
+            pwinv[0] = np.uint64(1)
+            if total > 1:
+                np.multiply.accumulate(
+                    np.full(total - 1, R_INV, dtype=np.uint64), out=pwinv[1:])
+            ps = np.zeros(total + 1, dtype=np.uint64)
+            np.cumsum(h * pw, out=ps[1:])
+            # window start positions: within-doc, i + W <= doc_end
+            lens = np.diff(offsets)
+            n_win = np.maximum(lens - W + 1, 0)
+            starts = np.repeat(offsets[:-1], n_win) + _ranges(n_win)
+            win = (ps[starts + W] - ps[starts]) * pwinv[starts]
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), n_win)
+        # int64 bit-view: Ray's hash groupby/join path handles signed ints
+        return pa.table({id_col: pa.array(ids),
+                         "span_hash": pa.array(win.view(np.int64))})
+
+    rows = ds.map_batches(spans, batch_format="pyarrow")
+    P = default_shuffle_partitions(num_partitions)
+    counts = (rows.select_columns(["span_hash"]).groupby("span_hash")
+              .aggregate(Count(alias_name="c")))
+    dups = counts.filter(expr="c > 1").select_columns(["span_hash"])
+    joined = rows.join(dups, join_type="inner", num_partitions=P,
+                       on=("span_hash",))
+    return (joined.groupby(id_col)
+            .aggregate(Count(alias_name="n_dup_spans")))
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated arange(c) for every c in counts, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, counts)

@@ -2096,6 +2096,45 @@ GROUP BY c.event_id
 """
 
 
+def q_span_dedup_docs(sf_dir: str):
+    """Exact-substring span dedup (Lee et al. 2022 analog): per doc, the
+    number of 8-token spans that occur more than once anywhere in the
+    corpus (functions/dedup.span_dedup_counts — Rabin-Karp rolling hash,
+    one count shuffle + one join back; 64-bit hash stands in for the
+    exact string, collision risk documented)."""
+    from lucene_solr_ray.functions.dedup import span_dedup_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup_counts(ds, "doc_id", "text", window=8)
+
+
+def sql_span_dedup_docs() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+win AS (
+  SELECT t.doc_id, t.pos,
+         string_agg(tok, ' ') OVER (PARTITION BY t.doc_id ORDER BY t.pos
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS span
+  FROM toks t
+),
+full_w AS (
+  -- pos is 1-based: an 8-token window fits while pos <= n - 7
+  SELECT w.doc_id, w.span FROM win w JOIN n ON w.doc_id = n.doc_id
+  WHERE w.pos <= n.n - 7
+),
+c AS (SELECT span, count(*) AS c FROM full_w GROUP BY span)
+SELECT f.doc_id, count(*) AS n_dup_spans
+FROM full_w f JOIN c ON f.span = c.span
+WHERE c.c > 1
+GROUP BY f.doc_id
+"""
+
+
 def q_lm_rare_bigrams(sf_dir: str):
     """Corpus-bigram-LM curation signal, integer-exact slice: per doc the
     total bigram count and how many bigrams are corpus-rare (count <= 2).
@@ -3454,6 +3493,7 @@ QUERIES = {
     "hopping_window_events": q_hopping_window_events,
     "topk_tokens_sketch": q_topk_tokens_sketch,
     "lm_rare_bigrams": q_lm_rare_bigrams,
+    "span_dedup_docs": q_span_dedup_docs,
     "lm_score_docs": q_lm_score_docs,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
@@ -3536,6 +3576,7 @@ ORACLES = {
     "hopping_window_events": sql_hopping_window_events(),
     "topk_tokens_sketch": sql_topk_tokens_sketch(),
     "lm_rare_bigrams": sql_lm_rare_bigrams(),
+    "span_dedup_docs": sql_span_dedup_docs(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),

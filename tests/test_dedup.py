@@ -116,3 +116,31 @@ def test_embedding_neardup_lsh_recall(ray_session):
     df = q_dedup_embed_lsh_recall("/root/testdata/sf0.001")
     assert int(df["recall_x100"].iloc[0]) >= 90, df.to_dict("records")
     assert int(df["n_removed_exact"].iloc[0]) > 0
+
+
+def test_span_dedup_planted_duplicates(ray_session):
+    """Rolling-hash span dedup finds exactly the planted duplicated
+    passage and never matches windows across doc boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import span_dedup_counts
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"one two {passage} three four",
+            f"five six seven {passage}",
+            # ends with the passage's first 4 tokens — only a cross-boundary
+            # continuation would complete the span; must NOT match
+            "x y z alpha beta gamma delta",
+            "gamma delta epsilon zeta eta theta p q r s",
+        ],
+    })
+    ds = ray.data.from_pandas(docs, override_num_blocks=2)
+    got = span_dedup_counts(ds, "doc_id", "text", window=8).to_pandas()
+    res = dict(zip(got["doc_id"].astype(int), got["n_dup_spans"].astype(int)))
+    # docs 1 and 2 share exactly ONE 8-token span (the passage); 3 and 4
+    # have no fully-duplicated 8-token window
+    assert res == {1: 1, 2: 1}, res
