@@ -2096,6 +2096,25 @@ GROUP BY c.event_id
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus k-means over the embeddings table
+    (SemDeDup-style corpus clustering; functions/cluster.py). Each Lloyd
+    iteration is one streaming pass emitting ≤k partial rows per batch;
+    the driver touches k×(d+2) numbers per iteration. No SQL oracle
+    (iterative float algorithm) — tests/test_cluster.py gates label
+    purity ≥0.95 against the planted ground-truth labels and
+    non-increasing inertia."""
+    from ray.data.aggregate import Count
+
+    from lucene_solr_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C, _ = kmeans_fit(ds, "embedding", k=10, iters=6)
+    assigned = kmeans_assign(ds, C, "vec_id", "embedding")
+    return (assigned.groupby("cluster")
+            .aggregate(Count(alias_name="n_members")))
+
+
 def q_span_dedup_docs(sf_dir: str):
     """Exact-substring span dedup (Lee et al. 2022 analog): per doc, the
     number of 8-token spans that occur more than once anywhere in the
@@ -3494,6 +3513,7 @@ QUERIES = {
     "topk_tokens_sketch": q_topk_tokens_sketch,
     "lm_rare_bigrams": q_lm_rare_bigrams,
     "span_dedup_docs": q_span_dedup_docs,
+    "kmeans_clusters": q_kmeans_clusters,
     "lm_score_docs": q_lm_score_docs,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
