@@ -190,6 +190,8 @@ def run_bench() -> dict:
             "semi_join_building", "suggest_terms", "spellcheck_terms",
             "ltr_rerank_topk", "group_top_orders", "json_facet_orders",
             "pack_token_windows", "graph_2hop_parts", "ngram_repetition",
+            "session_windows_users", "asof_last_error", "span_dedup_docs",
+            "lm_rare_bigrams", "topk_tokens_sketch",
         ]:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))
