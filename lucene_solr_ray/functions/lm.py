@@ -70,7 +70,11 @@ def _joined(ds, id_col: str, text_col: str, num_partitions=None):
     from .relational import default_shuffle_partitions
 
     P = default_shuffle_partitions(num_partitions)
-    bg = explode_bigrams(ds, id_col, text_col)
+    # the exploded bigrams feed THREE consumers (bigram counts, context
+    # counts, join probe) — materialize once so Ray doesn't re-execute the
+    # read+explode lineage per consumer; blocks live in the object store
+    # and spill, never on the driver
+    bg = explode_bigrams(ds, id_col, text_col).materialize()
     bgc, ctx = bigram_counts(bg, id_col)
     j = bg.join(bgc, join_type="inner", num_partitions=P, on=("key",))
     return j.join(ctx, join_type="inner", num_partitions=P, on=("w1",))
