@@ -791,7 +791,9 @@ def span_dedup_counts(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({id_col: pa.array(ids),
                          "span_hash": pa.array(win.view(np.int64))})
 
-    rows = ds.map_batches(spans, batch_format="pyarrow")
+    # rows feed TWO consumers (the hash count and the join probe) —
+    # materialize once so the read+rolling-hash lineage runs a single time
+    rows = ds.map_batches(spans, batch_format="pyarrow").materialize()
     P = default_shuffle_partitions(num_partitions)
     counts = (rows.select_columns(["span_hash"]).groupby("span_hash")
               .aggregate(Count(alias_name="c")))

@@ -2276,7 +2276,7 @@ def q_range_join_windows(sf_dir: str):
         lambda t: pa.table({"user_id": t["user_id"],
                             "ts_us": t["ts"].cast(pa.int64())}),
         batch_format="pyarrow",
-    )
+    ).materialize()  # feeds both the window derivation and the join's left side
     win = rel.rollup(ev, ["user_id"], {"ts_us": ["min"]}).map_batches(
         lambda t: pa.table({
             "wuser": t["user_id"],
