@@ -2096,6 +2096,41 @@ GROUP BY c.event_id
 """
 
 
+def q_quality_filter_p25(sf_dir: str):
+    """Percentile-threshold quality filtering — the standard curation
+    gate: keep documents whose stopword ratio is at or above the corpus
+    25th percentile. Composes the vectorized quality kernel with the
+    two-pass exact-quantile histogram (functions/quantiles.py — no global
+    sort; the threshold is one scalar on the driver)."""
+    from ..functions.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = ds.map_batches(quality_score_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "stopword_ratio_e6"]).materialize()
+    thr = exact_quantiles(scores, "stopword_ratio_e6", [0.25])[0.25]
+    return scores.filter(expr=f"stopword_ratio_e6 >= {int(thr)}")
+
+
+def sql_quality_filter_p25() -> str:
+    from ..functions.textstats import STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS stopword_ratio_e6
+  FROM toks GROUP BY doc_id
+),
+q AS (SELECT quantile_disc(stopword_ratio_e6, 0.25) AS thr FROM scores)
+SELECT s.doc_id, s.stopword_ratio_e6
+FROM scores s, q WHERE s.stopword_ratio_e6 >= q.thr
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed full-corpus k-means over the embeddings table
     (SemDeDup-style corpus clustering; functions/cluster.py). Each Lloyd
@@ -3514,6 +3549,7 @@ QUERIES = {
     "lm_rare_bigrams": q_lm_rare_bigrams,
     "span_dedup_docs": q_span_dedup_docs,
     "kmeans_clusters": q_kmeans_clusters,
+    "quality_filter_p25": q_quality_filter_p25,
     "lm_score_docs": q_lm_score_docs,
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
@@ -3597,6 +3633,7 @@ ORACLES = {
     "topk_tokens_sketch": sql_topk_tokens_sketch(),
     "lm_rare_bigrams": sql_lm_rare_bigrams(),
     "span_dedup_docs": sql_span_dedup_docs(),
+    "quality_filter_p25": sql_quality_filter_p25(),
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
