@@ -254,6 +254,91 @@ LIMIT 10
     )
 
 
+def q_ft_parser_topk(sf_dir: str) -> pd.DataFrame:
+    """Classic query-STRING parser end-to-end (reference: lucene/
+    queryparser/.../classic/QueryParser.jj + QueryParserBase.addClause,
+    branch_8x; SURVEY.md §3.2 step 2): the string
+    ``+data +(query OR join^2) -slow fast^1.5 win*`` parses to a nested
+    BooleanQuery — MUST term, MUST group (OR with a boosted term),
+    MUST_NOT term, SHOULD boosted term, SHOULD PrefixQuery
+    (constant-score 1.0) — and is scored with the float64/div
+    oracle-parity similarity. Exercises the parser, BoostQuery, and the
+    multi-term-as-bool-clause path in one oracle-checked pipeline."""
+    from ..search.queryparser import parse_query
+
+    idx = ensure_ft_index(sf_dir)
+    tree = parse_query("+data +(query OR join^2) -slow fast^1.5 win*")
+    res = search(
+        idx,
+        [{"query_id": 0, **tree}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_parser_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in ["data", "query", "join", "slow", "fast"])
+    idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    # float64 sum order mirrors the engine's clause accumulation:
+    # ((must_data + group(query + 2*join)) + 1.5*fast) + prefix_const
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         {idf}
+         - {idf}
+           / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+pref AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'data'  THEN s END) AS s_data,
+         max(CASE WHEN term = 'query' THEN s END) AS s_query,
+         max(CASE WHEN term = 'join'  THEN s END) AS s_join,
+         max(CASE WHEN term = 'slow'  THEN s END) AS s_slow,
+         max(CASE WHEN term = 'fast'  THEN s END) AS s_fast
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT piv.doc_id,
+         s_data
+         + (COALESCE(s_query, 0) + COALESCE(2 * s_join, 0))
+         + COALESCE(1.5 * s_fast, 0)
+         + CASE WHEN pref.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS score
+  FROM piv LEFT JOIN pref ON pref.doc_id = piv.doc_id
+  WHERE s_data IS NOT NULL
+    AND (s_query IS NOT NULL OR s_join IS NOT NULL)
+    AND s_slow IS NULL
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def q_ft_term_stats(sf_dir: str) -> pd.DataFrame:
     """Global (df, total_tf) for fixed terms — the ExactStatsCache surface
     (SURVEY.md §2.6 index-build aggregations)."""
@@ -3467,6 +3552,7 @@ QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
+    "ft_parser_topk": q_ft_parser_topk,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
     "ft_index_stats": q_ft_index_stats,
@@ -3564,6 +3650,7 @@ QUERIES = {
 ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
+    "ft_parser_topk": sql_ft_parser_topk(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
     "ft_index_stats": sql_ft_index_stats(),

@@ -82,6 +82,14 @@ def prepare_search_context(
             return out
         if node.get("kind") == "const":
             return dict(node, of=norm_tree(node["of"]))
+        if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
+            # patterns bypass the filter chain, same as top-level norm_query
+            return dict(
+                node,
+                terms=[lowercase(t) for t in node["terms"]]
+                if node["kind"] in _PATTERN_KINDS
+                else list(node["terms"]),
+            )
         return dict(
             node,
             terms=[nt for nt in (norm_term(t) for t in node["terms"]) if nt is not None],
@@ -97,6 +105,8 @@ def prepare_search_context(
             ]
         if node.get("kind") == "const":
             return leaf_terms(node["of"])
+        if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
+            return []  # constant-score: patterns need no idf stats
         return list(node["terms"])
 
     def norm_query(q: dict) -> dict:

@@ -204,6 +204,34 @@ def _bool_eval_node(
         # BoostQuery wrapper (reference: lucene/core/.../search/
         # BoostQuery.java, branch_8x): multiplies the wrapped query's score
         return (cand, out * boost) if boost != sim.dtype(1.0) else (cand, out)
+    if kind == "phrase":
+        # PhraseQuery as a boolean clause (parser output like
+        # ``+"ray data" fast``): full evaluation, boost multiplies
+        cid, csc = _phrase_full(
+            reader, node["terms"], weights, cache_inv, sim,
+            slop=int(node.get("slop", 0)),
+        )
+        return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        # MultiTermQuery CONSTANT_SCORE_REWRITE as a boolean clause:
+        # matching docs score exactly ``boost`` (default 1.0)
+        from .multiterm import expand_fuzzy, expand_regexp, expand_wildcard
+
+        matched = np.zeros(n, dtype=bool)
+        for pat in node["terms"]:
+            if kind == "prefix":
+                lo, hi = reader.prefix_range(pat)
+                ords = range(lo, hi)
+            elif kind == "wildcard":
+                ords = expand_wildcard(reader, pat)
+            elif kind == "regexp":
+                ords = expand_regexp(reader, pat)
+            else:
+                ords = expand_fuzzy(reader, pat, max_edits=2, prefix_len=1)
+            for o in ords:
+                matched[reader.postings(int(o)).docids] = True
+        cid = np.nonzero(matched)[0].astype(np.int64)
+        return cid, np.full(len(cid), boost, dtype=sim.dtype)
     if kind not in ("term", "or", "and"):
         raise ValueError(f"bool sub-clause kind {kind!r} not supported")
     terms = node["terms"]
@@ -295,14 +323,12 @@ def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
     return freq
 
 
-def score_query_phrase(
+def _phrase_full(
     reader: SegmentReader,
     terms: Sequence[str],
     weights: Dict[str, np.float32],
     cache_inv: np.ndarray,
     sim: Bm25Similarity,
-    k: int,
-    exclude: Sequence[str] = (),
     slop: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact PhraseQuery (reference: lucene/core/src/java/org/apache/
@@ -311,7 +337,8 @@ def score_query_phrase(
     position verification — doc matches where ∩_i (positions(term_i) − i)
     is non-empty, phrase freq = |intersection|. Scored like a single
     pseudo-term: weight = Σ idf(term_i) (Lucene sums TermStatistics idfs),
-    score = w − w/(1 + freq·normInverse)."""
+    score = w − w/(1 + freq·normInverse). FULL evaluation (no liveDocs /
+    exclude / top-k) so it can also serve as a bool-tree sub-clause."""
     if not getattr(reader, "has_positions", False):
         raise ValueError(
             f"phrase query requires an index built with store_positions=True "
@@ -368,6 +395,23 @@ def score_query_phrase(
     for term in terms:
         w = np.float32(w + weights[term])
     scores = sim.score_freqs(w, phrase_freq.astype(np.uint32), reader.norms[cand], cache_inv)
+    return cand.astype(np.int64), scores
+
+
+def score_query_phrase(
+    reader: SegmentReader,
+    terms: Sequence[str],
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    exclude: Sequence[str] = (),
+    slop: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k PhraseQuery over one segment: full phrase evaluation
+    (``_phrase_full``), then MUST_NOT exclusion, liveDocs filter, and the
+    standard (score desc, docid asc) top-k selection."""
+    cand, scores = _phrase_full(reader, terms, weights, cache_inv, sim, slop)
     if len(exclude):
         banned = np.zeros(reader.num_docs, dtype=bool)
         for term in exclude:
