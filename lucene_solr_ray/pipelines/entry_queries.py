@@ -650,6 +650,66 @@ WHERE ' ' || text || ' ' LIKE '% {phrase} %'
 """
 
 
+def q_ft_span_counts(sf_dir: str) -> pd.DataFrame:
+    """Span-query cardinalities (reference: lucene/core/src/java/org/
+    apache/lucene/search/spans/SpanNearQuery.java + SpanFirstQuery.java,
+    branch_8x; SURVEY.md §2.3): in-order proximity, unordered proximity
+    (pair — minimal-window ≡ EXISTS-within-distance for k=2), and
+    position-bounded SpanFirst, via the positions-enabled index."""
+    idx = ensure_ft_pos_index(sf_dir)
+    specs = [
+        ("first_join_5", {"kind": "span_first", "terms": ["join"], "end": 5}),
+        ("ordered_query_data_s4",
+         {"kind": "span_near", "terms": ["query", "data"], "slop": 4,
+          "in_order": True}),
+        ("unordered_fast_slow_s3",
+         {"kind": "span_near", "terms": ["fast", "slow"], "slop": 3,
+          "in_order": False}),
+    ]
+    rows = []
+    res = search(
+        idx,
+        [{"query_id": i, **node} for i, (_, node) in enumerate(specs)],
+        k=10**9,
+        method="exhaustive",
+    )
+    for i, (label, _) in enumerate(specs):
+        rows.append({"span": label, "n_docs": int((res["query_id"] == i).sum())})
+    return pd.DataFrame(rows).astype({"n_docs": np.int64}).sort_values(
+        "span"
+    ).reset_index(drop=True)
+
+
+def sql_ft_span_counts() -> str:
+    # generate_subscripts is 1-based: engine pos0 < 5  ⟺  pos1 <= 5;
+    # width conditions (pN - p1 - 1 <= slop) are base-invariant
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'first_join_5' AS span,
+         count(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE term = 'join' AND pos <= 5
+  UNION ALL
+  SELECT 'ordered_query_data_s4',
+         count(DISTINCT a.doc_id)
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'query' AND b.term = 'data'
+    AND b.pos > a.pos AND b.pos - a.pos - 1 <= 4
+  UNION ALL
+  SELECT 'unordered_fast_slow_s3',
+         count(DISTINCT a.doc_id)
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'fast' AND b.term = 'slow'
+    AND abs(b.pos - a.pos) - 1 <= 3
+) ORDER BY span
+"""
+
+
 FT_SHINGLE = "query join"
 
 
@@ -3553,6 +3613,7 @@ QUERIES = {
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
+    "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
     "ft_index_stats": q_ft_index_stats,
@@ -3651,6 +3712,7 @@ ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
+    "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
     "ft_index_stats": sql_ft_index_stats(),

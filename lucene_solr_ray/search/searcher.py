@@ -212,6 +212,9 @@ def _bool_eval_node(
             slop=int(node.get("slop", 0)),
         )
         return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
+    if kind in ("span_near", "span_first"):
+        cid, csc = _span_full(reader, node, weights, cache_inv, sim)
+        return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
     if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         # MultiTermQuery CONSTANT_SCORE_REWRITE as a boolean clause:
         # matching docs score exactly ``boost`` (default 1.0)
@@ -321,6 +324,131 @@ def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
             if width - kterms <= slop:
                 freq += 1
     return freq
+
+
+def span_near_ordered_freq(pos_lists: List[np.ndarray], slop: int) -> int:
+    """SpanNearQuery(inOrder=true) frequency for ONE doc (reference:
+    lucene/core/src/java/org/apache/lucene/search/spans/NearSpansOrdered
+    .java ~200 LoC, branch_8x): the number of start positions p₁ whose
+    MINIMAL in-order chain p₁<p₂<…<p_k (greedy smallest-next, which is
+    width-optimal for a fixed start) satisfies (p_k − p₁ + 1) − k ≤ slop.
+    Vectorized: one searchsorted per term over ALL candidate starts."""
+    k = len(pos_lists)
+    cur = pos_lists[0].astype(np.int64)
+    if len(cur) == 0:
+        return 0
+    end = cur
+    valid = np.ones(len(cur), dtype=bool)
+    for nxt in pos_lists[1:]:
+        nxt = np.asarray(nxt, dtype=np.int64)
+        if len(nxt) == 0:
+            return 0
+        idx = np.searchsorted(nxt, end, side="right")
+        ok = idx < len(nxt)
+        valid &= ok
+        end = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], end)
+    return int(np.count_nonzero(valid & ((end - cur + 1) - k <= slop)))
+
+
+def _span_full(
+    reader: SegmentReader,
+    node: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """FULL evaluation of a span query over one segment → (docids, scores).
+
+    Kinds (reference: lucene/core/src/java/org/apache/lucene/search/spans/
+    SpanNearQuery.java + SpanFirstQuery.java, branch_8x; SURVEY.md §2.3):
+    - ``span_near``: terms within ``slop`` extra positions of each other;
+      ``in_order`` (default True) requires p₁<p₂<…<p_k (NearSpansOrdered),
+      else the minimal-covering-window matcher shared with sloppy phrase
+      (NearSpansUnordered-style, same documented deviation).
+    - ``span_first``: single term with an occurrence at position < ``end``.
+    Scored like a phrase pseudo-term: weight = Σ idf(term_i), BM25 on the
+    span frequency — consistent with the sloppy-phrase treatment."""
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            f"span query requires an index built with store_positions=True "
+            f"({reader.seg_dir} has no positions.bin)"
+        )
+    kind = node["kind"]
+    terms = node["terms"]
+    plists, posits = [], []
+    for term in terms:
+        o = reader.lookup(term)
+        if o < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        plists.append(reader.postings(o))
+        posits.append(reader.positions(o))
+    cand = plists[0].docids
+    for tp in plists[1:]:
+        cand = np.intersect1d(cand, tp.docids, assume_unique=True)
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    slices = []
+    for tp, flat in zip(plists, posits):
+        starts = np.concatenate(([0], np.cumsum(tp.freqs.astype(np.int64))))
+        idx = np.searchsorted(tp.docids, cand)
+        slices.append((flat, starts, idx))
+    freq = np.zeros(len(cand), dtype=np.int64)
+    if kind == "span_first":
+        endpos = int(node.get("end", 1))
+        flat, starts, idx = slices[0]
+        for ci in range(len(cand)):
+            j = int(idx[ci])
+            pos = np.asarray(flat[starts[j] : starts[j + 1]], dtype=np.int64)
+            freq[ci] = int(np.count_nonzero(pos < endpos))
+    else:
+        slop = int(node.get("slop", 0))
+        in_order = bool(node.get("in_order", True))
+        for ci in range(len(cand)):
+            doc_pos = [
+                np.asarray(flat[starts_i[int(idx_i[ci])] : starts_i[int(idx_i[ci]) + 1]],
+                           dtype=np.int64)
+                for flat, starts_i, idx_i in slices
+            ]
+            freq[ci] = (
+                span_near_ordered_freq(doc_pos, slop)
+                if in_order
+                else sloppy_phrase_freq(doc_pos, slop)
+            )
+    hit = freq > 0
+    cand, freq = cand[hit], freq[hit]
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    w = np.float32(0.0)
+    for term in terms:
+        w = np.float32(w + weights[term])
+    scores = sim.score_freqs(w, freq.astype(np.uint32), reader.norms[cand], cache_inv)
+    return cand.astype(np.int64), scores
+
+
+def score_query_span(
+    reader: SegmentReader,
+    node: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    exclude: Sequence[str] = (),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k span query over one segment: full span evaluation, MUST_NOT
+    exclusion, liveDocs filter, (score desc, docid asc) top-k."""
+    cand, scores = _span_full(reader, node, weights, cache_inv, sim)
+    if len(exclude) and len(cand):
+        banned = np.zeros(reader.num_docs, dtype=bool)
+        for term in exclude:
+            o = reader.lookup(term)
+            if o >= 0:
+                banned[reader.postings(o).docids] = True
+        keep = ~banned[cand]
+        cand, scores = cand[keep], scores[keep]
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    return topk_select(cand, scores, k)
 
 
 def _phrase_full(
@@ -580,6 +708,11 @@ class SearcherStage:
                         reader, q["terms"], self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
                         slop=int(q.get("slop", 0)),
+                    )
+                elif q["kind"] in ("span_near", "span_first"):
+                    docids, scores = score_query_span(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, exclude=exclude,
                     )
                 elif q["kind"] in ("bool", "const"):
                     docids, scores = score_query_bool(
