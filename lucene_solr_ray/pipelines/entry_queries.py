@@ -171,6 +171,62 @@ def q_ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ft_classic_topk(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF ClassicSimilarity plugin (reference: lucene/core/.../
+    similarities/ClassicSimilarity.java + TFIDFSimilarity.java, branch_8x;
+    SURVEY.md §2.11 Similarity SPI): same index, same distributed searcher,
+    swapped scoring — idf = ln((N+1)/(df+1))+1, tf = sqrt(freq),
+    norm = 1/sqrt(lossy length bucket). float64 for SQL parity; WAND is
+    auto-disabled (sqrt(freq) has no per-term upper bound)."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=10,
+        method="exhaustive",
+        sim_config={"name": "classic", "dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_classic_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           (ln((stats.n + 1) / (dfs.df + 1)) + 1)
+           * sqrt(tf.freq) / sqrt(norml.nl)
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def q_ft_bool_nested_topk(sf_dir: str) -> pd.DataFrame:
     """Nested BooleanQuery tree (reference BooleanQuery/BooleanWeight,
     branch_8x; SURVEY.md §2.3): must=[or(query, join)],
@@ -3613,6 +3669,7 @@ QUERIES = {
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
+    "ft_classic_topk": q_ft_classic_topk,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -3712,6 +3769,7 @@ ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
+    "ft_classic_topk": sql_ft_classic_topk(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),

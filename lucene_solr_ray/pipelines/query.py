@@ -26,7 +26,7 @@ import ray.data
 
 from ..index.stats import read_query_term_stats
 from ..search.searcher import SearcherStage
-from ..search.similarity import Bm25Similarity
+from ..search.similarity import Bm25Similarity, similarity_from_config
 from ..search.topk import merge_topk_group
 from ..state.manifest import partition_segments, read_root_manifest
 
@@ -42,7 +42,7 @@ def prepare_search_context(
     root = read_root_manifest(index_root)
     n_docs = root["num_docs"]
     sum_dl = root["sum_dl"]
-    sim = Bm25Similarity.from_config(sim_config)
+    sim = similarity_from_config(sim_config)
     avgdl = sim.avgdl(sum_dl, max(n_docs, 1))
 
     # query terms pass through the index's analyzer chain (lowercase +
@@ -318,7 +318,7 @@ class ExplainStage:
         self.terms_by_q = ctx["terms_by_q"]
         self.weights = ctx["weights"]
         self.dfs = ctx["dfs"]
-        self.sim = Bm25Similarity.from_config(ctx.get("sim"))
+        self.sim = similarity_from_config(ctx.get("sim"))
         self.cache_inv = self.sim.norm_inverse_cache(ctx["avgdl"])
         self._readers: Dict[str, object] = {}
 

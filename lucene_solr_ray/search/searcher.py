@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..index.segment import DOCMAP_ROW_GROUP, SegmentReader
-from .similarity import Bm25Similarity
+from .similarity import Bm25Similarity, similarity_from_config
 
 __all__ = ["score_query_exhaustive", "topk_select", "SearcherStage", "lookup_urls"]
 
@@ -634,7 +634,7 @@ class SearcherStage:
         self.avgdl = ctx["avgdl"]
         self.k = ctx["k"]
         self.method = ctx.get("method", "auto")
-        self.sim = Bm25Similarity.from_config(ctx.get("sim"))
+        self.sim = similarity_from_config(ctx.get("sim"))
         self.cache_inv = self.sim.norm_inverse_cache(self.avgdl)
         self._readers: Dict[str, SegmentReader] = {}
         self._term_caches: Dict[str, dict] = {}
@@ -692,8 +692,9 @@ class SearcherStage:
             if reader.num_docs == 0:
                 continue
             seg_emit_start = len(out_doc)
-            use_wand = self.method == "wand" or (
-                self.method == "auto" and reader.num_docs > 4_000_000
+            use_wand = getattr(self.sim, "wand_safe", True) and (
+                self.method == "wand"
+                or (self.method == "auto" and reader.num_docs > 4_000_000)
             )
             tcache = None if use_wand else self._term_cache(reader)
             for q in self.queries:
