@@ -91,6 +91,39 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
     merged_dl = dl_cat[order]
     n_docs = len(merged_urls)
 
+    if n_docs == 0:
+        # deleteByQuery can tombstone EVERY doc of a partition: publish an
+        # empty base segment (still recording merged_gens so interrupted
+        # .gN cleanup stays shadowed), then reclaim the old dirs
+        from .segment import _build_empty_segment_at
+
+        prev = read_segment_manifest(segment_dir(index_root, partition_id)) or {}
+        gens = sorted(
+            set(prev.get("merged_gens") or [])
+            | {
+                int(os.path.basename(s).rsplit(".g", 1)[1])
+                for s in segs
+                if ".g" in os.path.basename(s)
+            }
+        )
+        summary = _build_empty_segment_at(
+            partition_id,
+            segment_dir(index_root, partition_id),
+            lineage,
+            t0,
+            extra_manifest={
+                "merged_gens": gens,
+                "merged_from": [os.path.basename(s) for s in segs],
+            },
+            store_positions=all(
+                bool(getattr(r, "has_positions", False)) for r in readers
+            ),
+        )
+        for s in segs:
+            if ".g" in os.path.basename(s):
+                shutil.rmtree(s, ignore_errors=True)
+        return {**summary, "merged": True}
+
     # per-segment old docid -> merged docid (-1 = deleted)
     docmaps = []
     for r, live, urls in zip(readers, seg_maps, urls_all):

@@ -246,7 +246,8 @@ def write_segment_artifact(
     return summary
 
 
-def _build_empty_segment_at(partition_id, final_dir, lineage, t0):
+def _build_empty_segment_at(partition_id, final_dir, lineage, t0,
+                            extra_manifest=None, store_positions=False):
     tmp_dir = final_dir + ".tmp"
     if os.path.exists(tmp_dir):
         import shutil
@@ -255,6 +256,11 @@ def _build_empty_segment_at(partition_id, final_dir, lineage, t0):
     os.makedirs(tmp_dir)
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(b"")
+    if store_positions:
+        # keep the positions stream present so later merges with
+        # positions-enabled siblings don't refuse as mixed-capability
+        with open(os.path.join(tmp_dir, "positions.bin"), "wb") as f:
+            f.write(b"")
     empty_i32 = np.array([], dtype=np.int32)
     pq.write_table(
         pa.table(
@@ -302,12 +308,37 @@ def _build_empty_segment_at(partition_id, final_dir, lineage, t0):
         "postings": 0,
         "sum_dl": 0,
         "postings_bytes": 0,
+        "positions": bool(store_positions),
         "checksum_crc32": zlib.crc32(b""),
         "build_sec": round(time.perf_counter() - t0, 3),
     }
-    write_segment_manifest(tmp_dir, {**summary, **lineage})
+    write_segment_manifest(tmp_dir, {**summary, **lineage, **(extra_manifest or {})})
     publish_segment(tmp_dir, final_dir)
     return summary
+
+
+def add_deletes(seg_dir: str, docids) -> int:
+    """Merge ``docids`` into the segment's tombstone set (Lucene .liv
+    analog) with a rename-aside atomic publish. Idempotent (set union).
+    Returns the number of NEWLY tombstoned docs."""
+    docids = [int(d) for d in docids]
+    if not docids:
+        return 0
+    dpath = os.path.join(seg_dir, "deletes.parquet")
+    prev = (
+        set(pq.read_table(dpath)["local_docid"].to_pylist())
+        if os.path.exists(dpath)
+        else set()
+    )
+    merged = sorted(prev | set(docids))
+    new = len(merged) - len(prev)
+    if new:
+        tmp = dpath + ".tmp"
+        pq.write_table(
+            pa.table({"local_docid": pa.array(merged, type=pa.int32())}), tmp
+        )
+        os.replace(tmp, dpath)
+    return new
 
 
 class SegmentReader:

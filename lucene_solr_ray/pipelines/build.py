@@ -549,21 +549,9 @@ def append_index(
     )
 
     def _add_deletes(seg: str, docids) -> None:
-        if not len(docids):
-            return
-        dpath = os.path.join(seg, "deletes.parquet")
-        prev = (
-            set(_pq.read_table(dpath)["local_docid"].to_pylist())
-            if os.path.exists(dpath)
-            else set()
-        )
-        merged = sorted(prev | set(int(d) for d in docids))
-        if merged != sorted(prev):
-            tmp = dpath + ".tmp"
-            _pq.write_table(
-                pa.table({"local_docid": pa.array(merged, type=pa.int32())}), tmp
-            )
-            os.replace(tmp, dpath)
+        from ..index.segment import add_deletes
+
+        add_deletes(seg, docids)
 
     def write_gen(group: pa.Table) -> pa.Table:
         from ..index.segment import build_segment_at

@@ -138,6 +138,90 @@ def ensure_ft_index(sf_dir: str) -> str:
     return index_root
 
 
+def ensure_dbq_index(sf_dir: str) -> str:
+    """A COPY of the ft index with ``deleteByQuery(term 'slow')`` applied —
+    kept separate so the shared ft cache is never mutated. The lifecycle
+    sentinel is written only after the delete completes (an interrupted
+    first run re-applies the idempotent delete, never serves a half-done
+    copy)."""
+    import shutil
+
+    src = ensure_ft_index(sf_dir)
+    dst = src + "_dbq"
+    sentinel = os.path.join(dst, ".dbq_complete")
+    if os.path.exists(sentinel):
+        return dst
+    from .update import delete_by_query
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+    delete_by_query(dst, {"kind": "term", "terms": ["slow"]})
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def q_ft_delete_topk(sf_dir: str) -> pd.DataFrame:
+    """deleteByQuery semantics (reference: solr/core/.../update/
+    DirectUpdateHandler2.java#deleteByQuery, branch_8x; SURVEY.md §2.10):
+    after deleting docs containing 'slow', a BM25 top-10 disjunction
+    excludes them while SURVIVING docs keep their exact scores — df/N/
+    avgdl are NOT adjusted until merge (Lucene docFreq semantics), which
+    the oracle reproduces by computing stats over ALL docs and filtering
+    matches only."""
+    idx = ensure_dbq_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_delete_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+deleted AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM deleted)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def _cents(col):
     """Exact money→cents per row BEFORE any sum (double sums of dollar
     amounts are order-dependent; int sums are not)."""
@@ -3670,6 +3754,7 @@ QUERIES = {
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
     "ft_classic_topk": q_ft_classic_topk,
+    "ft_delete_topk": q_ft_delete_topk,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -3770,6 +3855,7 @@ ORACLES = {
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
     "ft_classic_topk": sql_ft_classic_topk(),
+    "ft_delete_topk": sql_ft_delete_topk(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),

@@ -451,6 +451,38 @@ def score_query_span(
     return topk_select(cand, scores, k)
 
 
+def match_query_full(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+) -> np.ndarray:
+    """ALL docids of one segment matching the query (no top-k, no score
+    output, still-live docs only) — the matching primitive behind
+    deleteByQuery. Supports every query kind the searcher does."""
+    kind = q.get("kind", "term")
+    if kind in ("bool", "const"):
+        cand, _ = _bool_eval_node(reader, q, weights, cache_inv, sim)
+    elif kind == "phrase":
+        cand, _ = _phrase_full(
+            reader, q["terms"], weights, cache_inv, sim,
+            slop=int(q.get("slop", 0)),
+        )
+    elif kind in ("span_near", "span_first"):
+        cand, _ = _span_full(reader, q, weights, cache_inv, sim)
+    else:
+        cand, _ = score_query_exhaustive(
+            reader, q["terms"], kind, weights, cache_inv, sim,
+            k=max(reader.num_docs, 1),
+            exclude=q.get("exclude", ()),
+            min_should_match=int(q.get("min_should_match", 1)),
+        )
+    if len(cand) and reader.deleted is not None:
+        cand = cand[~reader.deleted[cand]]
+    return np.asarray(cand, dtype=np.int64)
+
+
 def _phrase_full(
     reader: SegmentReader,
     terms: Sequence[str],
