@@ -222,6 +222,40 @@ LIMIT 10
     )
 
 
+def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (GPT-3/Gopher-style n-gram collision
+    check; SURVEY-adjacent LLM-curation op): corpus docs sharing ≥1
+    distinct n-token n-gram with the benchmark slice (doc_id % 97 == 0),
+    with the distinct-overlap count. Broadcast bench set + one streaming
+    map_batches pass — no shuffle (see functions/decontam.py). n=3 here
+    (the synthetic corpus has no natural 8-gram collisions; production
+    default is 8-13)."""
+    from ..functions.decontam import decontaminate
+
+    ds = decontaminate(_docs_path(sf_dir), n=3, bench_mod=97)
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_overlap": pd.Series(dtype=np.int64)})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_decontaminate_docs() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ng AS (
+  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(l) - 1)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 97 = 0)
+SELECT ng.doc_id, count(DISTINCT ng.gram) AS n_overlap
+FROM ng JOIN bench USING (gram)
+WHERE ng.doc_id % 97 <> 0
+GROUP BY ng.doc_id
+ORDER BY ng.doc_id
+"""
+
+
 def _cents(col):
     """Exact money→cents per row BEFORE any sum (double sums of dollar
     amounts are order-dependent; int sums are not)."""
@@ -3755,6 +3789,7 @@ QUERIES = {
     "ft_parser_topk": q_ft_parser_topk,
     "ft_classic_topk": q_ft_classic_topk,
     "ft_delete_topk": q_ft_delete_topk,
+    "decontaminate_docs": q_decontaminate_docs,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -3856,6 +3891,7 @@ ORACLES = {
     "ft_parser_topk": sql_ft_parser_topk(),
     "ft_classic_topk": sql_ft_classic_topk(),
     "ft_delete_topk": sql_ft_delete_topk(),
+    "decontaminate_docs": sql_decontaminate_docs(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
