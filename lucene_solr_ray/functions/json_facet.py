@@ -59,11 +59,85 @@ def _split_spec(facet: Dict):
             if not m:
                 raise ValueError(f"unsupported agg {sub!r}")
             stats[name] = ("percentile", m.group(1), float(m.group(2)))
-        elif isinstance(sub, dict) and sub.get("type") == "terms":
+        elif isinstance(sub, dict) and sub.get("type") in ("terms", "query"):
             nested[name] = sub
         else:
             raise ValueError(f"unsupported facet spec {name!r}: {sub!r}")
     return stats, nested
+
+
+_OPS = {
+    "==": "equal", "!=": "not_equal", "<": "less", "<=": "less_equal",
+    ">": "greater", ">=": "greater_equal",
+}
+
+
+def _apply_query(ds, q):
+    """Filter the Dataset by a query-facet predicate: one comparison dict
+    ``{"col", "op", "value"}`` or a list of them (AND). Vectorized Arrow
+    kernels per batch; ``in`` uses ``pc.is_in``, ``contains`` a substring
+    match (Solr q= on a string field analog)."""
+    preds = q if isinstance(q, list) else [q]
+
+    def fn(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = None
+        for p in preds:
+            col, op, val = p["col"], p["op"], p["value"]
+            if op == "in":
+                m = pc.is_in(t[col], value_set=pa.array(val))
+            elif op == "contains":
+                m = pc.match_substring(t[col], val)
+            else:
+                m = getattr(pc, _OPS[op])(t[col], val)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _query_level(ds, spec: Dict) -> Dict:
+    """Query facet (reference: solr/core/.../search/facet/FacetQuery.java,
+    branch_8x): ONE bucket — docs matching the sub-query — carrying count,
+    sibling stats, and nested facets computed over the filtered stream."""
+    sub = _apply_query(ds, spec["q"])
+    stats, nested = _split_spec(spec.get("facet"))
+    preds = spec["q"] if isinstance(spec["q"], list) else [spec["q"]]
+    # Ray 2.49's column-less global Count() merges nondeterministically
+    # to 0 when a block is empty (a filter often leaves one) — count a
+    # concrete column with ignore_nulls=False instead
+    aggs = [Count(preds[0]["col"], ignore_nulls=False, alias_name="count")]
+    uniques = {}
+    for name, st in stats.items():
+        if st[0] == "unique":
+            uniques[name] = st[1]
+        elif st[0] == "percentile":
+            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
+        else:
+            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
+    # multi-consumer input: materialize once so the filter isn't re-run
+    # per aggregate/nested facet (diamond lineage re-executes otherwise)
+    if uniques or nested:
+        sub = sub.materialize()
+    row = sub.aggregate(*aggs)
+    out: Dict = {"count": int(row["count"] or 0)}
+    for name, st in stats.items():
+        if st[0] == "unique":
+            continue
+        v = row.get(name)
+        out[name] = float(v) if v is not None else None
+    for name, col in uniques.items():
+        pairs = sub.groupby([col]).aggregate(Count(alias_name="_c"))
+        out[name] = int(pairs.count())
+    for name, sspec in nested.items():
+        if sspec.get("type") == "query":
+            out[name] = _query_level(sub, sspec)
+        else:
+            df, sstats, ssub = _terms_level(sub, sspec)
+            out[name] = {"buckets": _to_buckets(df, sspec["field"], sstats, ssub)}
+    return out
 
 
 def _terms_level(ds, spec: Dict, parent_field=None):
@@ -109,9 +183,42 @@ def _terms_level(ds, spec: Dict, parent_field=None):
         df = df.head(limit)
     sub_results = {}
     for name, sub in nested.items():
-        # one shuffle for ALL parent buckets of this nested facet
-        sub_results[name] = _terms_level(ds, sub, parent_field=field)
+        if sub.get("type") == "query":
+            # nested query facet: ONE filtered groupby(parent field) serves
+            # every parent bucket (FacetQuery under FacetField — never a
+            # query per bucket)
+            sub_results[name] = ("query",) + _query_under_parent(ds, field, sub)
+        else:
+            # one shuffle for ALL parent buckets of this nested facet
+            sub_results[name] = ("terms",) + _terms_level(ds, sub, parent_field=field)
     return df.reset_index(drop=True), stats, sub_results
+
+
+def _query_under_parent(ds, parent_field: str, spec: Dict):
+    """Nested query facet under a terms facet: filter once, aggregate per
+    parent value. Returns (DataFrame keyed by parent_field, stats)."""
+    sub = _apply_query(ds, spec["q"])
+    stats, nested = _split_spec(spec.get("facet"))
+    if nested:
+        raise ValueError("facets nested under a terms>query chain are unsupported")
+    aggs = [Count(alias_name="count")]
+    uniques = {}
+    for name, st in stats.items():
+        if st[0] == "unique":
+            uniques[name] = st[1]
+        elif st[0] == "percentile":
+            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
+        else:
+            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
+    if uniques:
+        sub = sub.materialize()
+    df = sub.groupby([parent_field]).aggregate(*aggs).to_pandas()
+    for name, col in uniques.items():
+        pairs = sub.groupby([parent_field, col]).aggregate(Count(alias_name="_c"))
+        u = pairs.groupby([parent_field]).aggregate(Count(alias_name=name)).to_pandas()
+        df = df.merge(u, on=[parent_field], how="left")
+        df[name] = df[name].fillna(0).astype("int64")
+    return df, stats
 
 
 def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=None):
@@ -120,7 +227,22 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
         b = {"val": row[field], "count": int(row["count"])}
         for name, st in stats.items():
             b[name] = int(row[name]) if st[0] == "unique" else float(row[name])
-        for name, (sdf, sstats, ssub) in sub_results.items():
+        for name, sub in sub_results.items():
+            if sub[0] == "query":
+                _, qdf, qstats = sub
+                sel = qdf[qdf[field] == row[field]]
+                if len(sel) == 0:
+                    qb = {"count": 0}
+                    for qn, qst in qstats.items():
+                        qb[qn] = 0 if qst[0] == "unique" else None
+                else:
+                    r = sel.iloc[0]
+                    qb = {"count": int(r["count"])}
+                    for qn, qst in qstats.items():
+                        qb[qn] = int(r[qn]) if qst[0] == "unique" else float(r[qn])
+                b[name] = qb
+                continue
+            _, sdf, sstats, ssub = sub
             sfield = [c for c in sdf.columns if c not in
                       ("count", *sstats) and c != field][0]
             sel = sdf[sdf[field] == row[field]]
@@ -135,8 +257,11 @@ def json_facet(ds, spec: Dict) -> Dict:
     """Execute a json.facet spec over the Dataset; see module doc."""
     out: Dict = {"count": ds.count()}
     for name, facet in spec.items():
-        if not (isinstance(facet, dict) and facet.get("type") == "terms"):
-            raise ValueError("top-level entries must be terms facets")
+        if not (isinstance(facet, dict) and facet.get("type") in ("terms", "query")):
+            raise ValueError("top-level entries must be terms or query facets")
+        if facet["type"] == "query":
+            out[name] = _query_level(ds, facet)
+            continue
         df, stats, subs = _terms_level(ds, facet)
         out[name] = {"buckets": _to_buckets(df, facet["field"], stats, subs)}
     return out

@@ -1648,7 +1648,9 @@ def q_stats_extendedprice(sf_dir: str):
         Min("l_extendedprice_c", alias_name="min_c"),
         Max("l_extendedprice_c", alias_name="max_c"),
         Sum("l_extendedprice_c", alias_name="sum_c"),
-        Count(alias_name="n"),
+        # column-targeted: Ray 2.49's column-less global Count() can merge
+        # to 0 nondeterministically when any block is empty
+        Count("l_extendedprice_c", ignore_nulls=False, alias_name="n"),
     )
     return pd.DataFrame([row]).astype(np.int64)
 
@@ -1741,7 +1743,10 @@ def q_range_shipdate(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     row = prepped.aggregate(
-        Count(alias_name="n"), Sum("l_extendedprice_c", alias_name="sum_c")
+        # column-targeted Count: the read-pushed filter can leave empty
+        # blocks, where Ray 2.49's column-less Count() can merge to 0
+        Count("l_extendedprice_c", ignore_nulls=False, alias_name="n"),
+        Sum("l_extendedprice_c", alias_name="sum_c"),
     )
     return pd.DataFrame([row])[["n", "sum_c"]].astype(np.int64)
 
@@ -3705,6 +3710,59 @@ def q_json_facet_unique_pct(sf_dir: str) -> pd.DataFrame:
     ).astype({"n": np.int64, "uniq_cust": np.int64, "p50_price_c": np.float64})
 
 
+def q_json_facet_query(sf_dir: str) -> pd.DataFrame:
+    """json.facet ``query`` facet type (reference: solr/core/.../search/
+    facet/FacetQuery.java, branch_8x; SURVEY.md §2.6): a filtered bucket
+    nested under a terms facet — per top status, the count and cents-sum
+    of high-value orders. One filtered groupby serves all parent buckets
+    (never a query per bucket)."""
+    from ..functions.json_facet import json_facet
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"]
+    ).map_batches(_cents("o_totalprice"), batch_format="pyarrow")
+    hi_q = {"col": "o_totalprice_c", "op": ">", "value": 15000000}
+    res = json_facet(
+        ds,
+        {
+            "by_status": {
+                "type": "terms", "field": "o_orderstatus", "limit": 3,
+                "facet": {
+                    "hi": {"type": "query", "q": hi_q,
+                           "facet": {"sum_c": "sum(o_totalprice_c)"}},
+                },
+            }
+        },
+    )
+    rows = [
+        {
+            "o_orderstatus": b["val"],
+            "n": b["count"],
+            "hi_n": b["hi"]["count"],
+            "hi_sum_c": int(b["hi"]["sum_c"] or 0),
+        }
+        for b in res["by_status"]["buckets"]
+    ]
+    return pd.DataFrame(
+        rows, columns=["o_orderstatus", "n", "hi_n", "hi_sum_c"]
+    ).astype({"n": np.int64, "hi_n": np.int64, "hi_sum_c": np.int64})
+
+
+def sql_json_facet_query() -> str:
+    cents = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(*) FILTER (WHERE {cents} > 15000000) AS hi_n,
+       CAST(COALESCE(sum({cents}) FILTER (WHERE {cents} > 15000000), 0) AS BIGINT)
+         AS hi_sum_c
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY n DESC, o_orderstatus
+LIMIT 3
+"""
+
+
 def sql_json_facet_unique_pct() -> str:
     cents = _SQL_CENTS.format(col="o_totalprice")
     return f"""
@@ -3790,6 +3848,7 @@ QUERIES = {
     "ft_classic_topk": q_ft_classic_topk,
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
+    "json_facet_query": q_json_facet_query,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -3892,6 +3951,7 @@ ORACLES = {
     "ft_classic_topk": sql_ft_classic_topk(),
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),
+    "json_facet_query": sql_json_facet_query(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),

@@ -201,6 +201,59 @@ def test_json_facet(ray_session):
     assert b[1]["by_p"]["buckets"] == [{"val": "a", "count": 2}]
 
 
+def test_json_facet_query_type(ray_session):
+    """query facet (FacetQuery.java analog): top-level filtered bucket,
+    query nested under query, and query nested under terms buckets."""
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = pd.DataFrame(
+        {
+            "s": ["x"] * 6 + ["y"] * 3 + ["z"] * 1,
+            "c": ["u1", "u1", "u2", "u3", "u3", "u3", "u1", "u2", "u2", "u9"],
+            "v": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        }
+    )
+    ds = ray.data.from_pandas(df, override_num_blocks=3)
+    res = json_facet(
+        ds,
+        {
+            "big": {
+                "type": "query", "q": {"col": "v", "op": ">=", "value": 5},
+                "facet": {
+                    "sum_v": "sum(v)",
+                    "uniq_c": "unique(c)",
+                    "also_x": {"type": "query",
+                               "q": {"col": "s", "op": "==", "value": "x"}},
+                },
+            },
+            "by_s": {
+                "type": "terms", "field": "s", "limit": 3,
+                "facet": {
+                    "hi": {"type": "query",
+                           "q": {"col": "v", "op": ">=", "value": 5},
+                           "facet": {"sum_v": "sum(v)"}},
+                },
+            },
+        },
+    )
+    big = res["big"]
+    assert big["count"] == 6 and big["sum_v"] == 5 + 6 + 7 + 8 + 9 + 10
+    assert big["uniq_c"] == 4  # u3, u1, u2, u9
+    assert big["also_x"]["count"] == 2  # v in {5, 6}
+    by_s = {b["val"]: b for b in res["by_s"]["buckets"]}
+    assert by_s["x"]["hi"] == {"count": 2, "sum_v": 11.0}
+    assert by_s["y"]["hi"] == {"count": 3, "sum_v": 24.0}
+    assert by_s["z"]["hi"] == {"count": 1, "sum_v": 10.0}
+    # in / contains predicate ops
+    res2 = json_facet(
+        ds,
+        {"sel": {"type": "query",
+                 "q": [{"col": "s", "op": "in", "value": ["x", "z"]},
+                       {"col": "c", "op": "contains", "value": "3"}]}},
+    )
+    assert res2["sel"]["count"] == 3  # u3 rows within s in {x,z}
+
+
 def test_pack_token_windows(ray_session, tmp_path):
     from lucene_solr_ray.functions.packing import pack_token_windows
 
