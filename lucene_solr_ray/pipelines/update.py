@@ -34,7 +34,76 @@ from ..state.manifest import (
 )
 from .query import prepare_search_context
 
-__all__ = ["delete_by_query"]
+__all__ = ["delete_by_query", "delete_by_id"]
+
+
+class _DeleteByIdStage:
+    """Actor: per segment, tombstone the broadcast url set's docs via
+    O(row-group) docmap point lookups (the realtime-get discipline)."""
+
+    def __init__(self, urls_ref):
+        self.urls = ray.get(urls_ref) if not isinstance(urls_ref, list) else urls_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.segment import SegmentReader, add_deletes
+
+        seg_dirs, matched, newly = [], [], []
+        for row in batch.to_pylist():
+            seg = row["seg_dir"]
+            reader = SegmentReader(seg)
+            docids = [
+                d for d in (reader.docid_of_url(u) for u in self.urls)
+                if d is not None
+                and (reader.deleted is None or not reader.deleted[d])
+            ]
+            seg_dirs.append(seg)
+            matched.append(len(docids))
+            newly.append(add_deletes(seg, docids))
+        return pa.table(
+            {
+                "seg_dir": pa.array(seg_dirs, type=pa.string()),
+                "matched": pa.array(matched, type=pa.int64()),
+                "new_tombstones": pa.array(newly, type=pa.int64()),
+            }
+        )
+
+
+def delete_by_id(index_root: str, urls, concurrency=None) -> Dict[str, int]:
+    """Solr ``deleteById`` analog (unique key = url): tombstone the given
+    docs wherever they live. The url list is broadcast once; each segment
+    resolves its members via docmap row-group point lookups. A url present
+    in several generations is tombstoned in each (all versions deleted,
+    Solr deleteById semantics). Idempotent."""
+    urls = sorted(set(urls))
+    root = read_root_manifest(index_root)
+    P = root["num_partitions"]
+    urls_ref = ray.put(urls)
+    parts = [
+        {"seg_dir": seg}
+        for pid in range(P)
+        for seg in partition_segments(index_root, pid)
+    ]
+    ds = ray.data.from_items(parts)
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, min(ncpu, len(parts) or 1)))
+    out = ds.map_batches(
+        _DeleteByIdStage,
+        fn_constructor_kwargs={"urls_ref": urls_ref},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+    ).to_pandas()
+    result = {
+        "matched": int(out["matched"].sum()),
+        "new_tombstones": int(out["new_tombstones"].sum()),
+    }
+    root = read_root_manifest(index_root)
+    ops = list(root.get("delete_ops", ()))
+    ops.append({"ids": len(urls), **result, "ts": time.time()})
+    root["delete_ops"] = ops
+    write_root_manifest(index_root, root)
+    return result
 
 
 class DeleteByQueryStage:

@@ -68,6 +68,21 @@ def test_delete_by_query_semantics(dbq_index, built_indexes, small_corpus):
     assert len(ops) == 2 and ops[0]["matched"] == res["matched"]
 
 
+def test_delete_by_id(dbq_index, corpus_queries):
+    from lucene_solr_ray.pipelines.update import delete_by_id
+
+    q = [{"query_id": 0, **corpus_queries[0]}]
+    hits = search(dbq_index, q, k=5, method="exhaustive")
+    victims = sorted(hits["url"])[:3]
+    res = delete_by_id(dbq_index, victims)
+    assert res["matched"] == 3 and res["new_tombstones"] == 3
+    after = search(dbq_index, q, k=10**9, method="exhaustive")
+    assert not set(after["url"]) & set(victims)
+    # idempotent; unknown urls are a no-op
+    res2 = delete_by_id(dbq_index, victims + ["https://nope.example/x"])
+    assert res2["new_tombstones"] == 0
+
+
 def test_delete_by_bool_query_and_merge(dbq_index, small_corpus):
     from lucene_solr_ray.sources.pages import corpus_df_stats
 
