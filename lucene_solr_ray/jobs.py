@@ -68,6 +68,14 @@ def main(argv=None):
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--out", default=None)
 
+    dl = sub.add_parser("delete", help="deleteByQuery / deleteById tombstoning")
+    dl.add_argument("--index-root", required=True)
+    dl.add_argument("--query", help="JSON query spec (same shape as search) "
+                    "or a classic query string with --parse")
+    dl.add_argument("--parse", action="store_true",
+                    help="treat --query as classic parser syntax")
+    dl.add_argument("--ids", nargs="*", help="urls to deleteById")
+
     c = sub.add_parser("check", help="CheckIndex invariants")
     c.add_argument("--index-root", required=True)
 
@@ -144,6 +152,24 @@ def main(argv=None):
         res = replicate_index(args.src, args.dst)
         print(json.dumps({"fetched": len(res["fetched"]),
                           "skipped": len(res["skipped"])}))
+    elif args.cmd == "delete":
+        if bool(args.ids) == bool(args.query):
+            raise SystemExit("delete: exactly one of --query / --ids required")
+        if args.ids:
+            from .pipelines.update import delete_by_id
+
+            res = delete_by_id(args.index_root, args.ids)
+        else:
+            from .pipelines.update import delete_by_query
+
+            if args.parse:
+                from .search.queryparser import parse_query
+
+                q = parse_query(args.query)
+            else:
+                q = json.loads(args.query)
+            res = delete_by_query(args.index_root, q)
+        print(json.dumps(res))
     elif args.cmd == "check":
         from .index.checkindex import check_index
 
