@@ -39,6 +39,17 @@ def prepare_search_context(
 ) -> dict:
     """Resolve global stats for the query terms and precompute weights
     (the reference's stats phase + Weight creation, done once)."""
+    # classic-syntax sugar: {"query_id": i, "qstr": "+a (b OR c)"} parses
+    # through the classic QueryParser grammar before normalization
+    if any("qstr" in q for q in queries):
+        from ..search.queryparser import parse_query
+
+        queries = [
+            {**{k: v for k, v in q.items() if k != "qstr"}, **parse_query(q["qstr"])}
+            if "qstr" in q
+            else q
+            for q in queries
+        ]
     root = read_root_manifest(index_root)
     n_docs = root["num_docs"]
     sum_dl = root["sum_dl"]

@@ -157,6 +157,23 @@ def test_parsed_equals_handbuilt(built_indexes, corpus_queries):
     assert _frame(rp1).equals(_frame(rp))
 
 
+def test_qstr_sugar(built_indexes, corpus_queries):
+    """{"qstr": ...} query specs parse inside prepare_search_context and
+    score identically to pre-parsed trees (Dataset and service paths)."""
+    idx1, idx4 = built_indexes
+    terms = sorted({t for q in corpus_queries for t in q["terms"]})[:3]
+    a, b, c = terms
+    qs = f"+{a} ({b} OR {c})"
+    via_str = search(idx4, [{"query_id": 0, "qstr": qs}], k=10)
+    via_tree = search(idx4, [{"query_id": 0, **parse_query(qs)}], k=10)
+    assert _frame(via_str).equals(_frame(via_tree))
+    from lucene_solr_ray.search.service import SearcherService
+
+    svc = SearcherService(idx4, num_searchers=2)
+    via_svc = svc.search([{"query_id": 0, "qstr": qs}], k=10)
+    assert _frame(via_svc).equals(_frame(via_str))
+
+
 def test_parsed_bool_matches_flat_or(built_indexes, corpus_queries):
     """A parsed two-term default-OR query must score bit-identically to the
     flat ``or`` kind (same clause order, same float32 accumulation)."""
