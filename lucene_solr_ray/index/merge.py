@@ -31,13 +31,19 @@ import pyarrow as pa
 import ray.data
 
 from ..state.manifest import (
+    next_gen_dir,
     partition_segments,
     read_segment_manifest,
     segment_dir,
 )
 from .segment import SegmentReader, write_segment_artifact
 
-__all__ = ["merge_partition", "merge_index"]
+__all__ = [
+    "merge_partition",
+    "merge_partition_tiered",
+    "merge_index",
+    "tiered_merge_index",
+]
 
 
 def _decode_all_postings(reader: SegmentReader):
@@ -52,22 +58,26 @@ def _decode_all_postings(reader: SegmentReader):
     )
 
 
-def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any]) -> Dict[str, Any]:
-    """Merge all of a partition's segments (+ reclaim deletes) into one.
+def _merge_to(
+    index_root: str,
+    partition_id: int,
+    segs: List[str],
+    readers: List[SegmentReader],
+    target_dir: str,
+    lineage: Dict[str, Any],
+    folded_gens: List[int],
+    t0: float,
+) -> Dict[str, Any]:
+    """Merge ``segs`` (any subset of a partition's segments) into ONE
+    segment published atomically at ``target_dir``, reclaiming tombstones.
+    ``folded_gens`` is recorded as the new manifest's ``merged_gens`` —
+    discovery (partition_segments) shadows those generations the instant
+    the target manifest appears, so cleanup of the inputs can happen (or
+    crash) afterwards without duplicates or data loss. Callers remove the
+    input gen dirs."""
+    merged_from = [os.path.basename(s) for s in segs]
 
-    No-op if the partition already has a single segment without deletes.
-    Publish order is crash-safe: the merged base segment (whose manifest
-    records ``merged_gens``) replaces part-XXXXX atomically FIRST; stale
-    .gN dirs are removed after and ignored by discovery if removal is
-    interrupted (partition_segments consults merged_gens)."""
-    segs = partition_segments(index_root, partition_id)
-    readers = [SegmentReader(s) for s in segs]
-    if len(segs) <= 1 and (not readers or readers[0].deleted is None):
-        m = read_segment_manifest(segs[0]) if segs else {}
-        return {**(m or {}), "merged": False}
-    t0 = time.perf_counter()
-
-    # DocMap: live docs of every segment, re-sorted by url
+    # DocMap: live docs of every input segment, re-sorted by url
     urls_all, ts_all, dl_all, seg_maps = [], [], [], []
     for r in readers:
         import pyarrow.parquet as pq
@@ -92,37 +102,24 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
     n_docs = len(merged_urls)
 
     if n_docs == 0:
-        # deleteByQuery can tombstone EVERY doc of a partition: publish an
-        # empty base segment (still recording merged_gens so interrupted
-        # .gN cleanup stays shadowed), then reclaim the old dirs
+        # deleteByQuery can tombstone EVERY doc of the inputs: publish an
+        # empty segment (still recording merged_gens so interrupted .gN
+        # cleanup stays shadowed)
         from .segment import _build_empty_segment_at
 
-        prev = read_segment_manifest(segment_dir(index_root, partition_id)) or {}
-        gens = sorted(
-            set(prev.get("merged_gens") or [])
-            | {
-                int(os.path.basename(s).rsplit(".g", 1)[1])
-                for s in segs
-                if ".g" in os.path.basename(s)
-            }
-        )
-        summary = _build_empty_segment_at(
+        return _build_empty_segment_at(
             partition_id,
-            segment_dir(index_root, partition_id),
+            target_dir,
             lineage,
             t0,
             extra_manifest={
-                "merged_gens": gens,
-                "merged_from": [os.path.basename(s) for s in segs],
+                "merged_gens": folded_gens,
+                "merged_from": merged_from,
             },
             store_positions=all(
                 bool(getattr(r, "has_positions", False)) for r in readers
             ),
         )
-        for s in segs:
-            if ".g" in os.path.basename(s):
-                shutil.rmtree(s, ignore_errors=True)
-        return {**summary, "merged": True}
 
     # per-segment old docid -> merged docid (-1 = deleted)
     docmaps = []
@@ -201,19 +198,8 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
             src_off[:-1][post_order] - out_off[:-1], ordered_freqs
         )
         positions_s = flat_cat[gather]
-    # cumulative: gens folded now ∪ gens folded by earlier merges (their
-    # dirs may survive an interrupted cleanup and must stay shadowed)
-    prev = read_segment_manifest(segment_dir(index_root, partition_id)) or {}
-    gens = sorted(
-        set(prev.get("merged_gens") or [])
-        | {
-            int(os.path.basename(s).rsplit(".g", 1)[1])
-            for s in segs
-            if ".g" in os.path.basename(s)
-        }
-    )
-    summary = write_segment_artifact(
-        segment_dir(index_root, partition_id),
+    return write_segment_artifact(
+        target_dir,
         partition_id,
         merged_vocab,
         tids[post_order],
@@ -225,10 +211,45 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
         lineage,
         t0,
         extra_manifest={
-            "merged_gens": gens,
-            "merged_from": [os.path.basename(s) for s in segs],
+            "merged_gens": folded_gens,
+            "merged_from": merged_from,
         },
         positions_s=positions_s,
+    )
+
+
+def _gen_number(seg_dir_path: str) -> int:
+    name = os.path.basename(seg_dir_path)
+    return int(name.rsplit(".g", 1)[1]) if ".g" in name else -1
+
+
+def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge ALL of a partition's segments (+ reclaim deletes) into one —
+    the forceMerge(1) analog.
+
+    No-op if the partition already has a single segment without deletes.
+    Publish order is crash-safe: the merged base segment (whose manifest
+    records ``merged_gens``) replaces part-XXXXX atomically FIRST; stale
+    .gN dirs are removed after and ignored by discovery if removal is
+    interrupted (partition_segments consults merged_gens)."""
+    segs = partition_segments(index_root, partition_id)
+    readers = [SegmentReader(s) for s in segs]
+    if len(segs) <= 1 and (not readers or readers[0].deleted is None):
+        m = read_segment_manifest(segs[0]) if segs else {}
+        return {**(m or {}), "merged": False}
+    t0 = time.perf_counter()
+    # cumulative: gens folded now ∪ gens folded by earlier merges (their
+    # dirs may survive an interrupted cleanup and must stay shadowed)
+    folded = set()
+    for s in segs:
+        m = read_segment_manifest(s) or {}
+        folded |= set(m.get("merged_gens") or [])
+        g = _gen_number(s)
+        if g >= 0:
+            folded.add(g)
+    summary = _merge_to(
+        index_root, partition_id, segs, readers,
+        segment_dir(index_root, partition_id), lineage, sorted(folded), t0,
     )
     # reclaim stale generation dirs (discovery ignores them if this is
     # interrupted, via merged_gens in the base manifest)
@@ -236,6 +257,49 @@ def merge_partition(index_root: str, partition_id: int, lineage: Dict[str, Any])
         if ".g" in os.path.basename(s):
             shutil.rmtree(s, ignore_errors=True)
     return {**summary, "merged": True}
+
+
+def merge_partition_tiered(
+    index_root: str,
+    partition_id: int,
+    lineage: Dict[str, Any],
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+) -> Dict[str, Any]:
+    """ONE TieredMergePolicy-style merge step for a partition (reference:
+    lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java
+    ~900 LoC, branch_8x): when the live segment count exceeds
+    ``segs_per_tier``, fold the SMALLEST ``max_merge_at_once`` append
+    generations (by live doc count) into one new generation — the base
+    and the large generations are never rewritten, so merge I/O stays
+    proportional to the small tier instead of the whole partition (at
+    10¹²-doc scale a forceMerge(1) per ingest cycle would rewrite the
+    index every time). Returns {"merged": bool, "segments": live count}."""
+    segs = partition_segments(index_root, partition_id)
+    if len(segs) <= segs_per_tier:
+        return {"merged": False, "segments": len(segs)}
+    gens = [s for s in segs if ".g" in os.path.basename(s)]
+    if len(gens) < 2:
+        return {"merged": False, "segments": len(segs)}
+    readers = {s: SegmentReader(s) for s in gens}
+    chosen = sorted(gens, key=lambda s: readers[s].num_live_docs)[:max_merge_at_once]
+    if len(chosen) < 2:
+        return {"merged": False, "segments": len(segs)}
+    t0 = time.perf_counter()
+    folded = set()
+    for s in chosen:
+        folded.add(_gen_number(s))
+        m = read_segment_manifest(s) or {}
+        folded |= set(m.get("merged_gens") or [])
+    target = next_gen_dir(index_root, partition_id)
+    summary = _merge_to(
+        index_root, partition_id, chosen, [readers[s] for s in chosen],
+        target, lineage, sorted(folded), t0,
+    )
+    for s in chosen:
+        shutil.rmtree(s, ignore_errors=True)
+    live = len(partition_segments(index_root, partition_id))
+    return {**summary, "merged": True, "segments": live}
 
 
 def merge_index(index_root: str, concurrency: int = None) -> Dict[str, Any]:
@@ -270,3 +334,55 @@ def merge_index(index_root: str, concurrency: int = None) -> Dict[str, Any]:
     compute_global_stats(index_root, P)
     new_root = refresh_root_manifest(index_root, P, root)
     return {**new_root, "partitions_merged": n_merged}
+
+
+def tiered_merge_index(
+    index_root: str,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    concurrency: int = None,
+) -> Dict[str, Any]:
+    """Run TieredMergePolicy steps across every partition until each is at
+    or under ``segs_per_tier`` live segments (one Ray task per partition
+    per round — partitions are independent, no shuffle), then refresh
+    global stats (tombstone reclamation changes df/total_tf exactly like a
+    full merge). The per-partition loop converges: every step folds ≥2
+    generations."""
+    from ..index.stats import compute_global_stats
+    from ..pipelines.build import refresh_root_manifest
+    from ..state.manifest import read_root_manifest
+
+    root = read_root_manifest(index_root)
+    P = root["num_partitions"]
+    lineage = {
+        "input_fingerprint": root.get("input_fingerprint"),
+        "analyzer_hash": root.get("analyzer_hash"),
+        "num_partitions": P,
+    }
+
+    def do_tiered(batch: pa.Table) -> pa.Table:
+        steps = []
+        for pid in batch["pid"].to_pylist():
+            n = 0
+            while True:
+                s = merge_partition_tiered(
+                    index_root, int(pid), lineage,
+                    segs_per_tier=segs_per_tier,
+                    max_merge_at_once=max_merge_at_once,
+                )
+                if not s.get("merged"):
+                    break
+                n += 1
+            steps.append(n)
+        return pa.table({"steps": pa.array(steps, type=pa.int64())})
+
+    ds = ray.data.from_items([{"pid": p} for p in range(P)], override_num_blocks=P)
+    total_steps = sum(
+        int(b["steps"].to_numpy().sum())
+        for b in ds.map_batches(do_tiered, batch_size=1, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if total_steps:
+        compute_global_stats(index_root, P)
+        refresh_root_manifest(index_root, P, root)
+    return {"merge_steps": total_steps, "num_partitions": P}

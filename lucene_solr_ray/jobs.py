@@ -59,8 +59,12 @@ def main(argv=None):
     a.add_argument("--max-segments", type=int, default=None,
                    help="auto-merge partitions above this segment count")
 
-    m = sub.add_parser("merge", help="forceMerge(1) every partition")
+    m = sub.add_parser("merge", help="forceMerge(1) every partition, or "
+                       "--tiered for TieredMergePolicy partial merges")
     m.add_argument("--index-root", required=True)
+    m.add_argument("--tiered", action="store_true")
+    m.add_argument("--segs-per-tier", type=int, default=10)
+    m.add_argument("--max-merge-at-once", type=int, default=10)
 
     s = sub.add_parser("search", help="run a query file, write results parquet")
     s.add_argument("--index-root", required=True)
@@ -119,11 +123,21 @@ def main(argv=None):
         print(json.dumps({k: root[k] for k in
                           ("num_docs", "num_live_docs", "build_wall_sec")}))
     elif args.cmd == "merge":
-        from .index.merge import merge_index
+        if args.tiered:
+            from .index.merge import tiered_merge_index
 
-        root = merge_index(args.index_root)
-        print(json.dumps({k: root[k] for k in
-                          ("num_docs", "num_live_docs", "partitions_merged")}))
+            res = tiered_merge_index(
+                args.index_root,
+                segs_per_tier=args.segs_per_tier,
+                max_merge_at_once=args.max_merge_at_once,
+            )
+            print(json.dumps(res))
+        else:
+            from .index.merge import merge_index
+
+            root = merge_index(args.index_root)
+            print(json.dumps({k: root[k] for k in
+                              ("num_docs", "num_live_docs", "partitions_merged")}))
     elif args.cmd == "search":
         from .pipelines.query import search
 

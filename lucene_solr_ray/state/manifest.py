@@ -64,10 +64,19 @@ def partition_segments(index_root: str, partition_id: int) -> List[str]:
         m = read_segment_manifest(live_base) or {}
         folded = set(m.get("merged_gens") or [])
     gens = []
+    gen_manifests = {}
     for d in _glob.glob(f"{base}.g*"):
         suffix = d.rsplit(".g", 1)[1]
         if suffix.isdigit() and os.path.exists(os.path.join(d, "manifest.json")):
-            gens.append(int(suffix))
+            g = int(suffix)
+            gens.append(g)
+            gen_manifests[g] = read_segment_manifest(d) or {}
+    # tiered partial merges record their folded inputs in the NEW gen's
+    # manifest (the base stays untouched): union every live segment's
+    # merged_gens — a gen listed there is already folded even if its dir
+    # survives an interrupted cleanup
+    for g in gens:
+        folded |= set(gen_manifests[g].get("merged_gens") or [])
     for gen in sorted(gens):
         if gen not in folded:
             out.append(f"{base}.g{gen}")
@@ -76,11 +85,22 @@ def partition_segments(index_root: str, partition_id: int) -> List[str]:
 
 def next_gen_dir(index_root: str, partition_id: int) -> str:
     """Next append-generation dir name for a partition: past every existing
-    generation AND every generation already folded by a merge (gen numbers
-    are never reused, so merged_gens can never shadow a later append)."""
+    generation dir AND every generation folded by ANY live manifest (base
+    or tiered-merge gen) — gen numbers are never reused, so merged_gens
+    can never shadow a later append."""
+    import glob as _glob
+
     base = segment_dir(index_root, partition_id)
     m = read_segment_manifest(base) or {}
-    gen = max([0] + list(m.get("merged_gens") or [])) + 1
+    hi = max([0] + list(m.get("merged_gens") or []))
+    for d in _glob.glob(f"{base}.g*"):
+        suffix = d.rsplit(".g", 1)[1]
+        if not suffix.isdigit():
+            continue
+        hi = max(hi, int(suffix))
+        gm = read_segment_manifest(d) or {}
+        hi = max([hi] + list(gm.get("merged_gens") or []))
+    gen = hi + 1
     while os.path.exists(os.path.join(f"{base}.g{gen}", "manifest.json")):
         gen += 1
     return f"{base}.g{gen}"

@@ -1,0 +1,98 @@
+"""TieredMergePolicy-style partial merges (reference: lucene/core/.../
+index/TieredMergePolicy.java, branch_8x): only the smallest generations
+fold per step, the base is never rewritten, gen numbers are never reused,
+and the final results remain rank/score-identical to a fresh build."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.checkindex import check_index
+from lucene_solr_ray.index.merge import merge_index, tiered_merge_index
+from lucene_solr_ray.pipelines.build import append_index, build_index
+from lucene_solr_ray.pipelines.query import search
+from lucene_solr_ray.state.manifest import (
+    next_gen_dir,
+    partition_segments,
+    read_segment_manifest,
+    segment_dir,
+)
+
+
+def _frame(df):
+    return df[["query_id", "rank", "url", "score"]].reset_index(drop=True)
+
+
+P = 2
+
+
+@pytest.fixture(scope="module")
+def staged_index(ray_session, small_corpus, tmp_path_factory):
+    """Base build from file A's first 800 rows, then 5 small appends of 100
+    fresh docs each → base + 5 generations per partition."""
+    base = tmp_path_factory.mktemp("tiered")
+    ta = pq.read_table(small_corpus[0])
+    assert len(ta) >= 1000
+    idx = str(base / "idx")
+    base_tbl = ta.slice(0, 500)
+    base_path = str(base / "base.parquet")
+    pq.write_table(base_tbl, base_path)
+    build_index([base_path], idx, num_partitions=P)
+    for i in range(5):
+        chunk = ta.slice(500 + i * 100, 100)
+        cpath = str(base / f"chunk{i}.parquet")
+        pq.write_table(chunk, cpath)
+        append_index([cpath], idx)
+    full_path = str(base / "full.parquet")
+    pq.write_table(ta.slice(0, 1000), full_path)
+    fresh = str(base / "fresh")
+    build_index([full_path], fresh, num_partitions=P)
+    return idx, fresh
+
+
+def test_tiered_merge_folds_small_gens(staged_index, corpus_queries):
+    idx, fresh = staged_index
+    pre = {pid: partition_segments(idx, pid) for pid in range(P)}
+    assert all(len(v) == 6 for v in pre.values())  # base + 5 gens
+    before = search(idx, corpus_queries, k=10)
+
+    res = tiered_merge_index(idx, segs_per_tier=3, max_merge_at_once=3)
+    assert res["merge_steps"] >= P  # at least one fold per partition
+
+    for pid in range(P):
+        segs = partition_segments(idx, pid)
+        assert len(segs) <= 3
+        # the base was NOT rewritten: same manifest checksum as before
+        m_pre = read_segment_manifest(pre[pid][0])
+        m_post = read_segment_manifest(segment_dir(idx, pid))
+        assert m_pre["checksum_crc32"] == m_post["checksum_crc32"]
+        # the new gen records which gens it folded
+        new_gens = [s for s in segs if s not in pre[pid]]
+        assert new_gens, "a new merged generation must exist"
+        folded = set()
+        for s in new_gens:
+            folded |= set((read_segment_manifest(s) or {}).get("merged_gens") or [])
+        assert len(folded) >= 2
+
+    assert check_index(idx) == []
+    # results identical to the pre-merge index (stats refresh is a no-op
+    # here: no tombstones existed in the folded gens)
+    after = search(idx, corpus_queries, k=10)
+    assert _frame(after).equals(_frame(before))
+
+    # gen numbers are never reused after folding
+    for pid in range(P):
+        nxt = int(os.path.basename(next_gen_dir(idx, pid)).rsplit(".g", 1)[1])
+        assert nxt >= 6
+
+    # a subsequent full merge still converges to the fresh-build results
+    merge_index(idx)
+    for pid in range(P):
+        assert len(partition_segments(idx, pid)) == 1
+    final = search(idx, corpus_queries, k=10)
+    fresh_res = search(fresh, corpus_queries, k=10)
+    assert _frame(final).equals(_frame(fresh_res))
+    assert check_index(idx) == []
