@@ -490,6 +490,7 @@ def append_index(
     max_segments_per_partition: Optional[int] = None,
     dataset=None,
     fingerprint: Optional[str] = None,
+    merge_policy: str = "full",
 ) -> Dict:
     """Incrementally add documents to an existing index (NRT ingest analog,
     SURVEY.md §2.10): each touched partition gains one append-generation
@@ -497,8 +498,11 @@ def append_index(
     (Lucene updateDocument = delete-by-term + add — the append always wins,
     reference lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
     #updateDocument, branch_8x). When a partition's segment count exceeds
-    ``max_segments_per_partition``, it is merged down to one (the
-    TieredMergePolicy segsPerTier trigger)."""
+    ``max_segments_per_partition`` (the TieredMergePolicy segsPerTier
+    trigger), it is merged down to one (``merge_policy="full"``) or the
+    smallest generations fold into one new generation
+    (``merge_policy="tiered"`` — the base is never rewritten, the
+    steady-state ingest policy at scale)."""
     import pyarrow.parquet as _pq
 
     t0 = time.perf_counter()
@@ -612,13 +616,20 @@ def append_index(
     ds.groupby("part_key").map_groups(write_gen, batch_format="pyarrow").materialize()
 
     if max_segments_per_partition:
-        from ..index.merge import merge_partition
+        from ..index.merge import merge_partition, merge_partition_tiered
 
         def maybe_merge(batch: pa.Table) -> pa.Table:
             out = []
             for pid in batch["pid"].to_pylist():
                 if len(partition_segments(index_root, int(pid))) > max_segments_per_partition:
-                    merge_partition(index_root, int(pid), lineage)
+                    if merge_policy == "tiered":
+                        while merge_partition_tiered(
+                            index_root, int(pid), lineage,
+                            segs_per_tier=max_segments_per_partition,
+                        ).get("merged"):
+                            pass
+                    else:
+                        merge_partition(index_root, int(pid), lineage)
                     out.append(True)
                 else:
                     out.append(False)

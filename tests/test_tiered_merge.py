@@ -53,6 +53,30 @@ def staged_index(ray_session, small_corpus, tmp_path_factory):
     return idx, fresh
 
 
+def test_append_tiered_trigger(ray_session, small_corpus, tmp_path):
+    """append_index(merge_policy='tiered') keeps each partition at or under
+    max_segments without ever rewriting the base."""
+    ta = pq.read_table(small_corpus[0])
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(ta.slice(0, 500), base_path)
+    idx = str(tmp_path / "idx")
+    build_index([base_path], idx, num_partitions=P)
+    base_ck = {
+        pid: read_segment_manifest(segment_dir(idx, pid))["checksum_crc32"]
+        for pid in range(P)
+    }
+    for i in range(5):
+        cpath = str(tmp_path / f"c{i}.parquet")
+        pq.write_table(ta.slice(500 + i * 100, 100), cpath)
+        append_index([cpath], idx, max_segments_per_partition=3,
+                     merge_policy="tiered")
+    for pid in range(P):
+        assert len(partition_segments(idx, pid)) <= 3
+        assert read_segment_manifest(segment_dir(idx, pid))["checksum_crc32"] \
+            == base_ck[pid]
+    assert check_index(idx) == []
+
+
 def test_tiered_merge_folds_small_gens(staged_index, corpus_queries):
     idx, fresh = staged_index
     pre = {pid: partition_segments(idx, pid) for pid in range(P)}
