@@ -2039,6 +2039,47 @@ ORDER BY o_orderkey LIMIT 20
 """
 
 
+def q_sort_by_function(sf_dir: str):
+    """Sort-by-function-query (reference: solr sort=func() desc via
+    FunctionQParser + ValueSourceParser, branch_8x; SURVEY.md §2.9): order
+    the orders stream by a compiled value source ``div(o_totalprice,
+    sum(o_custkey, 1))`` descending (tie → o_orderkey asc), top 15. The
+    value source compiles ONCE to a vectorized float64 kernel; the sort is
+    Ray's distributed sort over the computed column."""
+    from ..functions.scalars import compile_value_source
+
+    f = compile_value_source(["div", "o_totalprice", ["sum", "o_custkey", 1]])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_custkey"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = f(batch)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "f_e6": pa.array(np.floor(v * 1e6).astype(np.int64)),
+                "neg_key": pa.array(-batch["o_orderkey"].to_numpy()),
+            }
+        )
+
+    out = (
+        orders.map_batches(fn, batch_format="pyarrow")
+        .sort(["f_e6", "neg_key"], descending=True)
+        .limit(15)
+        .drop_columns(["neg_key"])
+    )
+    return out
+
+
+def sql_sort_by_function() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice / (o_custkey + 1) * 1000000) AS BIGINT) AS f_e6
+FROM orders
+ORDER BY f_e6 DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
 def q_function_scale_recip(sf_dir: str):
     """Function-query scalars (SURVEY.md §2.9 ValueSourceParser: scale,
     recip): o_totalprice scaled to [0,1] and recip(1,1,1) of it, integer-
@@ -3849,6 +3890,7 @@ QUERIES = {
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
     "json_facet_query": q_json_facet_query,
+    "sort_by_function": q_sort_by_function,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -3952,6 +3994,7 @@ ORACLES = {
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),
     "json_facet_query": sql_json_facet_query(),
+    "sort_by_function": sql_sort_by_function(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
