@@ -289,6 +289,79 @@ def q_ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ft_filter_topk(sf_dir: str) -> pd.DataFrame:
+    """Occur.FILTER clause (reference: lucene BooleanClause.Occur.FILTER,
+    branch_8x — the solr fq= analog; SURVEY.md §2.3): docs must match the
+    filter term but it contributes NO score — top-10 of or(query, join)
+    restricted to docs containing 'data', scores identical to the
+    unfiltered disjunction on the surviving docs."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0,
+            "kind": "bool",
+            "must": [{"kind": "or", "terms": ["query", "join"]}],
+            "filter": [{"kind": "term", "terms": ["data"]}],
+        }],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_filter_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in ["query", "join", "data"])
+    idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         {idf}
+         - {idf}
+           / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'query' THEN s END) AS s_query,
+         max(CASE WHEN term = 'join'  THEN s END) AS s_join,
+         max(CASE WHEN term = 'data'  THEN s END) AS s_data
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         COALESCE(s_query, 0) + COALESCE(s_join, 0) AS score
+  FROM piv
+  WHERE (s_query IS NOT NULL OR s_join IS NOT NULL) AND s_data IS NOT NULL
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def q_ft_classic_topk(sf_dir: str) -> pd.DataFrame:
     """TF-IDF ClassicSimilarity plugin (reference: lucene/core/.../
     similarities/ClassicSimilarity.java + TFIDFSimilarity.java, branch_8x;
@@ -3886,6 +3959,7 @@ QUERIES = {
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
+    "ft_filter_topk": q_ft_filter_topk,
     "ft_classic_topk": q_ft_classic_topk,
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
@@ -3990,6 +4064,7 @@ ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
+    "ft_filter_topk": sql_ft_filter_topk(),
     "ft_classic_topk": sql_ft_classic_topk(),
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),

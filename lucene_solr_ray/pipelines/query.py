@@ -86,8 +86,8 @@ def prepare_search_context(
         (``const`` wraps one child under ``of``; boosts pass through)."""
         if node.get("kind") == "bool":
             out = {k: v for k, v in node.items()
-                   if k not in ("must", "should", "must_not")}
-            for sec in ("must", "should", "must_not"):
+                   if k not in ("must", "filter", "should", "must_not")}
+            for sec in ("must", "filter", "should", "must_not"):
                 if node.get(sec):
                     out[sec] = [norm_tree(c) for c in node[sec]]
             return out
@@ -110,7 +110,7 @@ def prepare_search_context(
         if node.get("kind") == "bool":
             return [
                 t
-                for sec in ("must", "should", "must_not")
+                for sec in ("must", "filter", "should", "must_not")
                 for c in node.get(sec, ())
                 for t in leaf_terms(c)
             ]

@@ -172,14 +172,23 @@ def _bool_eval_node(
         return cid, np.full(len(cid), boost, dtype=sim.dtype)
     if kind == "bool":
         must = node.get("must", ())
+        filt = node.get("filter", ())
         should = node.get("should", ())
         mnot = node.get("must_not", ())
-        msm = int(node.get("min_should_match", 0 if must else 1))
+        msm = int(node.get("min_should_match", 0 if (must or filt) else 1))
         scores = np.zeros(n, dtype=sim.dtype)
         mask = None
         for c in must:
             cid, csc = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
             scores[cid] += csc
+            m = np.zeros(n, dtype=bool)
+            m[cid] = True
+            mask = m if mask is None else (mask & m)
+        for c in filt:
+            # Occur.FILTER (reference BooleanClause.Occur.FILTER, branch_8x;
+            # the solr fq= analog): required for the match, contributes NO
+            # score — matching docs of a filter-only bool score 0.0
+            cid, _ = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
             m = np.zeros(n, dtype=bool)
             m[cid] = True
             mask = m if mask is None else (mask & m)

@@ -147,3 +147,40 @@ def test_bool_boost_and_const(built_indexes, corpus_queries):
     deltas = mixed[base.index].to_numpy() - base.to_numpy()
     assert set(np.round(deltas).astype(int)) <= {0, 100}
     assert (np.round(deltas) == 100).any()
+
+
+def test_bool_filter_occur(built_indexes, corpus_queries):
+    """Occur.FILTER: required, non-scoring (solr fq analog) — scores equal
+    the unfiltered must clause on surviving docs; filter-only bools match
+    with score 0.0."""
+    import numpy as np
+
+    idx1, idx4 = built_indexes
+    terms = sorted({t for q in corpus_queries for t in q["terms"]})[:2]
+    a, b = terms
+
+    def t(x):
+        return {"kind": "term", "terms": [x]}
+
+    filtered = search(idx4, [
+        {"query_id": 0, "kind": "bool", "must": [t(a)], "filter": [t(b)]},
+    ], k=10**9)
+    unfiltered = search(idx4, [{"query_id": 0, "kind": "term", "terms": [a]}],
+                        k=10**9)
+    both = search(idx4, [{"query_id": 0, "kind": "and", "terms": [a, b]}],
+                  k=10**9)
+    assert set(filtered["url"]) == set(both["url"])
+    base = dict(zip(unfiltered["url"], unfiltered["score"]))
+    for url, sc in zip(filtered["url"], filtered["score"]):
+        assert base[url] == sc  # filter adds NO score
+    filter_only = search(idx4, [
+        {"query_id": 0, "kind": "bool", "filter": [t(b)]},
+    ], k=10**9)
+    assert len(filter_only) == len(search(
+        idx4, [{"query_id": 0, "kind": "term", "terms": [b]}], k=10**9))
+    assert np.all(filter_only["score"].to_numpy() == 0.0)
+    # partition invariance
+    f1 = search(idx1, [
+        {"query_id": 0, "kind": "bool", "must": [t(a)], "filter": [t(b)]},
+    ], k=10**9)
+    assert _frame(f1).equals(_frame(filtered))
