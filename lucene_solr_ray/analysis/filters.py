@@ -269,7 +269,46 @@ def _build_keep(args: dict) -> Callable[[str], Optional[str]]:
     return lambda t: t if t in words else None
 
 
+_SOUNDEX_CODE = {}
+for chars, code in [("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                    ("l", "4"), ("mn", "5"), ("r", "6")]:
+    for ch in chars:
+        _SOUNDEX_CODE[ch] = code
+
+
+def _soundex(token: str) -> str:
+    """American Soundex (the algorithm behind lucene-analysis-phonetic's
+    SoundexFilter via commons-codec, branch_8x): first letter kept, the
+    rest coded 1-6, adjacent duplicate codes collapsed, h/w transparent
+    between duplicates, vowels reset the run, padded/truncated to 4."""
+    t = [c for c in token.lower() if "a" <= c <= "z"]
+    if not t:
+        return token
+    out = [t[0].upper()]
+    prev = _SOUNDEX_CODE.get(t[0], "")
+    for c in t[1:]:
+        code = _SOUNDEX_CODE.get(c)
+        if code:
+            if code != prev:
+                out.append(code)
+                prev = code
+        elif c not in "hw":
+            # vowels (and y) separate duplicate codes
+            prev = ""
+        if len(out) == 4:
+            break
+    return ("".join(out) + "000")[:4]
+
+
+def _build_phonetic(args: dict) -> Callable[[str], Optional[str]]:
+    enc = args.get("encoder", "soundex")
+    if enc != "soundex":
+        raise ValueError(f"phonetic encoder {enc!r} not supported (soundex only)")
+    return _soundex
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
+    "phonetic": _build_phonetic,
     "stop": _build_stop,
     "porter_stem": _build_porter,
     "snowball_stem": _build_snowball,

@@ -427,3 +427,63 @@ def test_snowball_protected_and_index(ray_session, tmp_path):
     # index-side terms are stems; query analysis applies the same spec
     hits = search(idx, [{"query_id": 0, "kind": "term", "terms": ["ration"]}], k=10)
     assert sorted(hits["url"]) == ["u://000"]
+
+
+def test_phonetic_soundex():
+    """Canonical Soundex vectors (commons-codec SoundexTest goldens used by
+    lucene-analysis-phonetic, branch_8x) + the h/w transparency rule."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    chain = build_filter_chain([{"name": "phonetic", "encoder": "soundex"}])
+    golden = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "jackson": "J250", "washington": "W252",
+        "lee": "L000", "gutierrez": "G362",
+    }
+    for word, code in golden.items():
+        assert chain(word) == code, (word, chain(word), code)
+    # query-time chain parity: the same spec at build and query time maps
+    # 'Robert' and 'Rupert' to the same indexed token
+    assert chain("robert") == chain("rupert")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phonetic encoder"):
+        build_filter_chain([{"name": "phonetic", "encoder": "metaphone"}])
+
+
+def test_phonetic_index_search(ray_session, tmp_path):
+    """Phonetic index end-to-end: misspelled surface forms match via shared
+    Soundex codes ('Rupert' finds the Robert doc)."""
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    pages = pa.table(
+        {
+            "url": ["u://0", "u://1", "u://2"],
+            "warc_ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+            "text": pa.array(
+                [
+                    "robert met pfister",
+                    "washington jackson",
+                    "completely unrelated words",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    spec = {
+        "tokenizer": "standard_uax29",
+        "max_token_length": 255,
+        "filters": ["lowercase", {"name": "phonetic", "encoder": "soundex"}],
+    }
+    idx = str(tmp_path / "idx_ph")
+    build_index([p], idx, num_partitions=2, analyzer_spec=spec)
+    res = search(idx, [{"query_id": 0, "kind": "term", "terms": ["Rupert"]}], k=10)
+    assert list(res["url"]) == ["u://0"]
+    res2 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["Pfyster"]}], k=10)
+    assert list(res2["url"]) == ["u://0"]
+    res3 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["zzz"]}], k=10)
+    assert len(res3) == 0
