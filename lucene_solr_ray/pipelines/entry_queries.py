@@ -2190,6 +2190,71 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_timeseries_orders(sf_dir: str) -> pd.DataFrame:
+    """timeseries() streaming expression (reference: solr/solrj/.../io/
+    stream/TimeSeriesStream.java ~450 LoC, branch_8x; SURVEY.md §2.8):
+    month-bucketed count + cents-sum over a date range WITH GAP FILLING —
+    empty buckets emit zero rows, the defining difference from a plain
+    range facet. One groupby shuffle; the (tiny, bounded-by-calendar)
+    bucket spine is generated driver-side."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+        _cents("o_totalprice"), batch_format="pyarrow"
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy().astype("datetime64[M]")
+        return pa.table(
+            {
+                "month": pa.array(np.datetime_as_string(d, unit="M")),
+                "o_totalprice_c": batch["o_totalprice_c"],
+            }
+        )
+
+    df = (
+        orders.map_batches(bucket, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count("o_totalprice_c", ignore_nulls=False, alias_name="n"),
+                   Sum("o_totalprice_c", alias_name="sum_c"))
+        .to_pandas()
+    )
+    lo, hi = df["month"].min(), df["month"].max()
+    spine = pd.period_range(lo, hi, freq="M").astype(str)
+    out = (
+        pd.DataFrame({"month": spine})
+        .merge(df, on="month", how="left")
+        .fillna({"n": 0, "sum_c": 0})
+    )
+    return out.astype({"n": np.int64, "sum_c": np.int64}).sort_values(
+        "month"
+    ).reset_index(drop=True)
+
+
+def sql_timeseries_orders() -> str:
+    cents = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         count(*) AS n,
+         CAST(sum({cents}) AS BIGINT) AS sum_c
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT strftime(unnest(generate_series(
+    (SELECT date_trunc('month', min(o_orderdate)) FROM orders),
+    (SELECT date_trunc('month', max(o_orderdate)) FROM orders),
+    INTERVAL 1 MONTH
+  )), '%Y-%m') AS month
+)
+SELECT spine.month,
+       COALESCE(m.n, 0) AS n,
+       COALESCE(m.sum_c, 0) AS sum_c
+FROM spine LEFT JOIN m USING (month)
+ORDER BY spine.month
+"""
+
+
 def q_function_datemath(sf_dir: str):
     """DateMathParser value sources (SURVEY.md §2.9; reference solr/core/
     .../util/DateMathParser.java, branch_8x): per-row date rounding +
@@ -3965,6 +4030,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "json_facet_query": q_json_facet_query,
     "sort_by_function": q_sort_by_function,
+    "timeseries_orders": q_timeseries_orders,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -4070,6 +4136,7 @@ ORACLES = {
     "decontaminate_docs": sql_decontaminate_docs(),
     "json_facet_query": sql_json_facet_query(),
     "sort_by_function": sql_sort_by_function(),
+    "timeseries_orders": sql_timeseries_orders(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
