@@ -861,6 +861,49 @@ def facet_range(ds, col: str, start: float, end: float, gap: float):
     )
 
 
+def facet_intervals(ds, col: str, intervals):
+    """facet.interval (reference: solr/core/src/java/org/apache/solr/
+    request/IntervalFacets.java ~750 LoC, branch_8x): counts per EXPLICIT,
+    possibly-OVERLAPPING interval — each interval is counted independently
+    (the defining difference from facet.range's disjoint grid).
+    ``intervals``: [(label, lo, hi, lo_inclusive, hi_inclusive), ...].
+    One vectorized comparison pair per interval per batch; the shuffle
+    moves ≤ len(intervals) partial rows per block. Returns
+    (interval:str, count:int64) in the given order, zero-filled."""
+    spec = [
+        (str(lbl), float(lo), float(hi), bool(li), bool(hi_i))
+        for (lbl, lo, hi, li, hi_i) in intervals
+    ]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        labels, partial = [], []
+        for lbl, lo, hi, li, hi_incl in spec:
+            m = (v >= lo) if li else (v > lo)
+            m &= (v <= hi) if hi_incl else (v < hi)
+            c = int(np.count_nonzero(m))
+            if c:
+                labels.append(lbl)
+                partial.append(c)
+        return pa.table(
+            {"interval": pa.array(labels, type=pa.string()),
+             "partial": pa.array(np.asarray(partial, dtype=np.int64))}
+        )
+
+    df = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("interval")
+        .aggregate(Sum("partial", alias_name="count"))
+        .to_pandas()
+    )
+    if "interval" not in df.columns:
+        df = pd.DataFrame({"interval": pd.Series(dtype=object),
+                           "count": pd.Series(dtype="int64")})
+    full = pd.DataFrame({"interval": [s[0] for s in spec]})
+    df = full.merge(df, on="interval", how="left").fillna({"count": 0})
+    return df.astype({"count": "int64"}).reset_index(drop=True)
+
+
 def group_topk(ds, key: str, order_cols: Sequence[str],
                descending: Sequence[bool], n: int):
     """Result grouping, group.limit=n (reference: solr/core/src/java/org/

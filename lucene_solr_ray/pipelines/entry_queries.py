@@ -2190,6 +2190,47 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_facet_interval_price(sf_dir: str) -> pd.DataFrame:
+    """facet.interval (IntervalFacets.java analog, branch_8x; SURVEY.md
+    §2.6): explicit OVERLAPPING price intervals, each counted
+    independently — map-side vectorized masks, ≤ n_intervals partial rows
+    shuffled per block. Output order = request order (sorted here for the
+    hash compare)."""
+    from ..functions.relational import facet_intervals
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    iv = [
+        ("all_low", 0, 100000, True, False),
+        ("mid", 50000, 200000, True, True),       # overlaps both neighbors
+        ("high", 150000, 10**9, False, True),
+        ("exact_edge", 100000, 100000, True, True),
+    ]
+    df = facet_intervals(ds, "o_totalprice", iv)
+    return df.sort_values("interval").reset_index(drop=True)
+
+
+def sql_facet_interval_price() -> str:
+    return """
+SELECT * FROM (
+  SELECT 'all_low' AS interval,
+         count(*) FILTER (WHERE o_totalprice >= 0 AND o_totalprice < 100000) AS count
+  FROM orders
+  UNION ALL
+  SELECT 'mid',
+         count(*) FILTER (WHERE o_totalprice >= 50000 AND o_totalprice <= 200000)
+  FROM orders
+  UNION ALL
+  SELECT 'high',
+         count(*) FILTER (WHERE o_totalprice > 150000 AND o_totalprice <= 1000000000)
+  FROM orders
+  UNION ALL
+  SELECT 'exact_edge',
+         count(*) FILTER (WHERE o_totalprice = 100000)
+  FROM orders
+) ORDER BY interval
+"""
+
+
 def q_timeseries_orders(sf_dir: str) -> pd.DataFrame:
     """timeseries() streaming expression (reference: solr/solrj/.../io/
     stream/TimeSeriesStream.java ~450 LoC, branch_8x; SURVEY.md §2.8):
@@ -4031,6 +4072,7 @@ QUERIES = {
     "json_facet_query": q_json_facet_query,
     "sort_by_function": q_sort_by_function,
     "timeseries_orders": q_timeseries_orders,
+    "facet_interval_price": q_facet_interval_price,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -4137,6 +4179,7 @@ ORACLES = {
     "json_facet_query": sql_json_facet_query(),
     "sort_by_function": sql_sort_by_function(),
     "timeseries_orders": sql_timeseries_orders(),
+    "facet_interval_price": sql_facet_interval_price(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
