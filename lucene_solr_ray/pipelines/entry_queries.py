@@ -2190,6 +2190,40 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components (functions/cc.py min-label
+    propagation — the pair→cluster step near-dup dedup needs when
+    candidate pairs CHAIN A~B, B~C; cf. Lee et al. 2022 dedup clusters):
+    a deterministic chain graph over doc_ids (edge i—i+1 unless i+1 is a
+    multiple of 7) whose components are 7-runs with diameter 6, so the
+    result is only correct if propagation actually iterates to the
+    fixpoint across shuffle rounds. component(n) = n − n%7."""
+    from ..functions.cc import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy().astype(np.int64)
+        keep = (i + 1) % 7 != 0
+        return pa.table({"a": pa.array(i[keep]), "b": pa.array(i[keep] + 1)})
+
+    mx = int(docs.max("doc_id"))
+    edges = docs.map_batches(to_edges, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["b"], mx)),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges).to_pandas()
+    return comp.sort_values("node").reset_index(drop=True)
+
+
+def sql_graph_components() -> str:
+    return """
+SELECT doc_id AS node, doc_id - doc_id % 7 AS component
+FROM documents
+ORDER BY node
+"""
+
+
 def q_facet_interval_price(sf_dir: str) -> pd.DataFrame:
     """facet.interval (IntervalFacets.java analog, branch_8x; SURVEY.md
     §2.6): explicit OVERLAPPING price intervals, each counted
@@ -4073,6 +4107,7 @@ QUERIES = {
     "sort_by_function": q_sort_by_function,
     "timeseries_orders": q_timeseries_orders,
     "facet_interval_price": q_facet_interval_price,
+    "graph_components": q_graph_components,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
@@ -4180,6 +4215,7 @@ ORACLES = {
     "sort_by_function": sql_sort_by_function(),
     "timeseries_orders": sql_timeseries_orders(),
     "facet_interval_price": sql_facet_interval_price(),
+    "graph_components": sql_graph_components(),
     "ft_span_counts": sql_ft_span_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
