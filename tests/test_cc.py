@@ -81,5 +81,7 @@ def test_cc_empty_edges(ray_session):
         pa.table({"a": pa.array([], type=pa.int64()),
                   "b": pa.array([], type=pa.int64())})
     )
-    df = connected_components(ds).to_pandas()
-    assert len(df) == 0 and list(df.columns) == ["node", "component"]
+    out = connected_components(ds)
+    # Ray drops schema on empty to_pandas; assert emptiness + Arrow schema
+    assert out.count() == 0
+    assert [f for f in (out.schema().names or [])] == ["node", "component"]
