@@ -5,19 +5,28 @@ CLUSTERS (Lee et al. 2022 dedup clusters; cf. Kiveris et al. 2014
 family this is the simple member of).
 
 Algorithm: min-label propagation. Labels start as each node's own id;
-every round each node takes the min label over itself and its neighbors
-(one hash join edges⋈labels + one groupby-min — two shuffles per round).
+every round each node takes the min label over itself and its neighbors.
+A round is expressed as tagged-union message passing — union(edge rows,
+label rows) → groupby(node) → emit (neighbor, my_label) messages →
+groupby-min — i.e. two hash shuffles per round and NO native join.
+(Ray 2.49's hash join hard-fails on lineage whose schema isn't statically
+known: empty shuffle partitions arrive schema-less and pyarrow join
+raises "No match for FieldRef"; grouped aggregates tolerate the same
+bundles, so the groupby formulation is the robust one. See
+ray-data notes in BASELINE.md.)
+
 Labels are monotone non-increasing, so convergence is detected by the
 label-sum fixpoint (one cheap aggregate per round). Rounds needed = graph
 diameter; near-dup graphs are dense clusters with tiny diameters (2-3
 rounds). For adversarial long-chain graphs at petabyte scale, swap in
-large-star/small-star contraction (same join primitives, O(log²) rounds)
-— the round structure here is deliberately the simple one.
+large-star/small-star contraction (same primitives, O(log²) rounds) —
+the round structure here is deliberately the simple one.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 __all__ = ["connected_components"]
@@ -26,8 +35,7 @@ __all__ = ["connected_components"]
 def connected_components(edges, a_col: str = "a", b_col: str = "b",
                          max_iters: int = 50):
     """(node, component) Dataset for every node appearing in ``edges``;
-    component = min node id reachable. Edges are symmetrized once; each
-    round is join + groupby-min; stops at the label-sum fixpoint."""
+    component = min node id reachable."""
     import ray.data
     from ray.data.aggregate import Min, Sum
 
@@ -35,8 +43,9 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"src": pa.array(np.concatenate([a, b])),
-             "dst": pa.array(np.concatenate([b, a]))}
+            {"key": pa.array(np.concatenate([a, b])),
+             "dst": pa.array(np.concatenate([b, a])),
+             "label": pa.nulls(2 * len(a), pa.int64())}
         )
 
     edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
@@ -47,7 +56,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         )
 
     def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["src"], "label": t["src"]})
+        return pa.table({"node": t["key"], "label": t["key"]})
 
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
@@ -56,20 +65,30 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         .materialize()
     )
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-    for _ in range(max_iters):
-        # neighbor labels: edges (src,dst) ⋈ labels(node=src) → (dst, label)
-        from .relational import default_shuffle_partitions
 
-        nbr = edges.join(
-            labels, join_type="inner",
-            num_partitions=default_shuffle_partitions(None),
-            on=("src",), right_on=("node",),
-        ).select_columns(["dst", "label"]).map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow",
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["node"], "dst": pa.nulls(len(t), pa.int64()),
+             "label": t["label"]}
+        )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # one group = one node: its label row(s) + its outgoing edge rows;
+        # broadcast min(label) to every neighbor and back to the node
+        lab = g["label"].dropna()
+        lo = int(lab.min())
+        dsts = g["dst"].dropna().to_numpy(dtype=np.int64)
+        nodes = np.concatenate([dsts, [np.int64(g["key"].iloc[0])]])
+        return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), lo,
+                                                             dtype=np.int64)})
+
+    for _ in range(max_iters):
+        tagged = edges.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow")
         )
         labels = (
-            labels.union(nbr)
+            tagged.groupby("key")
+            .map_groups(propagate, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

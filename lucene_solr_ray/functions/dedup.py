@@ -38,6 +38,7 @@ __all__ = [
     "exact_dedup",
     "MinHashStage",
     "minhash_near_dup_pairs",
+    "near_dup_clusters",
     "SimHashStage",
     "simhash_near_dup_pairs",
     "ngram_jaccard",
@@ -286,6 +287,16 @@ def distinct_pairs(pairs, value_col: Optional[str] = None, mode: str = "min"):
         return pa.table(cols)
 
     def unpack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ab" not in batch.column_names:
+            # the hash aggregate emits SCHEMA-LESS bundles for empty output
+            # partitions (Ray 2.49); re-assert the schema here or a
+            # downstream join resolves an empty left schema and fails with
+            # "No match for FieldRef" on tiny candidate sets
+            cols = {"a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64())}
+            if value_col is not None:
+                cols[value_col] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         key = batch["ab"].to_numpy()
         cols = {
             "a": pa.array(key >> _PAIR_B_BITS),
@@ -433,7 +444,18 @@ def minhash_near_dup_pairs(ds, threshold: float = 0.8,
     t_b = texts.map_batches(
         lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
+    # heal the pair stream's block schemas before joining: the hash
+    # aggregate behind distinct_pairs emits SCHEMA-LESS bundles for empty
+    # output partitions (Ray 2.49) and map_batches skips empty blocks, so
+    # on small candidate sets the join would resolve an empty left schema
+    # ("No match for FieldRef.Name(a)"). repartition coalesces blocks and
+    # restores the schema; the pair side is ≪ corpus, so this pre-shuffle
+    # is noise next to the verify joins themselves.
+    uniq = uniq.repartition(join_partitions)
     with_a = uniq.join(t_a, join_type="inner", num_partitions=join_partitions, on=("a",))
+    # the join operator emits the same schema-less empty bundles — heal
+    # again before chaining into the second join
+    with_a = with_a.repartition(join_partitions)
     with_b = with_a.join(t_b, join_type="inner", num_partitions=join_partitions, on=("b",))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -811,3 +833,17 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+
+
+def near_dup_clusters(ds, **minhash_kwargs):
+    """Cluster-level near-dup dedup: MinHash-LSH verified pairs (which may
+    CHAIN — A~B, B~C with A≁C) → distributed connected components →
+    (node, component) for every doc in at least one pair; the keep-set is
+    "everything except non-representative members" (component = min id =
+    the representative). Pair-level dedup under-removes on chains; the CC
+    step is what Lee et al. 2022-style pipelines run between candidate
+    generation and the drop (functions/cc.py)."""
+    from .cc import connected_components
+
+    pairs = minhash_near_dup_pairs(ds, **minhash_kwargs)
+    return connected_components(pairs, a_col="a", b_col="b")

@@ -2190,6 +2190,26 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_dedup_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Cluster-level near-dup dedup (rows-only — MinHash is not SQL-
+    expressible; the CC step itself is oracle-checked via
+    ``graph_components``): MinHash-LSH verified pairs → distributed
+    connected components → (node, component) per clustered doc. Chains
+    (A~B, B~C, A≁C) land in ONE cluster — the case pair-level dedup
+    under-removes (pytest-gated in tests/test_cc.py)."""
+    from ..functions.dedup import near_dup_clusters
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    comp = near_dup_clusters(
+        docs, threshold=0.5, num_perm=64, bands=16, shingle_k=3,
+        fetch_texts_from=_docs_path(sf_dir),
+    ).to_pandas()
+    if len(comp) == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "component": pd.Series(dtype=np.int64)})
+    return comp.sort_values("node").reset_index(drop=True)
+
+
 def q_graph_components(sf_dir: str) -> pd.DataFrame:
     """Distributed connected components (functions/cc.py min-label
     propagation — the pair→cluster step near-dup dedup needs when
@@ -4108,6 +4128,7 @@ QUERIES = {
     "timeseries_orders": q_timeseries_orders,
     "facet_interval_price": q_facet_interval_price,
     "graph_components": q_graph_components,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,

@@ -85,3 +85,35 @@ def test_cc_empty_edges(ray_session):
     # Ray drops schema on empty to_pandas; assert emptiness + Arrow schema
     assert out.count() == 0
     assert [f for f in (out.schema().names or [])] == ["node", "component"]
+
+
+def test_near_dup_clusters_chain(ray_session):
+    """Planted similarity CHAIN A~B~C with A≁C: pair generation finds only
+    (A,B) and (B,C); the CC step must still cluster all three (the case
+    pair-level dedup under-removes)."""
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    words = [f"tok{i:02d}" for i in range(40)]
+    texts = {
+        10: " ".join(words[0:20]),    # A
+        11: " ".join(words[5:25]),    # B: 15/25 overlap with A
+        12: " ".join(words[10:30]),   # C: 15/25 with B, 10/30 with A
+        13: " ".join(words[30:40] * 2),  # unrelated
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    )
+    kw = dict(threshold=0.5, num_perm=64, bands=32, shingle_k=2)
+    pairs = minhash_near_dup_pairs(ds, **kw).to_pandas()
+    pairset = set(zip(pairs["a"], pairs["b"]))
+    assert (10, 11) in pairset and (11, 12) in pairset
+    assert (10, 12) not in pairset  # the chain's weak link
+    comp = near_dup_clusters(ds, **kw).to_pandas()
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == {10: 10, 11: 10, 12: 10}
