@@ -192,6 +192,8 @@ def run_bench() -> dict:
             "pack_token_windows", "graph_2hop_parts", "ngram_repetition",
             "session_windows_users", "asof_last_error", "span_dedup_docs",
             "lm_rare_bigrams", "topk_tokens_sketch",
+            "decontaminate_docs", "json_facet_query", "sort_by_function",
+            "timeseries_orders", "facet_interval_price",
         ]:
             t0 = time.perf_counter()
             consume(eq.QUERIES[name](sf_dir))
