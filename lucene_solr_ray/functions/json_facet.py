@@ -38,9 +38,78 @@ from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Std, Sum
 
 __all__ = ["json_facet"]
 
-_AGG_RE = re.compile(r"^(sum|avg|min|max|stddev|unique)\((\w+)\)$")
+_AGG_RE = re.compile(
+    r"^(sum|avg|min|max|stddev|unique|sumsq|variance|missing|countvals)\((\w+)\)$"
+)
 _PCT_RE = re.compile(r"^percentile\((\w+),(\d+(?:\.\d+)?)\)$")
 _AGG_CLS = {"sum": Sum, "avg": Mean, "min": Min, "max": Max, "stddev": Std}
+
+
+def _plan_aggs(stats, aggs, uniques):
+    """Expand stat specs into Ray aggregate objects + a post-processing
+    plan (SlotAcc partial+final contract: sumsq/variance/missing/countvals
+    reduce to Sum/Count partials — reference solr/core/.../search/facet/
+    SlotAcc.java VarianceAgg/CountValsAgg/MissingAgg, branch_8x). Returns
+    (sq_cols needed, finishers run on the aggregated frame)."""
+    sq_cols = set()
+    finishers = []
+    for name, st in stats.items():
+        kind, col = st[0], st[1]
+        if kind == "unique":
+            uniques[name] = col
+        elif kind == "percentile":
+            aggs.append(Quantile(col, q=st[2] / 100.0, alias_name=name))
+        elif kind == "sumsq":
+            sq_cols.add(col)
+            aggs.append(Sum(f"__sq_{col}", alias_name=name))
+        elif kind == "variance":
+            # var_samp from exact partials: (Σx² − (Σx)²/n) / (n−1) — the
+            # SQL oracle uses the same expression so float64 results match
+            sq_cols.add(col)
+            aggs.append(Sum(f"__sq_{col}", alias_name=f"__v_sq_{name}"))
+            aggs.append(Sum(col, alias_name=f"__v_s_{name}"))
+            aggs.append(Count(col, ignore_nulls=True, alias_name=f"__v_n_{name}"))
+
+            def fin_var(df, name=name):
+                n = df[f"__v_n_{name}"].astype("float64")
+                s = df[f"__v_s_{name}"].astype("float64")
+                sq = df[f"__v_sq_{name}"].astype("float64")
+                df[name] = (sq - s * s / n) / (n - 1)
+                return df.drop(columns=[f"__v_sq_{name}", f"__v_s_{name}",
+                                        f"__v_n_{name}"])
+
+            finishers.append(fin_var)
+        elif kind == "missing":
+            aggs.append(Count(col, ignore_nulls=False, alias_name=f"__m_all_{name}"))
+            aggs.append(Count(col, ignore_nulls=True, alias_name=f"__m_v_{name}"))
+
+            def fin_missing(df, name=name):
+                df[name] = (df[f"__m_all_{name}"] - df[f"__m_v_{name}"]).astype("int64")
+                return df.drop(columns=[f"__m_all_{name}", f"__m_v_{name}"])
+
+            finishers.append(fin_missing)
+        elif kind == "countvals":
+            aggs.append(Count(col, ignore_nulls=True, alias_name=name))
+        else:
+            aggs.append(_AGG_CLS[kind](col, alias_name=name))
+    return sq_cols, finishers
+
+
+def _with_squares(ds, sq_cols):
+    if not sq_cols:
+        return ds
+    cols = sorted(sq_cols)
+
+    def add_sq(t):
+        import numpy as np
+        import pyarrow as pa
+
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            t = t.append_column(f"__sq_{c}", pa.array(v * v))
+        return t
+
+    return ds.map_batches(add_sq, batch_format="pyarrow")
 
 
 def _split_spec(facet: Dict):
@@ -110,18 +179,20 @@ def _query_level(ds, spec: Dict) -> Dict:
     # concrete column with ignore_nulls=False instead
     aggs = [Count(preds[0]["col"], ignore_nulls=False, alias_name="count")]
     uniques = {}
-    for name, st in stats.items():
-        if st[0] == "unique":
-            uniques[name] = st[1]
-        elif st[0] == "percentile":
-            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
-        else:
-            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
+    sq_cols, finishers = _plan_aggs(stats, aggs, uniques)
+    sub = _with_squares(sub, sq_cols)
     # multi-consumer input: materialize once so the filter isn't re-run
     # per aggregate/nested facet (diamond lineage re-executes otherwise)
     if uniques or nested:
         sub = sub.materialize()
     row = sub.aggregate(*aggs)
+    if finishers:
+        import pandas as _pd
+
+        rdf = _pd.DataFrame([row])
+        for fin in finishers:
+            rdf = fin(rdf)
+        row = rdf.iloc[0].to_dict()
     out: Dict = {"count": int(row["count"] or 0)}
     for name, st in stats.items():
         if st[0] == "unique":
@@ -147,22 +218,18 @@ def _terms_level(ds, spec: Dict, parent_field=None):
     limit = int(spec.get("limit", 10))
     stats, nested = _split_spec(spec.get("facet"))
     keys = ([parent_field] if parent_field else []) + [field]
+    # UniqueAgg/PercentileAgg analogs (solr/core/.../facet/UniqueAgg.java,
+    # PercentileAgg.java, branch_8x). Quantile collects the bucket's values
+    # (exact, linear interpolation = SQL quantile_cont); for buckets too
+    # large to collect, the mergeable t-digest (functions/sketches.py) is
+    # the constant-memory alternative.
     aggs = [Count(alias_name="count")]
     uniques = {}
-    for name, st in stats.items():
-        if st[0] == "unique":
-            uniques[name] = st[1]
-        elif st[0] == "percentile":
-            # UniqueAgg/PercentileAgg analogs (solr/core/.../facet/
-            # UniqueAgg.java, PercentileAgg.java, branch_8x). The Quantile
-            # aggregate collects the bucket's values (exact, linear
-            # interpolation = SQL quantile_cont); for buckets too large to
-            # collect, the mergeable t-digest (functions/sketches.py) is
-            # the constant-memory alternative.
-            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
-        else:
-            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
+    sq_cols, finishers = _plan_aggs(stats, aggs, uniques)
+    ds = _with_squares(ds, sq_cols)
     df = ds.groupby(keys).aggregate(*aggs).to_pandas()
+    for fin in finishers:
+        df = fin(df)
     for name, col in uniques.items():
         # exact distinct without value collection: one groupby over the
         # distinct (keys, col) pairs, then a native count per key — both
@@ -203,16 +270,13 @@ def _query_under_parent(ds, parent_field: str, spec: Dict):
         raise ValueError("facets nested under a terms>query chain are unsupported")
     aggs = [Count(alias_name="count")]
     uniques = {}
-    for name, st in stats.items():
-        if st[0] == "unique":
-            uniques[name] = st[1]
-        elif st[0] == "percentile":
-            aggs.append(Quantile(st[1], q=st[2] / 100.0, alias_name=name))
-        else:
-            aggs.append(_AGG_CLS[st[0]](st[1], alias_name=name))
+    sq_cols, finishers = _plan_aggs(stats, aggs, uniques)
+    sub = _with_squares(sub, sq_cols)
     if uniques:
         sub = sub.materialize()
     df = sub.groupby([parent_field]).aggregate(*aggs).to_pandas()
+    for fin in finishers:
+        df = fin(df)
     for name, col in uniques.items():
         pairs = sub.groupby([parent_field, col]).aggregate(Count(alias_name="_c"))
         u = pairs.groupby([parent_field]).aggregate(Count(alias_name=name)).to_pandas()
@@ -226,7 +290,8 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
     for _, row in df.iterrows():
         b = {"val": row[field], "count": int(row["count"])}
         for name, st in stats.items():
-            b[name] = int(row[name]) if st[0] == "unique" else float(row[name])
+            b[name] = (int(row[name]) if st[0] in ("unique", "missing", "countvals")
+                       else float(row[name]))
         for name, sub in sub_results.items():
             if sub[0] == "query":
                 _, qdf, qstats = sub
@@ -239,7 +304,8 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
                     r = sel.iloc[0]
                     qb = {"count": int(r["count"])}
                     for qn, qst in qstats.items():
-                        qb[qn] = int(r[qn]) if qst[0] == "unique" else float(r[qn])
+                        qb[qn] = (int(r[qn]) if qst[0] in ("unique", "missing", "countvals")
+                                  else float(r[qn]))
                 b[name] = qb
                 continue
             _, sdf, sstats, ssub = sub

@@ -3984,6 +3984,76 @@ def q_json_facet_unique_pct(sf_dir: str) -> pd.DataFrame:
     ).astype({"n": np.int64, "uniq_cust": np.int64, "p50_price_c": np.float64})
 
 
+def q_json_facet_variance(sf_dir: str) -> pd.DataFrame:
+    """json.facet sumsq/variance/missing/countvals bucket aggs (reference:
+    solr/core/.../search/facet/SlotAcc.java VarianceAgg + CountValsAgg +
+    MissingAgg, branch_8x; SURVEY.md §2.6 JSON Facet aggs row): variance
+    from exact Sum/Sumsq/Count partials — quantities are small ints, so
+    float64 partial sums are exact and the var_samp expression matches the
+    oracle bit-for-bit. ``missing`` counts nulls (quantity 1 nulled out to
+    synthesize them; TPC-H has none natively)."""
+    from ..functions.json_facet import json_facet
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.float64)
+        import pyarrow.compute as _pc
+
+        qn = pa.array(np.where(q == 1.0, np.nan, q))
+        qn = _pc.if_else(_pc.is_nan(qn), pa.nulls(len(t), pa.float64()), qn)
+        return t.append_column("q_null", qn)
+
+    res = json_facet(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        {
+            "by_flag": {
+                "type": "terms", "field": "l_returnflag", "limit": 3,
+                "facet": {
+                    "sumsq_q": "sumsq(l_quantity)",
+                    "var_q": "variance(l_quantity)",
+                    "n_missing": "missing(q_null)",
+                    "n_vals": "countvals(q_null)",
+                },
+            }
+        },
+    )
+    rows = [
+        {
+            "l_returnflag": b["val"], "n": b["count"],
+            "sumsq_q": int(b["sumsq_q"]),
+            "var_e6": int(np.floor(b["var_q"] * 1e6)),
+            "n_missing": int(b["n_missing"]),
+            "n_vals": int(b["n_vals"]),
+        }
+        for b in res["by_flag"]["buckets"]
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "n", "sumsq_q", "var_e6", "n_missing", "n_vals"],
+    ).astype({c: np.int64 for c in ["n", "sumsq_q", "var_e6", "n_missing", "n_vals"]})
+
+
+def sql_json_facet_variance() -> str:
+    return """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sumsq_q,
+       CAST(floor(
+         (CAST(sum(l_quantity * l_quantity) AS DOUBLE)
+          - CAST(sum(l_quantity) AS DOUBLE) * CAST(sum(l_quantity) AS DOUBLE)
+            / CAST(count(l_quantity) AS DOUBLE))
+         / (CAST(count(l_quantity) AS DOUBLE) - 1) * 1000000
+       ) AS BIGINT) AS var_e6,
+       count(*) FILTER (WHERE l_quantity = 1) AS n_missing,
+       count(*) FILTER (WHERE l_quantity <> 1) AS n_vals
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY n DESC, l_returnflag
+LIMIT 3
+"""
+
+
 def q_json_facet_query(sf_dir: str) -> pd.DataFrame:
     """json.facet ``query`` facet type (reference: solr/core/.../search/
     facet/FacetQuery.java, branch_8x; SURVEY.md §2.6): a filtered bucket
@@ -4124,6 +4194,7 @@ QUERIES = {
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
     "json_facet_query": q_json_facet_query,
+    "json_facet_variance": q_json_facet_variance,
     "sort_by_function": q_sort_by_function,
     "timeseries_orders": q_timeseries_orders,
     "facet_interval_price": q_facet_interval_price,
@@ -4233,6 +4304,7 @@ ORACLES = {
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),
     "json_facet_query": sql_json_facet_query(),
+    "json_facet_variance": sql_json_facet_variance(),
     "sort_by_function": sql_sort_by_function(),
     "timeseries_orders": sql_timeseries_orders(),
     "facet_interval_price": sql_facet_interval_price(),
