@@ -34,6 +34,8 @@ def entry() -> Any:
         {"query_id": 0, "kind": "term", "terms": ["query"]},
         {"query_id": 1, "kind": "and", "terms": ["query", "join"]},
         {"query_id": 2, "kind": "or", "terms": ["query", "join", "fast"]},
+        # classic parser surface: string → nested BooleanQuery tree
+        {"query_id": 3, "qstr": "+query (join OR fast^2) -slow"},
     ]
     return search(index_root, queries, k=10)
 
