@@ -82,6 +82,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), lo,
                                                              dtype=np.int64)})
 
+    converged = False
     for _ in range(max_iters):
         tagged = edges.union(
             labels.map_batches(as_label_rows, batch_format="pyarrow")
@@ -95,8 +96,15 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         )
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — raise max_iters or use a "
+            "star-contraction variant for long-chain graphs"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

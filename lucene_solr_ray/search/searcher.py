@@ -384,6 +384,8 @@ def _span_full(
         )
     kind = node["kind"]
     terms = node["terms"]
+    if kind == "span_first" and len(terms) != 1:
+        raise ValueError("span_first takes exactly one term")
     plists, posits = [], []
     for term in terms:
         o = reader.lookup(term)
