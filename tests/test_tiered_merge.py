@@ -120,3 +120,48 @@ def test_tiered_merge_folds_small_gens(staged_index, corpus_queries):
     fresh_res = search(fresh, corpus_queries, k=10)
     assert _frame(final).equals(_frame(fresh_res))
     assert check_index(idx) == []
+
+
+def test_tiered_merge_interrupted_cleanup(ray_session, small_corpus, tmp_path):
+    """Crash between gen publish and input cleanup: a surviving folded gen
+    dir must stay shadowed (merged_gens in the NEW gen's manifest), and
+    gen numbers must never be reused."""
+    import shutil
+
+    from lucene_solr_ray.index.merge import merge_partition_tiered
+
+    ta = pq.read_table(small_corpus[0])
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(ta.slice(0, 300), base_path)
+    idx = str(tmp_path / "idx")
+    build_index([base_path], idx, num_partitions=1)
+    for i in range(3):
+        cpath = str(tmp_path / f"c{i}.parquet")
+        pq.write_table(ta.slice(300 + i * 100, 100), cpath)
+        append_index([cpath], idx)
+    segs_before = partition_segments(idx, 0)
+    assert len(segs_before) == 4  # base + g1..g3
+
+    # snapshot a gen that the merge will fold, then "resurrect" it after
+    victim = segs_before[1]
+    backup = str(tmp_path / "victim_backup")
+    shutil.copytree(victim, backup)
+    lineage = {"input_fingerprint": None, "analyzer_hash": None,
+               "num_partitions": 1}
+    res = merge_partition_tiered(idx, 0, lineage, segs_per_tier=2,
+                                 max_merge_at_once=3)
+    assert res["merged"]
+    live = partition_segments(idx, 0)
+    pre_resurrect = [os.path.basename(s) for s in live]
+    shutil.copytree(backup, victim)  # interrupted-cleanup simulation
+    live2 = [os.path.basename(s) for s in partition_segments(idx, 0)]
+    assert live2 == pre_resurrect, "resurrected folded gen must stay shadowed"
+    # and the next append never reuses a folded gen number
+    nxt = int(os.path.basename(next_gen_dir(idx, 0)).rsplit(".g", 1)[1])
+    assert nxt >= 4
+    r1 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["w000000"]}],
+                k=10)
+    shutil.rmtree(victim)
+    r2 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["w000000"]}],
+                k=10)
+    assert _frame(r1).equals(_frame(r2))
