@@ -114,3 +114,70 @@ def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 10, iters: int = 6, threshold: float = 0.95,
+             seed: int = 42, max_cluster: int = 8192):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means the embedding
+    space, then look for near-duplicate pairs ONLY within each cluster —
+    cosine ≥ ``threshold`` drops the higher id of the pair. All-pairs work
+    is confined to one cluster per task (groupby(cluster) + a vectorized
+    normalized-Gram matmul per group) instead of the corpus-wide O(n²);
+    clusters above ``max_cluster`` are truncated with a loud log (at real
+    scale raise k so clusters stay bounded — cluster count is the knob).
+
+    Returns a Dataset of (id, keep:bool, cluster) covering every vector.
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    C, _ = kmeans_fit(ds, vec_col, k=k, iters=iters, seed=seed)
+
+    # ship (id, cluster, vector) rows into per-cluster groups: assign
+    # per batch so the vectors travel WITH their rows (one shuffle total)
+    import ray as _ray
+    cent_ref = _ray.put(np.asarray(C, dtype=np.float64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        Cc = _ray.get(cent_ref)
+        X = decode_fixed_dim(batch[vec_col])
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cc.T) + (Cc * Cc).sum(1)[None, :]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            vec_col: batch[vec_col],
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) > max_cluster:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %s truncated %d→%d members (raise k)",
+                int(g["cluster"].iloc[0]), len(ids), max_cluster,
+            )
+            order = order[:max_cluster]
+            ids = ids[:max_cluster]
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[vec_col].to_numpy()[order]])
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        sim = Xn @ Xn.T
+        # drop the HIGHER id of any pair over threshold (upper triangle)
+        iu = np.triu_indices(len(ids), k=1)
+        dup_hi = np.unique(iu[1][sim[iu] >= threshold])
+        keep = np.ones(len(ids), dtype=bool)
+        keep[dup_hi] = False
+        return pd.DataFrame({id_col: ids, "keep": keep,
+                             "cluster": int(g["cluster"].iloc[0])})
+
+    return tagged.groupby("cluster").map_groups(dedup_cluster,
+                                                batch_format="pandas")

@@ -2190,6 +2190,22 @@ ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023; rows-only — k-means assignments are
+    not SQL-expressible; planted-duplicate pytest in tests/test_cluster.py
+    gates correctness): k-means the embeddings, cosine-dedup WITHIN each
+    cluster (all-pairs confined per cluster — the published approximation
+    that makes semantic dedup tractable at web scale). Returns drop
+    decisions per vector."""
+    from ..functions.cluster import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup(ds, k=8, iters=4, threshold=0.35).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": np.int64, "keep": bool, "cluster": np.int64}
+    )
+
+
 def q_dedup_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     """Cluster-level near-dup dedup (rows-only — MinHash is not SQL-
     expressible; the CC step itself is oracle-checked via
@@ -4200,6 +4216,7 @@ QUERIES = {
     "facet_interval_price": q_facet_interval_price,
     "graph_components": q_graph_components,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "ft_span_counts": q_ft_span_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,

@@ -63,3 +63,46 @@ def test_kmeans_reduces_variance_on_fixture(ray_session):
     # the fixture's clusters are noise-dominated (see module docstring);
     # 10 centroids must still strictly beat the single-centroid SSE
     assert inertia[-1] < 0.95 * total_sse, (inertia[-1], total_sse)
+
+
+def test_semdedup_planted(ray_session):
+    """SemDeDup: two well-separated blobs, each containing a planted
+    near-duplicate set — within-cluster cosine dedup drops the higher ids
+    of each dup set and keeps everything else."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.cluster import semdedup
+
+    rng = np.random.default_rng(5)
+    vecs, ids = [], []
+    for c, center in enumerate([np.array([10.0, 0, 0, 0]),
+                                np.array([0, 10.0, 0, 0])]):
+        base = center + rng.normal(0, 0.05, size=4)
+        # a dup set: 3 nearly identical vectors (ids c*100, c*100+1, +2)
+        for j in range(3):
+            ids.append(c * 100 + j)
+            vecs.append(base + rng.normal(0, 1e-4, size=4))
+        # distinct members of the same blob (direction differs)
+        for j in range(3, 6):
+            ids.append(c * 100 + j)
+            v = center + rng.normal(0, 1.0, size=4)
+            vecs.append(v)
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    out = semdedup(ds, k=2, iters=4, threshold=0.9999).to_pandas()
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert len(got) == 12
+    for c in (0, 1):
+        assert got[c * 100] is True or got[c * 100] == True  # noqa: E712
+        assert not got[c * 100 + 1] and not got[c * 100 + 2]
+    # the two clusters never mixed: every blob's rows share one cluster id
+    by_cluster = out.groupby("cluster")["vec_id"].apply(
+        lambda s: {i // 100 for i in s}
+    )
+    assert all(len(blobs) == 1 for blobs in by_cluster)
