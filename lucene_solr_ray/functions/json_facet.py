@@ -238,16 +238,39 @@ def _terms_level(ds, spec: Dict, parent_field=None):
         u = pairs.groupby(keys).aggregate(Count(alias_name=name)).to_pandas()
         df = df.merge(u, on=keys, how="left")
         df[name] = df[name].fillna(0).astype("int64")
-    # Solr default bucket sort: count desc, value asc (within parent)
+    # bucket options (FacetField.java request params, branch_8x):
+    # ``mincount`` prunes sparse buckets, ``sort`` orders by count / a
+    # sibling stat / the bucket value ("index"), ``offset`` pages. Default
+    # sort: count desc, value asc.
+    mincount = int(spec.get("mincount", 0))
+    if mincount > 0:
+        df = df[df["count"] >= mincount]
+    sort_spec = str(spec.get("sort", "count desc")).split()
+    sort_key = sort_spec[0]
+    sort_desc = (sort_spec[1].lower() != "asc") if len(sort_spec) > 1 else True
+    if sort_key == "index":
+        sort_cols, asc = [field], [not sort_desc]
+    elif sort_key == "count":
+        sort_cols, asc = ["count", field], [not sort_desc, True]
+    else:
+        if sort_key not in df.columns:
+            raise ValueError(f"facet sort key {sort_key!r} is not a sibling stat")
+        sort_cols, asc = [sort_key, field], [not sort_desc, True]
     df = df.sort_values(
-        ([parent_field] if parent_field else []) + ["count", field],
-        ascending=([True] if parent_field else []) + [False, True],
+        ([parent_field] if parent_field else []) + sort_cols,
+        ascending=([True] if parent_field else []) + asc,
         kind="mergesort",
     )
+    offset = int(spec.get("offset", 0))
     if parent_field:
-        df = df.groupby(parent_field, sort=False).head(limit)
+        grp = df.groupby(parent_field, sort=False)
+        df = grp.head(offset + limit)
+        if offset:
+            df = df.groupby(parent_field, sort=False).apply(
+                lambda g: g.iloc[offset:]
+            ).reset_index(drop=True)
     else:
-        df = df.head(limit)
+        df = df.iloc[offset:offset + limit]
     sub_results = {}
     for name, sub in nested.items():
         if sub.get("type") == "query":

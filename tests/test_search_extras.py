@@ -300,3 +300,32 @@ def test_json_facet_nested_stats(ray_session):
     sub = {b["val"]: b for b in x["by_p"]["buckets"]}
     assert sub["a"]["count"] == 2 and sub["a"]["mx"] == 3.0
     assert sub["b"]["count"] == 1 and sub["b"]["mx"] == 5.0
+
+
+def test_json_facet_sort_offset_mincount(ray_session):
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = pd.DataFrame(
+        {
+            "s": ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1,
+            "v": [1.0] * 5 + [10.0] * 3 + [100.0] * 2 + [1000.0],
+        }
+    )
+    ds = ray.data.from_pandas(df, override_num_blocks=2)
+    # sort by a sibling stat descending
+    r = json_facet(ds, {"by_s": {
+        "type": "terms", "field": "s", "limit": 2,
+        "sort": "sum_v desc", "facet": {"sum_v": "sum(v)"},
+    }})
+    assert [b["val"] for b in r["by_s"]["buckets"]] == ["d", "c"]
+    # index order + offset paging
+    r2 = json_facet(ds, {"by_s": {
+        "type": "terms", "field": "s", "limit": 2, "offset": 1,
+        "sort": "index asc",
+    }})
+    assert [b["val"] for b in r2["by_s"]["buckets"]] == ["b", "c"]
+    # mincount prunes sparse buckets before the default count sort
+    r3 = json_facet(ds, {"by_s": {
+        "type": "terms", "field": "s", "limit": 10, "mincount": 2,
+    }})
+    assert [b["val"] for b in r3["by_s"]["buckets"]] == ["a", "b", "c"]
