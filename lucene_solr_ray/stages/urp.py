@@ -133,8 +133,59 @@ def _pii_scrub(col: str = "text"):
     return fn
 
 
+def _timestamp(dst: str = "ingest_ts", value: str = None):
+    """TimestampUpdateProcessorFactory analog: stamp every row with the
+    ingest time. Pass a fixed ISO ``value`` for deterministic lineage
+    (resume-idempotent builds); default is the stage's wall clock, the
+    Solr behavior (re-ingest ⇒ new stamps)."""
+    import datetime
+
+    fixed = (
+        datetime.datetime.fromisoformat(value).replace(tzinfo=None)
+        if value else None
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = fixed or datetime.datetime.utcnow()
+        return batch.append_column(
+            dst, pa.array([ts] * len(batch), type=pa.timestamp("us"))
+        )
+
+    return fn
+
+
+def _uuid(src: str = "url", dst: str = "id"):
+    """UUIDUpdateProcessorFactory analog, made resume-safe: a NAME-based
+    (UUIDv5-style) id from the unique-key column instead of a random v4 —
+    re-ingesting the same row yields the same id on any worker, which is
+    what idempotent distributed ingest needs."""
+    import uuid
+
+    ns = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [str(uuid.uuid5(ns, s)) for s in batch[src].to_pylist()]
+        return batch.append_column(dst, pa.array(vals, type=pa.string()))
+
+    return fn
+
+
+def _default_value(col: str, value):
+    """DefaultValueUpdateProcessorFactory analog: fill nulls with a
+    constant."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, col, pc.fill_null(batch[col], value))
+
+    return fn
+
+
 STAGE_FACTORIES: Dict[str, Callable] = {
     "trim": _trim,
+    "timestamp": _timestamp,
+    "uuid": _uuid,
+    "default_value": _default_value,
     "lowercase": _lowercase,
     "regex_replace": _regex_replace,
     "clone_field": _clone_field,

@@ -329,3 +329,27 @@ def test_json_facet_sort_offset_mincount(ray_session):
         "type": "terms", "field": "s", "limit": 10, "mincount": 2,
     }})
     assert [b["val"] for b in r3["by_s"]["buckets"]] == ["a", "b", "c"]
+
+
+def test_urp_timestamp_uuid_default():
+    from lucene_solr_ray.stages.urp import build_stage_chain
+
+    chain = build_stage_chain([
+        {"name": "timestamp", "dst": "ingest_ts",
+         "value": "2026-08-18T00:00:00"},
+        {"name": "uuid", "src": "url", "dst": "id"},
+        {"name": "default_value", "col": "lang", "value": "und"},
+    ])
+    t = pa.table({
+        "url": ["u://a", "u://b", "u://a"],
+        "lang": pa.array(["en", None, "de"]),
+    })
+    for fn in chain:
+        t = fn(t)
+    assert t["ingest_ts"].to_pylist()[0].isoformat() == "2026-08-18T00:00:00"
+    ids = t["id"].to_pylist()
+    assert ids[0] == ids[2] and ids[0] != ids[1]  # name-based: stable per url
+    import uuid as _uuid
+
+    _uuid.UUID(ids[0])  # well-formed
+    assert t["lang"].to_pylist() == ["en", "und", "de"]
