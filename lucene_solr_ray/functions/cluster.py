@@ -153,16 +153,20 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+        all_ids = g[id_col].to_numpy()
+        order = np.argsort(all_ids)
+        ids = all_ids[order]
+        overflow = np.empty(0, dtype=ids.dtype)
         if len(ids) > max_cluster:
             import logging
 
             logging.getLogger(__name__).warning(
-                "semdedup: cluster %s truncated %d→%d members (raise k)",
+                "semdedup: cluster %s over cap (%d > %d): members past the "
+                "cap pass through UNdeduplicated (raise k so clusters stay "
+                "bounded)",
                 int(g["cluster"].iloc[0]), len(ids), max_cluster,
             )
+            overflow = ids[max_cluster:]
             order = order[:max_cluster]
             ids = ids[:max_cluster]
         X = np.stack([np.asarray(v, dtype=np.float64)
@@ -176,6 +180,11 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         dup_hi = np.unique(iu[1][sim[iu] >= threshold])
         keep = np.ones(len(ids), dtype=bool)
         keep[dup_hi] = False
+        if len(overflow):
+            # every vector must appear in the output: over-cap members are
+            # emitted keep=True (not silently dropped)
+            ids = np.concatenate([ids, overflow])
+            keep = np.concatenate([keep, np.ones(len(overflow), dtype=bool)])
         return pd.DataFrame({id_col: ids, "keep": keep,
                              "cluster": int(g["cluster"].iloc[0])})
 

@@ -74,7 +74,12 @@ def _plan_aggs(stats, aggs, uniques):
                 n = df[f"__v_n_{name}"].astype("float64")
                 s = df[f"__v_s_{name}"].astype("float64")
                 sq = df[f"__v_sq_{name}"].astype("float64")
-                df[name] = (sq - s * s / n) / (n - 1)
+                import numpy as _np
+
+                with _np.errstate(invalid="ignore", divide="ignore"):
+                    df[name] = _np.where(
+                        n > 1, (sq - s * s / n) / (n - 1), _np.nan
+                    )  # var_samp of a 1-row bucket is NULL (oracle parity)
                 return df.drop(columns=[f"__v_sq_{name}", f"__v_s_{name}",
                                         f"__v_n_{name}"])
 
@@ -105,6 +110,8 @@ def _with_squares(ds, sq_cols):
         import pyarrow as pa
 
         for c in cols:
+            if f"__sq_{c}" in t.column_names:
+                continue  # nested facet levels plan the same square twice
             v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
             t = t.append_column(f"__sq_{c}", pa.array(v * v))
         return t
@@ -194,11 +201,18 @@ def _query_level(ds, spec: Dict) -> Dict:
             rdf = fin(rdf)
         row = rdf.iloc[0].to_dict()
     out: Dict = {"count": int(row["count"] or 0)}
+    import math
+
     for name, st in stats.items():
         if st[0] == "unique":
             continue
         v = row.get(name)
-        out[name] = float(v) if v is not None else None
+        if st[0] in ("missing", "countvals"):
+            out[name] = int(v) if v is not None else 0
+        elif v is None or (isinstance(v, float) and math.isnan(v)):
+            out[name] = None  # e.g. var_samp of a <2-row bucket
+        else:
+            out[name] = float(v)
     for name, col in uniques.items():
         pairs = sub.groupby([col]).aggregate(Count(alias_name="_c"))
         out[name] = int(pairs.count())
@@ -247,7 +261,11 @@ def _terms_level(ds, spec: Dict, parent_field=None):
         df = df[df["count"] >= mincount]
     sort_spec = str(spec.get("sort", "count desc")).split()
     sort_key = sort_spec[0]
-    sort_desc = (sort_spec[1].lower() != "asc") if len(sort_spec) > 1 else True
+    if len(sort_spec) > 1:
+        sort_desc = sort_spec[1].lower() != "asc"
+    else:
+        # Solr FacetRequest default direction: asc for "index", desc else
+        sort_desc = sort_key != "index"
     if sort_key == "index":
         sort_cols, asc = [field], [not sort_desc]
     elif sort_key == "count":
@@ -262,6 +280,8 @@ def _terms_level(ds, spec: Dict, parent_field=None):
         kind="mergesort",
     )
     offset = int(spec.get("offset", 0))
+    if limit < 0:
+        limit = len(df)  # Solr limit:-1 = unlimited
     if parent_field:
         grp = df.groupby(parent_field, sort=False)
         df = grp.head(offset + limit)
@@ -313,8 +333,11 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
     for _, row in df.iterrows():
         b = {"val": row[field], "count": int(row["count"])}
         for name, st in stats.items():
-            b[name] = (int(row[name]) if st[0] in ("unique", "missing", "countvals")
-                       else float(row[name]))
+            if st[0] in ("unique", "missing", "countvals"):
+                b[name] = int(row[name])
+            else:
+                v = float(row[name])
+                b[name] = None if pd.isna(v) else v
         for name, sub in sub_results.items():
             if sub[0] == "query":
                 _, qdf, qstats = sub
@@ -322,7 +345,8 @@ def _to_buckets(df, field, stats, sub_results, parent_val=None, parent_field=Non
                 if len(sel) == 0:
                     qb = {"count": 0}
                     for qn, qst in qstats.items():
-                        qb[qn] = 0 if qst[0] == "unique" else None
+                        qb[qn] = (0 if qst[0] in ("unique", "missing",
+                                                  "countvals") else None)
                 else:
                     r = sel.iloc[0]
                     qb = {"count": int(r["count"])}

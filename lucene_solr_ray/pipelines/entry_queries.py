@@ -2249,6 +2249,17 @@ def q_graph_components(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     comp = connected_components(edges).to_pandas()
+    # CC covers only edge-incident nodes; a max doc_id ≡ 0 (mod 7) is
+    # isolated (no incoming edge, outgoing pruned at mx) — emit singleton
+    # components for any such ids so the frame covers every doc like the
+    # oracle does
+    all_ids = docs.to_pandas()["doc_id"]
+    lonely = sorted(set(all_ids) - set(comp["node"]))
+    if lonely:
+        comp = pd.concat(
+            [comp, pd.DataFrame({"node": lonely, "component": lonely})],
+            ignore_index=True,
+        )
     return comp.sort_values("node").reset_index(drop=True)
 
 

@@ -53,9 +53,9 @@ _LEX = re.compile(
   (?P<ws>\s+)
 | (?P<lparen>\()
 | (?P<rparen>\))
-| (?P<and>AND\b|&&)
-| (?P<or>OR\b|\|\|)
-| (?P<not>NOT\b|!)
+| (?P<and>AND(?![^\s()"^\\])|&&)
+| (?P<or>OR(?![^\s()"^\\])|\|\|)
+| (?P<not>NOT(?![^\s()"^\\])|!)
 | (?P<plus>\+)
 | (?P<minus>-)
 | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)

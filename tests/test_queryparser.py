@@ -274,3 +274,22 @@ def test_parsed_phrase_composition(positions_index, small_corpus):
         k=10,
     )
     assert _frame(rs).equals(_frame(rs_manual))
+
+
+def test_operator_words_as_term_prefixes():
+    """Maximal munch: AND/OR/NOT followed by a term character are TERMS
+    (Lucene's JavaCC lexer), not operators."""
+    assert parse_query("NOT-ready") == {"kind": "term", "terms": ["NOT-ready"]}
+    assert parse_query("foo AND-gate") == {
+        "kind": "bool",
+        "should": [
+            {"kind": "term", "terms": ["foo"]},
+            {"kind": "term", "terms": ["AND-gate"]},
+        ],
+    }
+    assert parse_query("ORacle") == {"kind": "term", "terms": ["ORacle"]}
+    assert parse_query("a AND b") == {
+        "kind": "bool",
+        "must": [{"kind": "term", "terms": ["a"]},
+                 {"kind": "term", "terms": ["b"]}],
+    }
