@@ -259,6 +259,12 @@ def _terms_level(ds, spec: Dict, parent_field=None):
     mincount = int(spec.get("mincount", 0))
     if mincount > 0:
         df = df[df["count"] >= mincount]
+    extras = {}
+    if spec.get("numBuckets"):
+        # distinct bucket count BEFORE limit/offset (FacetField numBuckets)
+        if parent_field:
+            raise ValueError("numBuckets is supported on top-level facets")
+        extras["numBuckets"] = int(len(df))
     sort_spec = str(spec.get("sort", "count desc")).split()
     sort_key = sort_spec[0]
     if len(sort_spec) > 1:
@@ -300,8 +306,10 @@ def _terms_level(ds, spec: Dict, parent_field=None):
             sub_results[name] = ("query",) + _query_under_parent(ds, field, sub)
         else:
             # one shuffle for ALL parent buckets of this nested facet
-            sub_results[name] = ("terms",) + _terms_level(ds, sub, parent_field=field)
-    return df.reset_index(drop=True), stats, sub_results
+            sub_results[name] = ("terms",) + _terms_level(
+                ds, sub, parent_field=field
+            )[:3]
+    return df.reset_index(drop=True), stats, sub_results, extras
 
 
 def _query_under_parent(ds, parent_field: str, spec: Dict):
@@ -375,6 +383,34 @@ def json_facet(ds, spec: Dict) -> Dict:
         if facet["type"] == "query":
             out[name] = _query_level(ds, facet)
             continue
-        df, stats, subs = _terms_level(ds, facet)
-        out[name] = {"buckets": _to_buckets(df, facet["field"], stats, subs)}
+        df, stats, subs, extras = _terms_level(ds, facet)
+        entry = {"buckets": _to_buckets(df, facet["field"], stats, subs)}
+        entry.update(extras)
+        if facet.get("allBuckets"):
+            # one ungrouped aggregate over the whole domain (FacetField
+            # allBuckets: stats across every doc regardless of bucket)
+            a_stats, _ = _split_spec(facet.get("facet"))
+            a_aggs = [Count(facet["field"], ignore_nulls=False,
+                            alias_name="count")]
+            a_uniq = {}
+            a_sq, a_fin = _plan_aggs(a_stats, a_aggs, a_uniq)
+            a_ds = _with_squares(ds, a_sq)
+            row = a_ds.aggregate(*a_aggs)
+            if a_fin:
+                rdf = pd.DataFrame([row])
+                for fin in a_fin:
+                    rdf = fin(rdf)
+                row = rdf.iloc[0].to_dict()
+            ab = {"count": int(row["count"] or 0)}
+            for sname, st in a_stats.items():
+                if st[0] == "unique":
+                    pairs = ds.groupby([st[1]]).aggregate(Count(alias_name="_c"))
+                    ab[sname] = int(pairs.count())
+                elif st[0] in ("missing", "countvals"):
+                    ab[sname] = int(row.get(sname) or 0)
+                else:
+                    v = row.get(sname)
+                    ab[sname] = None if v is None or pd.isna(v) else float(v)
+            entry["allBuckets"] = ab
+        out[name] = entry
     return out

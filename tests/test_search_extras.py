@@ -353,3 +353,24 @@ def test_urp_timestamp_uuid_default():
 
     _uuid.UUID(ids[0])  # well-formed
     assert t["lang"].to_pylist() == ["en", "und", "de"]
+
+
+def test_json_facet_numbuckets_allbuckets(ray_session):
+    from lucene_solr_ray.functions.json_facet import json_facet
+
+    df = pd.DataFrame(
+        {
+            "s": ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1,
+            "v": [2.0] * 11,
+        }
+    )
+    ds = ray.data.from_pandas(df, override_num_blocks=2)
+    r = json_facet(ds, {"by_s": {
+        "type": "terms", "field": "s", "limit": 2,
+        "numBuckets": True, "allBuckets": True,
+        "facet": {"sum_v": "sum(v)"},
+    }})
+    f = r["by_s"]
+    assert len(f["buckets"]) == 2  # limited
+    assert f["numBuckets"] == 4    # pre-limit distinct buckets
+    assert f["allBuckets"] == {"count": 11, "sum_v": 22.0}
