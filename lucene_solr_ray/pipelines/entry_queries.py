@@ -897,6 +897,55 @@ WHERE ' ' || text || ' ' LIKE '% {phrase} %'
 """
 
 
+def q_ft_term_range_counts(sf_dir: str) -> pd.DataFrame:
+    """TermRangeQuery (reference: lucene/core/.../search/TermRangeQuery
+    .java, branch_8x; SURVEY.md §2.3 automaton∩dictionary family):
+    lexicographic vocab ranges with inclusive/exclusive/open bounds,
+    CONSTANT_SCORE_REWRITE — parsed from classic ``[a TO b]`` / ``{a TO
+    b}`` syntax to prove the grammar path too."""
+    from ..search.queryparser import parse_query
+
+    idx = ensure_ft_index(sf_dir)
+    specs = [
+        ("incl_d_f", "[data TO fast]"),
+        ("excl_d_f", "{data TO fast}"),
+        ("open_hi_w", "[window TO *]"),
+    ]
+    res = search(
+        idx,
+        [{"query_id": i, **parse_query(s)} for i, (_, s) in enumerate(specs)],
+        k=10**9,
+        method="exhaustive",
+    )
+    rows = [
+        {"range": label, "n_docs": int((res["query_id"] == i).sum())}
+        for i, (label, _) in enumerate(specs)
+    ]
+    return pd.DataFrame(rows).astype({"n_docs": np.int64}).sort_values(
+        "range"
+    ).reset_index(drop=True)
+
+
+def sql_ft_term_range_counts() -> str:
+    return """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'incl_d_f' AS range,
+         count(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE term >= 'data' AND term <= 'fast'
+  UNION ALL
+  SELECT 'excl_d_f', count(DISTINCT doc_id)
+  FROM tok WHERE term > 'data' AND term < 'fast'
+  UNION ALL
+  SELECT 'open_hi_w', count(DISTINCT doc_id)
+  FROM tok WHERE term >= 'window'
+) ORDER BY range
+"""
+
+
 def q_ft_span_counts(sf_dir: str) -> pd.DataFrame:
     """Span-query cardinalities (reference: lucene/core/src/java/org/
     apache/lucene/search/spans/SpanNearQuery.java + SpanFirstQuery.java,
@@ -4229,6 +4278,7 @@ QUERIES = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "semdedup_embeddings": q_semdedup_embeddings,
     "ft_span_counts": q_ft_span_counts,
+    "ft_term_range_counts": q_ft_term_range_counts,
     "ft_term_stats": q_ft_term_stats,
     "ft_and_count": q_ft_and_count,
     "ft_index_stats": q_ft_index_stats,
@@ -4338,6 +4388,7 @@ ORACLES = {
     "facet_interval_price": sql_facet_interval_price(),
     "graph_components": sql_graph_components(),
     "ft_span_counts": sql_ft_span_counts(),
+    "ft_term_range_counts": sql_ft_term_range_counts(),
     "ft_term_stats": sql_ft_term_stats(),
     "ft_and_count": sql_ft_and_count(),
     "ft_index_stats": sql_ft_index_stats(),

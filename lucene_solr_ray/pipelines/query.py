@@ -93,6 +93,14 @@ def prepare_search_context(
             return out
         if node.get("kind") == "const":
             return dict(node, of=norm_tree(node["of"]))
+        if node.get("kind") == "term_range":
+            # bounds are lowercased like index terms; open bounds pass through
+            return dict(
+                node,
+                **{k: (lowercase(node[k]) if node.get(k) not in (None, "*")
+                       else node.get(k))
+                   for k in ("lo", "hi") if k in node},
+            )
         if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
             # patterns bypass the filter chain, same as top-level norm_query
             return dict(
@@ -116,11 +124,16 @@ def prepare_search_context(
             ]
         if node.get("kind") == "const":
             return leaf_terms(node["of"])
-        if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
+        if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy",
+                                "term_range"):
             return []  # constant-score: patterns need no idf stats
         return list(node["terms"])
 
     def norm_query(q: dict) -> dict:
+        if q.get("kind") == "term_range":
+            nq = norm_tree(q)
+            nq["terms"] = []
+            return nq
         if q.get("kind") in ("bool", "const"):
             nq = norm_tree(q)
             # "terms" = every leaf term in the tree, so the stats broadcast

@@ -58,10 +58,11 @@ _LEX = re.compile(
 | (?P<not>NOT(?![^\s()"^\\])|!)
 | (?P<plus>\+)
 | (?P<minus>-)
+| (?P<range>(?P<rob>[\[\{])\s*(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)\s*(?P<rcb>[\]\}])(?:\^(?P<rgb>\d+(?:\.\d+)?))?)
 | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
 | (?P<regexp>/(?P<rx>(?:[^/\\]|\\.)*)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?)
 | (?P<boost>\^(?P<gboost>\d+(?:\.\d+)?))
-| (?P<term>(?:[^\s()"^\\]|\\.)+)
+| (?P<term>(?:[^\s()"^\\\[\{]|\\.)+)
 """,
     re.VERBOSE,
 )
@@ -217,6 +218,23 @@ def _parse(tokens: List[Tuple[str, dict]], pos: int, field: str, depth: int) -> 
                 node = _with_boost(node, float(tok["pboost"]))
             _add_clause(clauses, conj, mods, node)
             conj, mods = _CONJ_NONE, _MOD_NONE
+        elif kind == "range":
+            # TermRangeQuery syntax: [a TO b] inclusive, {a TO b} exclusive,
+            # * = open bound (QueryParser.jj RangeQuery production)
+            if pending_field is not None:
+                fieldcheck(pending_field)
+                pending_field = None
+            node = {
+                "kind": "term_range",
+                "lo": None if tok["rlo"] == "*" else _unescape(tok["rlo"]),
+                "hi": None if tok["rhi"] == "*" else _unescape(tok["rhi"]),
+                "lo_inc": tok["rob"] == "[",
+                "hi_inc": tok["rcb"] == "]",
+            }
+            if tok["rgb"]:
+                node = _with_boost(node, float(tok["rgb"]))
+            _add_clause(clauses, conj, mods, node)
+            conj, mods = _CONJ_NONE, _MOD_NONE
         elif kind == "regexp":
             if pending_field is not None:
                 fieldcheck(pending_field)
@@ -231,7 +249,7 @@ def _parse(tokens: List[Tuple[str, dict]], pos: int, field: str, depth: int) -> 
             if (
                 tok["term"].endswith(":")
                 and pos + 1 < len(tokens)
-                and tokens[pos + 1][0] in ("phrase", "regexp", "lparen")
+                and tokens[pos + 1][0] in ("phrase", "regexp", "range", "lparen")
             ):
                 pending_field = tok["term"][:-1]
                 if tokens[pos + 1][0] == "lparen":

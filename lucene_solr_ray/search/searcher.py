@@ -224,6 +224,30 @@ def _bool_eval_node(
     if kind in ("span_near", "span_first"):
         cid, csc = _span_full(reader, node, weights, cache_inv, sim)
         return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
+    if kind == "term_range":
+        # TermRangeQuery (reference: lucene/core/.../search/
+        # TermRangeQuery.java, branch_8x): every vocab term in the
+        # lexicographic [lo, hi] range, CONSTANT_SCORE_REWRITE. ``*`` or
+        # None = open bound; lo_inc/hi_inc default true (the [a TO b]
+        # parser syntax; {a TO b} is exclusive).
+        lo, hi = node.get("lo"), node.get("hi")
+        lo_i = (
+            0 if lo in (None, "*")
+            else int(np.searchsorted(
+                reader.terms, lo,
+                side="left" if node.get("lo_inc", True) else "right"))
+        )
+        hi_i = (
+            len(reader.terms) if hi in (None, "*")
+            else int(np.searchsorted(
+                reader.terms, hi,
+                side="right" if node.get("hi_inc", True) else "left"))
+        )
+        matched = np.zeros(n, dtype=bool)
+        for o in range(lo_i, hi_i):
+            matched[reader.postings(int(o)).docids] = True
+        cid = np.nonzero(matched)[0].astype(np.int64)
+        return cid, np.full(len(cid), boost, dtype=sim.dtype)
     if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         # MultiTermQuery CONSTANT_SCORE_REWRITE as a boolean clause:
         # matching docs score exactly ``boost`` (default 1.0)
@@ -758,7 +782,7 @@ class SearcherStage:
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
                     )
-                elif q["kind"] in ("bool", "const"):
+                elif q["kind"] in ("bool", "const", "term_range"):
                     docids, scores = score_query_bool(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, tcache=tcache,

@@ -293,3 +293,28 @@ def test_operator_words_as_term_prefixes():
         "must": [{"kind": "term", "terms": ["a"]},
                  {"kind": "term", "terms": ["b"]}],
     }
+
+
+def test_term_range_syntax_and_engine(built_indexes, corpus_queries):
+    """[a TO b] / {a TO b} / open bounds parse and match the flat union of
+    in-range vocab terms (constant score 1.0, P-invariant)."""
+    assert parse_query("[aaa TO bbb]") == {
+        "kind": "term_range", "lo": "aaa", "hi": "bbb",
+        "lo_inc": True, "hi_inc": True,
+    }
+    assert parse_query("{aaa TO *}") == {
+        "kind": "term_range", "lo": "aaa", "hi": None,
+        "lo_inc": False, "hi_inc": False,
+    }
+    idx1, idx4 = built_indexes
+    terms = sorted({t for q in corpus_queries for t in q["terms"]})
+    lo, hi = terms[0], terms[min(3, len(terms) - 1)]
+    q = {"query_id": 0, **parse_query(f"[{lo} TO {hi}]")}
+    r4 = search(idx4, [q], k=10**9, method="exhaustive")
+    r1 = search(idx1, [q], k=10**9, method="exhaustive")
+    assert _frame(r4).equals(_frame(r1)) and len(r4) > 0
+    assert np.all(r4["score"].to_numpy() == np.float32(1.0))
+    # exclusive bounds shrink (or keep) the match set
+    qx = {"query_id": 0, **parse_query(f"{{{lo} TO {hi}}}")}
+    rx = search(idx4, [qx], k=10**9, method="exhaustive")
+    assert set(rx["url"]) <= set(r4["url"])
