@@ -17,6 +17,7 @@ descent parser producing this engine's query-spec dicts:
   ``roam~`` / ``roam~1``      → FuzzyQuery (engine: Lev ≤2, prefix 1)
   ``term^2.5``, ``(...)^2``, ``"..."^2`` → BoostQuery wrapper
   ``(a OR b) AND c``          → nested BooleanQuery trees
+  ``[a TO b]`` / ``{a TO b}`` → TermRangeQuery (incl/excl, ``*`` open)
   ``text:term``               → field prefix (single-field engine: only
                                 the indexed field name is accepted)
 
