@@ -66,11 +66,15 @@ def main(argv=None):
     m.add_argument("--segs-per-tier", type=int, default=10)
     m.add_argument("--max-merge-at-once", type=int, default=10)
 
-    s = sub.add_parser("search", help="run a query file, write results parquet")
+    s = sub.add_parser("search", help="run a query file, write results")
     s.add_argument("--index-root", required=True)
     s.add_argument("--queries", required=True, help="JSON list of query dicts")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--out", default=None)
+    s.add_argument("--format", choices=["parquet", "csv", "jsonl"],
+                   default="parquet",
+                   help="output format (the /export handler streams "
+                        "JSON/CSV too)")
 
     dl = sub.add_parser("delete", help="deleteByQuery / deleteById tombstoning")
     dl.add_argument("--index-root", required=True)
@@ -141,12 +145,21 @@ def main(argv=None):
     elif args.cmd == "search":
         from .pipelines.query import search
 
-        with open(args.queries) as f:
-            queries = json.load(f)
+        if args.queries.lstrip().startswith("["):
+            queries = json.loads(args.queries)  # inline JSON list
+        else:
+            with open(args.queries) as f:
+                queries = json.load(f)
         res = search(args.index_root, queries, k=args.k)
         if args.out:
-            res.to_parquet(args.out, index=False)
-            print(json.dumps({"rows": len(res), "out": args.out}))
+            if args.format == "csv":
+                res.to_csv(args.out, index=False)
+            elif args.format == "jsonl":
+                res.to_json(args.out, orient="records", lines=True)
+            else:
+                res.to_parquet(args.out, index=False)
+            print(json.dumps({"rows": len(res), "out": args.out,
+                              "format": args.format}))
         else:
             print(res.to_string())
     elif args.cmd == "delta":
