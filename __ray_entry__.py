@@ -50,10 +50,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same column names). Entries
-    missing here (langid_eval, dedup_minhash, dedup_simhash,
-    ann_lsh_recall) are model-/sketch-based and not SQL-expressible —
-    the driver records the weaker rows-only check for them."""
+    """DuckDB-runnable ANSI SQL equivalents (same column names). The 11
+    entries missing here (langid_eval, dedup_minhash, dedup_simhash,
+    ann_lsh_recall, ann_ivf_recall, dedup_embed_lsh_recall,
+    hll_distinct_custkey, lm_score_docs, kmeans_clusters,
+    dedup_minhash_clusters, semdedup_embeddings) are model-/sketch-based
+    and not SQL-expressible — the driver records the weaker rows-only
+    check for them; each is pytest-gated instead."""
     from lucene_solr_ray.pipelines.entry_queries import ORACLES
 
     return dict(ORACLES)
