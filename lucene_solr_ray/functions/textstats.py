@@ -247,15 +247,18 @@ def url_normalize_batch(batch: pa.Table, url_col: str = "url",
         u = u.combine_chunks()
     # 1. fragment
     u = pc.replace_substring_regex(u, r"#.*$", "")
-    # 2. lowercase scheme://host — split once at ://, then host/path
-    parts = pc.split_pattern(u, "://", max_splits=1)
-    scheme = pc.utf8_lower(pc.list_element(parts, 0))
-    rest = pc.list_element(parts, 1)
+    # 2. lowercase scheme://host. Scheme-less rows (no '://' — malformed
+    # crawl URLs) pass through untouched: list_element(parts, 1) would
+    # raise ArrowInvalid for the whole batch on a single such row.
+    has_scheme = pc.match_substring_regex(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    scheme = pc.utf8_lower(pc.replace_substring_regex(u, r"://.*$", ""))
+    rest = pc.replace_substring_regex(u, r"^[^:/?#]*://", "")
     host = pc.utf8_lower(pc.replace_substring_regex(rest, r"/.*$", ""))
     path = pc.replace_substring_regex(rest, r"^[^/]*", "")
-    u = pc.binary_join_element_wise(
+    norm = pc.binary_join_element_wise(
         pc.binary_join_element_wise(scheme, host, "://"), path, ""
     )
+    u = pc.if_else(has_scheme, norm, u)
     # 3. utm params: mid-query (followed by &) then trailing (with its sep)
     u = pc.replace_substring_regex(u, r"utm_[a-z]+=[^&#]*&", "")
     u = pc.replace_substring_regex(u, r"[?&]utm_[a-z]+=[^&#]*$", "")

@@ -445,8 +445,14 @@ class SegmentReader:
         if mins is None:
             groups = range(pf.metadata.num_row_groups)
         else:
+            # parquet may TRUNCATE string min/max statistics: a long url
+            # sharing a prefix with the truncated max can bisect to the
+            # wrong group. Probe the statistics-chosen group AND its right
+            # neighbor (urls are sorted across groups, so truncation can
+            # shift ownership by at most one group).
             g = bisect.bisect_right(mins, url) - 1
-            groups = [g] if (g >= 0 and url <= maxs[g]) else []
+            ng = pf.metadata.num_row_groups
+            groups = [x for x in (g, g + 1) if 0 <= x < ng]
         for g in groups:
             ent = self._dm_groups.get(g)
             if ent is None:

@@ -1420,9 +1420,11 @@ WITH dirty AS (
 s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM dirty),
 s2 AS (
   SELECT doc_id,
-         lower(split_part(url, '://', 1)) || '://'
-         || lower(regexp_replace(split_part(url, '://', 2), '/.*$', ''))
-         || regexp_replace(split_part(url, '://', 2), '^[^/]*', '') AS url
+         CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+              THEN lower(split_part(url, '://', 1)) || '://'
+                   || lower(regexp_replace(split_part(url, '://', 2), '/.*$', ''))
+                   || regexp_replace(split_part(url, '://', 2), '^[^/]*', '')
+              ELSE url END AS url
   FROM s1
 ),
 s3 AS (SELECT doc_id, regexp_replace(url, 'utm_[a-z]+=[^&#]*&', '', 'g') AS url FROM s2),

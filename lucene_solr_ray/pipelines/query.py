@@ -81,15 +81,35 @@ def prepare_search_context(
     # regexp is taken verbatim — lowercasing would mangle \W-style classes)
     _PATTERN_KINDS = ("prefix", "wildcard", "fuzzy")
 
+    def _is_null(node: dict) -> bool:
+        """A clause whose every term normalized away (e.g. a stopword-only
+        leaf) is a null query — QueryParserBase drops such clauses from the
+        enclosing BooleanQuery rather than letting them match nothing and
+        kill the conjunction (reference: lucene/queryparser/.../classic/
+        QueryParserBase.java#addClause null handling, branch_8x)."""
+        k = node.get("kind", "term")
+        if k == "bool":
+            return not any(
+                node.get(s) for s in ("must", "filter", "should", "must_not"))
+        if k == "const":
+            return _is_null(node["of"])
+        if k in ("term_range", "prefix", "wildcard", "regexp", "fuzzy"):
+            return False
+        return not node.get("terms")
+
     def norm_tree(node: dict) -> dict:
         """Analyze every leaf's terms inside a nested ``bool`` tree
-        (``const`` wraps one child under ``of``; boosts pass through)."""
+        (``const`` wraps one child under ``of``; boosts pass through).
+        Analyzer-emptied leaves are pruned from every occur section."""
         if node.get("kind") == "bool":
             out = {k: v for k, v in node.items()
                    if k not in ("must", "filter", "should", "must_not")}
             for sec in ("must", "filter", "should", "must_not"):
                 if node.get(sec):
-                    out[sec] = [norm_tree(c) for c in node[sec]]
+                    kept = [c for c in (norm_tree(c) for c in node[sec])
+                            if not _is_null(c)]
+                    if kept:
+                        out[sec] = kept
             return out
         if node.get("kind") == "const":
             return dict(node, of=norm_tree(node["of"]))
@@ -289,9 +309,12 @@ def realtime_get(index_root: str, urls: List[str]):
             groups = range(pf_dm.metadata.num_row_groups)
         else:
             # urls sorted across groups: the owning group is the last one
-            # whose min <= url, provided its max >= url
+            # whose min <= url. Probe its right neighbor too — parquet may
+            # truncate long string min/max stats, shifting the bisect by
+            # one group (see SegmentReader.docid_of_url).
             g = bisect.bisect_right(mins, url) - 1
-            groups = [g] if (g >= 0 and url <= maxs[g]) else []
+            ng = pf_dm.metadata.num_row_groups
+            groups = [x for x in (g, g + 1) if 0 <= x < ng]
         for g in groups:
             ent = rg_cache.get((seg, g))
             if ent is None:

@@ -96,6 +96,7 @@ class OracleIndex:
         exclude: List[str] = (),
         min_should_match: int = 1,
         slop: int = 0,
+        max_edits: int = 2,
     ) -> List[Tuple[str, float]]:
         """Top-k (url, float32 score) with tie-break (score desc, url asc).
 
@@ -154,7 +155,8 @@ class OracleIndex:
 
                     pred = lambda t, p=p: (
                         t[:1] == p[:1]
-                        and int(levenshtein_batch(_np.array([t], dtype=object), p)[0]) <= 2
+                        and int(levenshtein_batch(_np.array([t], dtype=object), p)[0])
+                        <= max_edits
                     )
                 for t, plist in self.postings.items():
                     if pred(t):
@@ -198,6 +200,7 @@ class OracleIndex:
                 exclude=q.get("exclude", ()),
                 min_should_match=int(q.get("min_should_match", 1)),
                 slop=int(q.get("slop", 0)),
+                max_edits=int(q.get("max_edits", 2)),
             )
             for rank, (url, score) in enumerate(res, start=1):
                 out.append((q["query_id"], rank, url, score))

@@ -116,7 +116,12 @@ def _classify_term(tok: dict, field: str) -> Tuple[dict, Optional[float]]:
     if not body:
         raise QueryParseError(f"empty term in token {raw!r}")
     if fuzzy and edits != "0":
-        return {"kind": "fuzzy", "terms": [_unescape(body)]}, boost
+        # FuzzyQuery maxEdits: bare ``~`` = defaultMaxEdits 2, ``~N``
+        # clamped to LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE (2)
+        # (reference: QueryParserBase#handleBareFuzzy + FuzzyQuery ctor,
+        # branch_8x); carried in the node and honored at expansion time
+        me = 2 if edits is None else min(int(edits), 2)
+        return {"kind": "fuzzy", "terms": [_unescape(body)], "max_edits": me}, boost
     if _UNESCAPED_WILD.search(body):
         pm = _TRAILING_PREFIX.match(body)
         if pm and not _UNESCAPED_WILD.search(pm.group("stem")):

@@ -64,6 +64,7 @@ def score_query_exhaustive(
     k: int,
     exclude: Sequence[str] = (),
     min_should_match: int = 1,
+    max_edits: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full-evaluation scoring over one segment (CheckHits-style ground
     truth for WAND; also the fast path for small/medium partitions).
@@ -96,7 +97,7 @@ def score_query_exhaustive(
             elif kind == "regexp":
                 ords = expand_regexp(reader, pat)
             else:
-                ords = expand_fuzzy(reader, pat, max_edits=2, prefix_len=1)
+                ords = expand_fuzzy(reader, pat, max_edits=max_edits, prefix_len=1)
             for o in ords:
                 matched[reader.postings(int(o)).docids] = True
         cand = np.nonzero(matched)[0]
@@ -263,7 +264,9 @@ def _bool_eval_node(
             elif kind == "regexp":
                 ords = expand_regexp(reader, pat)
             else:
-                ords = expand_fuzzy(reader, pat, max_edits=2, prefix_len=1)
+                ords = expand_fuzzy(
+                    reader, pat,
+                    max_edits=int(node.get("max_edits", 2)), prefix_len=1)
             for o in ords:
                 matched[reader.postings(int(o)).docids] = True
         cid = np.nonzero(matched)[0].astype(np.int64)
@@ -497,7 +500,10 @@ def match_query_full(
     output, still-live docs only) — the matching primitive behind
     deleteByQuery. Supports every query kind the searcher does."""
     kind = q.get("kind", "term")
-    if kind in ("bool", "const"):
+    if kind in ("bool", "const", "term_range", "prefix", "wildcard", "regexp", "fuzzy"):
+        # any kind _bool_eval_node supports must route through it —
+        # score_query_exhaustive would see q['terms'] == [] for e.g.
+        # term_range and silently match nothing (deleteByQuery bug)
         cand, _ = _bool_eval_node(reader, q, weights, cache_inv, sim)
     elif kind == "phrase":
         cand, _ = _phrase_full(
@@ -805,6 +811,7 @@ class SearcherStage:
                         reader, q["terms"], q["kind"], self.weights,
                         self.cache_inv, self.sim, self.k,
                         exclude=exclude, min_should_match=msm,
+                        max_edits=int(q.get("max_edits", 2)),
                     )
                 out_qid.extend([q["query_id"]] * len(docids))
                 out_pid.extend([pid] * len(docids))

@@ -100,6 +100,21 @@ def test_stemmed_index_search(ray_session, tmp_path):
     res2 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["the"]}], k=10)
     assert len(res2) == 0
 
+    # QueryParserBase null-query semantics: an analyzer-emptied MUST
+    # clause is PRUNED from the bool tree, not left as a match-nothing
+    # clause that kills the whole conjunction
+    res3 = search(idx, [{"query_id": 0, "qstr": "+the +RUNNING"}], k=10)
+    assert sorted(res3["url"]) == ["u://000", "u://001", "u://003"]
+    # ...same when the stopword is the only SHOULD alongside a must
+    res4 = search(
+        idx,
+        [{"query_id": 0, "kind": "bool",
+          "must": [{"kind": "term", "terms": ["RUNNING"]}],
+          "should": [{"kind": "term", "terms": ["the"]}]}],
+        k=10,
+    )
+    assert sorted(res4["url"]) == ["u://000", "u://001", "u://003"]
+
     # different spec ⇒ resume must invalidate
     root2 = build_index([p], idx, num_partitions=2)
     assert root2["resumed_partitions"] == []

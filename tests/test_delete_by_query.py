@@ -83,6 +83,41 @@ def test_delete_by_id(dbq_index, corpus_queries):
     assert res2["new_tombstones"] == 0
 
 
+def test_delete_by_term_range(dbq_index, small_corpus):
+    """deleteByQuery must route term_range through the bool evaluator —
+    score_query_exhaustive sees terms=[] for this kind and would silently
+    match zero docs (the round-3 advice finding)."""
+    from lucene_solr_ray.sources.pages import corpus_df_stats
+
+    dfs = corpus_df_stats(small_corpus)
+    b = sorted(dfs.items(), key=lambda kv: -kv[1])[len(dfs) // 2][0]
+    before = search(dbq_index, [{"query_id": 0, "kind": "term", "terms": [b]}],
+                    k=10**9, method="exhaustive")
+    assert len(before) > 0
+    res = delete_by_query(dbq_index, {"kind": "term_range", "lo": b, "hi": b})
+    assert res["matched"] == len(before)
+    after = search(dbq_index, [{"query_id": 0, "kind": "term", "terms": [b]}],
+                   k=10**9, method="exhaustive")
+    assert len(after) == 0
+
+
+def test_delete_by_prefix_query(dbq_index, small_corpus):
+    """Same routing guarantee for the other multi-term kinds (prefix)."""
+    from lucene_solr_ray.sources.pages import corpus_df_stats
+
+    dfs = corpus_df_stats(small_corpus)
+    b = sorted(dfs.items(), key=lambda kv: -kv[1])[len(dfs) // 2][0]
+    pre = b[:3]
+    before = search(dbq_index, [{"query_id": 0, "kind": "prefix", "terms": [pre]}],
+                    k=10**9, method="exhaustive")
+    assert len(before) > 0
+    res = delete_by_query(dbq_index, {"kind": "prefix", "terms": [pre]})
+    assert res["matched"] == len(before)
+    after = search(dbq_index, [{"query_id": 0, "kind": "prefix", "terms": [pre]}],
+                   k=10**9, method="exhaustive")
+    assert len(after) == 0
+
+
 def test_delete_by_bool_query_and_merge(dbq_index, small_corpus):
     from lucene_solr_ray.sources.pages import corpus_df_stats
 

@@ -239,6 +239,8 @@ def test_multiterm_kinds(built_indexes, small_corpus):
         {"query_id": 2, "kind": "regexp", "terms": ["w0+1.*"]},
         {"query_id": 3, "kind": "fuzzy", "terms": ["w000001"]},
         {"query_id": 4, "kind": "wildcard", "terms": ["zzz*nope"]},
+        # parsed maxEdits is honored: ~1 must be a subset of the default ~2
+        {"query_id": 5, "kind": "fuzzy", "terms": ["w000001"], "max_edits": 1},
     ]
     r1 = search(idx1, queries, k=20)
     r4 = search(idx4, queries, k=20)
@@ -256,6 +258,16 @@ def test_multiterm_kinds(built_indexes, small_corpus):
         )
     )
     assert 4 not in set(got["query_id"])
+    # maxEdits=1 is honored (not silently widened back to 2): at FULL k
+    # (truncated constant-score top-k is not subset-stable) the ~1 match
+    # set must be a non-empty subset of the default ~2 set
+    full = search(idx4, [
+        {"query_id": 0, "kind": "fuzzy", "terms": ["w000001"], "max_edits": 1},
+        {"query_id": 1, "kind": "fuzzy", "terms": ["w000001"]},
+    ], k=10**9)
+    e1 = set(full[full["query_id"] == 0]["url"])
+    e2 = set(full[full["query_id"] == 1]["url"])
+    assert e1 and e1 <= e2
 
 
 def test_sloppy_phrase_freq_bruteforce():

@@ -74,8 +74,11 @@ def test_multiterm_classification():
     assert parse_query("pre*") == {"kind": "prefix", "terms": ["pre"]}
     assert parse_query("w?rd") == {"kind": "wildcard", "terms": ["w?rd"]}
     assert parse_query("wi*rd") == {"kind": "wildcard", "terms": ["wi*rd"]}
-    assert parse_query("roam~") == {"kind": "fuzzy", "terms": ["roam"]}
-    assert parse_query("roam~1") == {"kind": "fuzzy", "terms": ["roam"]}
+    # FuzzyQuery maxEdits: bare ~ = default 2, ~N carried, clamped to 2
+    # (QueryParserBase#handleBareFuzzy + FuzzyQuery ctor, branch_8x)
+    assert parse_query("roam~") == {"kind": "fuzzy", "terms": ["roam"], "max_edits": 2}
+    assert parse_query("roam~1") == {"kind": "fuzzy", "terms": ["roam"], "max_edits": 1}
+    assert parse_query("roam~7") == {"kind": "fuzzy", "terms": ["roam"], "max_edits": 2}
     assert parse_query("roam~0") == {"kind": "term", "terms": ["roam"]}
     assert parse_query("/r[ae]y/") == {"kind": "regexp", "terms": ["r[ae]y"]}
     # escaped wildcard is a literal

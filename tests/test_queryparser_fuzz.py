@@ -18,7 +18,8 @@ def _render_leaf(node):
     elif kind == "wildcard":
         s = t
     elif kind == "fuzzy":
-        s = t + "~"
+        me = node.get("max_edits", 2)
+        s = t + ("~" if me == 2 else f"~{me}")
     elif kind == "regexp":
         s = "/" + t + "/"
     elif kind == "phrase":
@@ -57,6 +58,9 @@ def _rand_leaf(rng, depth):
             node["slop"] = int(rng.integers(1, 5))
     elif kind == "wildcard":
         node = {"kind": "wildcard", "terms": [word() + "?x"]}
+    elif kind == "fuzzy":
+        node = {"kind": "fuzzy", "terms": [word()],
+                "max_edits": int(rng.choice([1, 2]))}
     else:
         node = {"kind": kind, "terms": [word()]}
     if rng.random() < 0.3 and kind != "bool":

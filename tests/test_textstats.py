@@ -70,6 +70,12 @@ def test_url_normalize_rules():
         "https://d.example/x/": "https://d.example/x",
         "https://e.example/x?id=1#f": "https://e.example/x?id=1",
         "https://f.example/CaseKept/Path": "https://f.example/CaseKept/Path",
+        # scheme-less / malformed crawl URLs pass through the host step
+        # untouched instead of failing the whole batch (ArrowInvalid on
+        # list_element — the round-3 advice finding); later rules still run
+        "Relative/Path/": "Relative/Path",
+        "no-scheme.example/x?utm_source=f#frag": "no-scheme.example/x",
+        "": "",
     }
     t = pa.table({"url": list(cases)})
     got = url_normalize_batch(t)["url_norm"].to_pylist()
