@@ -72,6 +72,52 @@ def test_cc_random_vs_union_find(ray_session, seed):
     assert got == _union_find(edges, nodes)
 
 
+def test_cc_large_random_vectorized(ray_session):
+    """200k-edge random graph vs an array union-find: exercises the
+    bucket-vectorized propagate (one numpy callable per bucket, NOT one
+    Python callable per node — the round-3 scale finding) at a size where
+    per-node Python would dominate."""
+    rng = np.random.default_rng(7)
+    n = 20_000
+    m = 200_000
+    ab = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+    ab = ab[ab[:, 0] != ab[:, 1]]
+
+    # vectorized-ish union-find oracle (path halving)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ab:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = np.unique(ab)
+    roots = np.array([find(x) for x in touched])
+    # canonical label = min member per root
+    exp = {}
+    for r in np.unique(roots):
+        members = touched[roots == r]
+        mn = int(members.min())
+        for x in members:
+            exp[int(x)] = mn
+
+    import ray.data
+
+    from lucene_solr_ray.functions.cc import connected_components
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1])})
+    )
+    df = connected_components(ds).to_pandas()
+    got = dict(zip(df["node"].astype(int), df["component"].astype(int)))
+    assert got == exp
+
+
 def test_cc_empty_edges(ray_session):
     import ray.data
 
