@@ -622,27 +622,141 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
 
 # ---------------------------------------------- embedding near-dup --------
+def _normalized_blocks(ds, id_col: str, vec_col: str, target_rows: int):
+    """Materialize L2-normalized float32 vectors as ~``target_rows``-row
+    Arrow blocks in the object store; returns (block_refs, dim). Blocks
+    carry (ids:int64, vec:binary fixed 4·d bytes) — compact and
+    zero-copy-decodable in the pair tasks."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        from .ann import decode_fixed_dim
+
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        X = decode_fixed_dim(batch[vec_col])
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        v32 = (X / n[:, None]).astype(np.float32)
+        d = v32.shape[1]
+        off = np.arange(len(ids) + 1, dtype=np.int32) * (4 * d)
+        return pa.table(
+            {
+                "ids": pa.array(ids),
+                "vec": pa.BinaryArray.from_buffers(
+                    pa.binary(), len(ids),
+                    [None, pa.py_buffer(off.tobytes()),
+                     pa.py_buffer(v32.reshape(-1).view(np.uint8).tobytes())],
+                ),
+            }
+        )
+
+    mat = (
+        ds.map_batches(normalize, batch_format="pyarrow", batch_size=target_rows)
+        .materialize()
+    )
+    return mat.to_arrow_refs()
+
+
+def _decode_block(t: pa.Table):
+    """(ids, float64 matrix) from a normalized block table."""
+    ids = t["ids"].to_numpy()
+    vcol = t["vec"]
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    offs = np.frombuffer(vcol.buffers()[1], dtype=np.int32)[
+        vcol.offset : vcol.offset + len(vcol) + 1
+    ]
+    width = int(offs[1] - offs[0]) if len(vcol) else 0
+    data = np.frombuffer(vcol.buffers()[2], dtype=np.uint8)
+    raw = data[offs[0] : offs[0] + len(vcol) * width]
+    mat = raw.view(np.float32).reshape(len(vcol), width // 4).astype(np.float64)
+    return ids, mat
+
+
 def embedding_neardup_remove(ds, threshold: float, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             chunk_rows: int = 65536):
+                             chunk_rows: int = 65536,
+                             num_partitions: Optional[int] = None):
     """EXACT embedding-cosine near-duplicate removal: keep every row whose
     id has NO smaller-id neighbor with cosine >= ``threshold`` (the
     min-id-survivor convention shared by exact_dedup / minhash; the vector
     analog of SignatureUpdateProcessor fuzzy dedup, SURVEY.md §2.7).
 
-    Shape: the full L2-normalized (N, d) matrix is broadcast ONCE
-    (``ray.put``); each batch does chunked matmuls against it and filters
-    itself map-side — no shuffle at all. This is the exact / verification
-    kernel: the broadcast side must fit in worker memory (N·d·8 bytes —
-    ~5 GB at 10M x 64d), so at full corpus scale use
-    ``embedding_neardup_lsh_pairs`` and reserve this for bounded slices,
-    verification, or the final candidate pass."""
+    Shape: a DISTRIBUTED block-pair sweep — normalized float32 blocks of
+    ≤``chunk_rows`` vectors are materialized to the object store once,
+    every ordered block pair (i ≤ j) becomes one task that matmuls the
+    two blocks and emits the dominated (larger) ids, and survivors come
+    from a ``left_anti`` hash join. No driver-side corpus materialization
+    and per-task memory is two blocks + one (chunk, chunk) sim slab.
+    Exact all-pairs is inherently O(N²/chunk²) tasks: right for exact
+    semantics at verification scale; at full-corpus scale compose
+    ``embedding_neardup_lsh_pairs`` (approximate candidates) with exact
+    verification instead.
+
+    Returns the surviving rows WITHOUT ``vec_col``: Arrow hash joins
+    reject list-typed non-key payloads ("not supported in join non-key
+    field"), and dedup consumers key on ids — re-attach vectors with a
+    semi-join against the source table when needed."""
     import ray
+    import ray.data
+
+    from .relational import default_shuffle_partitions
+
+    block_refs = _normalized_blocks(ds, id_col, vec_col, chunk_rows)
+    nb = len(block_refs)
+    if nb == 0:
+        return ds
+
+    pairs = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    )
+
+    def dominated_ids(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, j in zip(batch["i"].to_numpy(), batch["j"].to_numpy()):
+            ids_a, A = _decode_block(ray.get(block_refs[int(i)]))
+            if i == j:
+                ids_b, B = ids_a, A
+            else:
+                ids_b, B = _decode_block(ray.get(block_refs[int(j)]))
+            if not len(ids_a) or not len(ids_b):
+                continue
+            sims = A @ B.T
+            hit = sims >= threshold
+            if i == j:
+                # within-block: only distinct pairs
+                np.fill_diagonal(hit, False)
+            if not hit.any():
+                continue
+            p, q = np.nonzero(hit)
+            ia, ib = ids_a[p], ids_b[q]
+            ne = ia != ib
+            out.append(np.maximum(ia[ne], ib[ne]))
+        dom = np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+        return pa.table({id_col: pa.array(dom, type=pa.int64())})
+
+    dom = pairs.map_batches(dominated_ids, batch_format="pyarrow", batch_size=4)
+    P = default_shuffle_partitions(num_partitions)
+    # repartition before the join: hash joins on schema-unknown lineage
+    # fail on empty shuffle partitions (ray-data notes, BASELINE.md)
+    return ds.drop_columns([vec_col]).repartition(P).join(
+        dom.repartition(P), join_type="left_anti", on=(id_col,),
+        num_partitions=P,
+    )
+
+
+def _exact_small(ds, threshold: float, id_col: str = "vec_id",
+                 vec_col: str = "embedding", chunk_rows: int = 65536):
+    """The DRIVER-BROADCAST exact kernel: collects the full L2-normalized
+    (N, d) matrix driver-side and broadcasts it once; each batch filters
+    itself with chunked matmuls — zero shuffle. Bounded inputs ONLY (the
+    broadcast must fit in worker memory); the block-pair sweep above is
+    the contract/default path."""
+    import ray
+
+    from .ann import decode_fixed_dim
 
     mats, idss = [], []
     for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        from .ann import decode_fixed_dim
-
         mats.append(decode_fixed_dim(b[vec_col]))
         idss.append(b[id_col].to_numpy())
     M = np.concatenate(mats) if mats else np.empty((0, 0))
@@ -653,8 +767,6 @@ def embedding_neardup_remove(ds, threshold: float, id_col: str = "vec_id",
     ref = ray.put((all_ids, M))
 
     def keep_rows(batch: pa.Table) -> pa.Table:
-        from .ann import decode_fixed_dim
-
         ids_all, Mn = ray.get(ref) if not isinstance(ref, tuple) else ref
         ids = batch[id_col].to_numpy()
         X = decode_fixed_dim(batch[vec_col])

@@ -3413,8 +3413,9 @@ def q_ann_ivf_recall(sf_dir: str):
 def q_dedup_embed(sf_dir: str):
     """Embedding-cosine near-duplicate removal (exact kernel): keep every
     vector with no smaller-id neighbor at cosine >= 0.35 — the min-id
-    survivor convention shared by dedup_exact/minhash. The broadcast-matmul
-    exact path is the oracle-checkable baseline; the LSH-bucketed scale
+    survivor convention shared by dedup_exact/minhash. Runs the DISTRIBUTED
+    block-pair sweep (object-store blocks + per-pair matmul tasks + anti
+    join; no driver-side corpus materialization); the LSH-bucketed scale
     variant is recall-gated in ``dedup_embed_lsh_recall``."""
     from ..functions.dedup import embedding_neardup_remove
 

@@ -118,6 +118,41 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert int(df["n_removed_exact"].iloc[0]) > 0
 
 
+def test_embedding_neardup_blockpair_vs_broadcast(ray_session):
+    """The distributed block-pair sweep (the contract/default exact path,
+    no driver-side matrix) must produce exactly the broadcast kernel's
+    survivor ids — forced multi-block with a tiny chunk_rows so cross-block
+    pairs are actually exercised."""
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import (
+        _exact_small,
+        embedding_neardup_remove,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 200, 16
+    X = rng.standard_normal((n, d))
+    # plant near-dups: rows 150..199 are noisy copies of rows 0..49
+    X[150:] = X[:50] + 0.01 * rng.standard_normal((50, d))
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(X.tolist(), type=pa.large_list(pa.float64())),
+        "label": pa.array((ids % 5).astype(np.int64)),
+    })
+    got = embedding_neardup_remove(
+        ray.data.from_arrow(tab), threshold=0.95, chunk_rows=32
+    ).to_pandas()
+    exp = _exact_small(ray.data.from_arrow(tab), threshold=0.95).to_pandas()
+    assert sorted(got["vec_id"]) == sorted(exp["vec_id"])
+    # planted copies (larger ids) are removed, sources survive
+    assert set(ids[:50]) <= set(got["vec_id"])
+    assert not set(ids[150:]) & set(got["vec_id"])
+    # scalar payload columns ride along (vec_col is dropped by contract)
+    assert set(got.columns) == {"vec_id", "label"}
+
+
 def test_span_dedup_planted_duplicates(ray_session):
     """Rolling-hash span dedup finds exactly the planted duplicated
     passage and never matches windows across doc boundaries."""
