@@ -316,34 +316,81 @@ def distinct_pairs(pairs, value_col: Optional[str] = None, mode: str = "min"):
 
 
 # ---------------------------------------------------------------- exact ----
-def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex32(h1: np.ndarray, h2: np.ndarray) -> pa.Array:
+    """Two uint64 columns → fixed 32-hex Arrow strings, fully vectorized
+    (nibble lookup + from_buffers; zero Python per row)."""
+    n = len(h1)
+    hb = (
+        np.ascontiguousarray(np.column_stack([h1, h2]).astype(">u8"))
+        .view(np.uint8)
+        .reshape(n, 16)
+    )
+    out = np.empty((n, 32), dtype=np.uint8)
+    out[:, 0::2] = _HEX_DIGITS[hb >> 4]
+    out[:, 1::2] = _HEX_DIGITS[hb & 15]
+    offs = np.arange(n + 1, dtype=np.int32) * 32
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offs.tobytes()), pa.py_buffer(out.reshape(-1).tobytes())
+    )
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     algo: str = "fast") -> pa.Table:
+    """32-hex content key per row.
+
+    ``algo="fast"`` (default): a 128-bit key from two seeded polars
+    (xxhash-family) 64-bit column hashes — one C call per seed per batch,
+    no Python per row (the per-row ``hashlib.md5`` loop was the round-3
+    hot-path finding). ``algo="md5"``: byte-parity with the reference's
+    MD5Signature / SQL ``md5()`` — the oracle/parity path only."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if algo == "fast":
+        try:
+            import polars as pl
+
+            s = pl.from_arrow(pc.coalesce(texts, ""))
+            h1 = s.hash(seed=0).to_numpy().astype(np.uint64)
+            h2 = s.hash(seed=1).to_numpy().astype(np.uint64)
+            return batch.append_column("content_hash", _hex32(h1, h2))
+        except Exception:  # pragma: no cover - polars is baked into the image
+            pass
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts.to_pylist()]
     return batch.append_column("content_hash", pa.array(h, type=pa.string()))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                algo: str = "fast"):
     """Keep the min-id row per distinct content: hash → groupby → first.
-    (groupby on the 32-hex hash: uniform, unskewed key. md5 is kept for
-    byte-parity with the reference's MD5Signature / the SQL oracle.)"""
+    (groupby on the 32-hex hash: uniform, unskewed key. Pass
+    ``algo="md5"`` for byte-parity with MD5Signature / a SQL oracle that
+    compares hash VALUES; the default vectorized key dedups identically.)"""
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
 
     return (
-        ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: add_content_hash(b, text_col, algo), batch_format="pyarrow"
+        )
         .groupby("content_hash")
         .map_groups(keep_first, batch_format="pandas")
     )
 
 
-def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text",
+                    algo: str = "fast"):
     """(id, content_hash) survivors via a NATIVE hash aggregate — min(id)
     per content hash, no per-group Python. Use when only the surviving ids
     are needed (the common curation case)."""
     from ray.data.aggregate import Min
 
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        lambda b: add_content_hash(b, text_col, algo).select(["content_hash", id_col]),
         batch_format="pyarrow",
     )
     agg = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))

@@ -1479,19 +1479,25 @@ def q_langid_eval(sf_dir: str):
 
 # ================================================================== dedup ==
 def q_dedup_exact(sf_dir: str):
-    """SignatureUpdateProcessor exact dedup — only (survivor id, hash) is
-    needed here, so the NATIVE min-id aggregate path runs (one Arrow hash
-    agg, no per-group Python; exact_dedup keeps full rows when callers
-    need them)."""
+    """SignatureUpdateProcessor exact dedup — only the survivor ids are
+    needed here, so the NATIVE min-id aggregate runs over the vectorized
+    128-bit content key (one polars hash call per batch; the per-row md5
+    loop was the round-3 hot-path finding). Hash VALUES never cross the
+    oracle boundary — survivor ids are hash-function-independent — so the
+    contract compares ids only; ``doc_fingerprints`` remains the
+    md5/MD5Signature byte-parity entry."""
     from ..functions.dedup import exact_dedup_ids
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_dedup_ids(ds, id_col="doc_id", text_col="text")
+    ids = exact_dedup_ids(ds, id_col="doc_id", text_col="text")
+    return ids.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
 
 
 def sql_dedup_exact() -> str:
     return """
-SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+SELECT min(doc_id) AS doc_id
 FROM documents GROUP BY text
 """
 
