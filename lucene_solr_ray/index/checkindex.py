@@ -52,9 +52,12 @@ def check_segment(seg_dir: str) -> List[str]:
     _require(m.get("terms") == n_terms, f"{seg_dir}: manifest term count", errors)
     _require(m.get("docs") == r.num_docs, f"{seg_dir}: manifest doc count", errors)
 
-    if n_terms:
+    if n_terms > 1:
+        import pyarrow.compute as pc
+
+        ta = r.terms.slice(0, n_terms)
         _require(
-            all(r.terms[i] < r.terms[i + 1] for i in range(n_terms - 1)),
+            bool(pc.all(pc.less(ta.slice(0, n_terms - 1), ta.slice(1))).as_py()),
             f"{seg_dir}: term dictionary not strictly sorted",
             errors,
         )

@@ -128,8 +128,10 @@ def _merge_to(
         m[np.nonzero(live)[0]] = np.searchsorted(merged_urls, urls)
         docmaps.append(m)
 
-    # merged vocabulary (terms whose postings all died are dropped below)
-    vocab_cat = np.concatenate([r.terms for r in readers])
+    # merged vocabulary (terms whose postings all died are dropped below);
+    # as_object() is the documented offline materialization of TermDict —
+    # merge is a batch path, never a searcher actor
+    vocab_cat = np.concatenate([r.terms.as_object() for r in readers])
     merged_vocab = np.unique(vocab_cat)
 
     # positions survive the merge iff every input segment carries them
@@ -149,7 +151,7 @@ def _merge_to(
         tids, docids, freqs = _decode_all_postings(r)
         new_docids = dmap[docids]
         keep = new_docids >= 0
-        tid_map = np.searchsorted(merged_vocab, r.terms)
+        tid_map = np.searchsorted(merged_vocab, r.terms.as_object())
         tid_chunks.append(tid_map[tids[keep]])
         docid_chunks.append(new_docids[keep])
         freq_chunks.append(freqs[keep])

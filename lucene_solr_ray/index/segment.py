@@ -341,6 +341,97 @@ def add_deletes(seg_dir: str, docids) -> int:
     return new
 
 
+class TermDict:
+    """Sorted term dictionary kept as the Arrow string column itself —
+    zero-copy offset/byte views instead of a numpy OBJECT array of Python
+    str (~60-80 B/term heap multiplier; at 100x vocab that materialization
+    was the searcher actor's memory ceiling — SURVEY.md Appendix B, the
+    round-3 finding). Probes run as a sampled-prefix-index narrowing
+    (numpy S-dtype searchsorted, C speed) followed by an exact bytes
+    bisect inside the ~SAMPLE-row window — the in-memory analog of
+    Lucene's FST-from-term-prefixes → sorted-block walk (reference:
+    lucene/core/.../codecs/blocktree/BlockTreeTermsWriter.java,
+    branch_8x)."""
+
+    SAMPLE = 64  # one prefix-index entry per SAMPLE terms
+    PREFIX = 16  # bytes per index entry
+
+    def __init__(self, col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        self.arr = col
+        n = len(col)
+        bufs = col.buffers()
+        wide = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+        off_dtype = np.int64 if wide else np.int32
+        self._off = np.frombuffer(bufs[1], dtype=off_dtype)[
+            col.offset : col.offset + n + 1
+        ]
+        self._data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        # sampled prefix index: first PREFIX bytes of every SAMPLE-th term.
+        # prefix(x) is monotone in x, so sample searchsorted bounds the
+        # exact insertion point to a ±1-sample window (proof in probe()).
+        idx = np.arange(0, n, self.SAMPLE)
+        samp = np.zeros((len(idx), self.PREFIX), dtype=np.uint8)
+        for k, i in enumerate(idx):  # n/SAMPLE iterations, build-time only
+            s = int(self._off[i])
+            e = min(int(self._off[i + 1]), s + self.PREFIX)
+            samp[k, : e - s] = self._data[s:e]
+        self._sample = samp.view(f"S{self.PREFIX}").ravel()
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            lo, hi, step = i.indices(len(self))
+            assert step == 1
+            return self.arr.slice(lo, hi - lo)
+        return self.arr[i].as_py()
+
+    def term_bytes(self, i: int) -> bytes:
+        s, e = int(self._off[i]), int(self._off[i + 1])
+        return self._data[s:e].tobytes()
+
+    def slice(self, lo: int, hi: int) -> pa.Array:
+        """Zero-copy Arrow slice [lo, hi) for vectorized vocab scans."""
+        return self.arr.slice(lo, hi - lo)
+
+    def as_object(self) -> np.ndarray:
+        """Materialize as a numpy object array — OFFLINE batch paths only
+        (segment merge); never build this inside a searcher actor."""
+        return np.asarray(self.arr.to_pandas(), dtype=object)
+
+    def searchsorted(self, key, side: str = "left") -> int:
+        """Insertion point of ``key`` (str or raw bytes) — sampled-prefix
+        narrowing + exact bytes bisect. UTF-8 byte order == code point
+        order, so this matches numpy str searchsorted exactly."""
+        kb = key.encode("utf-8") if isinstance(key, str) else bytes(key)
+        n = len(self)
+        if n == 0:
+            return 0
+        kp = np.bytes_(kb[: self.PREFIX])
+        # samples[i] < prefix(kb) ⇒ terms[i·S] < kb (strict prefix order
+        # implies strict full order); samples[i] > prefix(kb) ⇒
+        # terms[i·S] > kb — so the answer lies in ((l-1)·S, r·S]
+        l = int(np.searchsorted(self._sample, kp, side="left"))
+        r = int(np.searchsorted(self._sample, kp, side="right"))
+        lo = max(0, (l - 1) * self.SAMPLE)
+        hi = min(n, r * self.SAMPLE + 1)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            t = self.term_bytes(mid)
+            if t < kb or (side == "right" and t == kb):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+
 class SegmentReader:
     """mmap-backed read path (analog of MMapDirectory + SegmentReader;
     reference: lucene/core/src/java/org/apache/lucene/store/MMapDirectory.java,
@@ -349,7 +440,7 @@ class SegmentReader:
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
         t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
-        self.terms = np.asarray(t["term"].to_pandas(), dtype=object)
+        self.terms = TermDict(t["term"])
         self.df = t["df"].to_numpy()
         self.total_tf = t["total_tf"].to_numpy()
         self.offset = t["offset"].to_numpy()
@@ -414,8 +505,9 @@ class SegmentReader:
 
     def lookup(self, term: str) -> int:
         """Binary search the sorted term dictionary → ordinal or -1."""
-        i = int(np.searchsorted(self.terms, term))
-        if i < len(self.terms) and self.terms[i] == term:
+        kb = term.encode("utf-8")
+        i = self.terms.searchsorted(kb)
+        if i < len(self.terms) and self.terms.term_bytes(i) == kb:
             return i
         return -1
 
@@ -471,8 +563,11 @@ class SegmentReader:
         sorted-term-block range scan behind PrefixQuery (reference:
         lucene/core/src/java/org/apache/lucene/search/PrefixQuery.java via
         automaton ∩ term dict, branch_8x; SURVEY.md §2.3)."""
-        lo = int(np.searchsorted(self.terms, prefix))
-        hi = int(np.searchsorted(self.terms, prefix + "\U0010FFFF"))
+        pb = prefix.encode("utf-8")
+        lo = self.terms.searchsorted(pb)
+        # no UTF-8 byte is 0xFF, so prefix+b'\xff' upper-bounds exactly the
+        # terms that start with prefix
+        hi = self.terms.searchsorted(pb + b"\xff")
         return lo, hi
 
     def postings(self, ordinal: int):

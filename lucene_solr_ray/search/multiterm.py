@@ -43,7 +43,8 @@ def wildcard_to_regex(pattern: str) -> Tuple[str, str]:
 
 
 def _vocab_slice(reader, lo: int, hi: int) -> pa.Array:
-    return pa.array(reader.terms[lo:hi], type=pa.string())
+    # zero-copy Arrow slice of the TermDict (no Python-str materialization)
+    return reader.terms.slice(lo, hi)
 
 
 def expand_wildcard(reader, pattern: str) -> np.ndarray:
@@ -113,11 +114,14 @@ def expand_fuzzy(reader, term: str, max_edits: int = 2, prefix_len: int = 0) -> 
         lo, hi = 0, len(reader.terms)
     if lo >= hi:
         return np.empty(0, dtype=np.int64)
-    cands = reader.terms[lo:hi]
-    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=len(cands))
+    sl = reader.terms.slice(lo, hi)
+    # vectorized length band over the Arrow slice; only the banded
+    # candidates materialize as Python strs for the DP codepoint matrix
+    lens = pc.utf8_length(sl).to_numpy(zero_copy_only=False).astype(np.int64)
     band = np.abs(lens - len(term)) <= max_edits
     idx = np.nonzero(band)[0]
     if len(idx) == 0:
         return np.empty(0, dtype=np.int64)
-    d = levenshtein_batch(cands[idx], term)
+    cands = np.asarray(sl.take(pa.array(idx)).to_pylist(), dtype=object)
+    d = levenshtein_batch(cands, term)
     return lo + idx[d <= max_edits]

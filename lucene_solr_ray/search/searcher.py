@@ -234,15 +234,13 @@ def _bool_eval_node(
         lo, hi = node.get("lo"), node.get("hi")
         lo_i = (
             0 if lo in (None, "*")
-            else int(np.searchsorted(
-                reader.terms, lo,
-                side="left" if node.get("lo_inc", True) else "right"))
+            else reader.terms.searchsorted(
+                lo, side="left" if node.get("lo_inc", True) else "right")
         )
         hi_i = (
             len(reader.terms) if hi in (None, "*")
-            else int(np.searchsorted(
-                reader.terms, hi,
-                side="right" if node.get("hi_inc", True) else "left"))
+            else reader.terms.searchsorted(
+                hi, side="right" if node.get("hi_inc", True) else "left")
         )
         matched = np.zeros(n, dtype=bool)
         for o in range(lo_i, hi_i):
