@@ -330,30 +330,50 @@ def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
     ``(window_width − k) ≤ slop`` — SpanNearQuery(inOrder=false)-style
     semantics (reference: lucene/core/src/java/org/apache/lucene/search/
     SloppyPhraseMatcher.java ~600 LoC, branch_8x; our matcher uses the
-    public minimal-covering-window formulation rather than Lucene's
-    repeats-aware edit-distance — a documented deviation, pinned by the
-    pure-Python oracle)."""
+    minimal-covering-window formulation rather than Lucene's
+    edit-distance weighting — a documented deviation pinned by the
+    pure-Python oracle — but is REPEATS-AWARE like SloppyPhraseMatcher:
+    identical position lists are a repeated query term ("a b a"), and a
+    window must contain at least multiplicity-many DISTINCT positions of
+    that term; without this, one occurrence would satisfy every repeat
+    slot (SloppyPhraseMatcher's PhrasePositions repeats groups)."""
     kterms = len(pos_lists)
-    events = np.concatenate(pos_lists)
+    # group repeated terms: within one doc a position holds exactly one
+    # term, so identical lists ⇔ the same query term repeated
+    uniq: List[np.ndarray] = []
+    mult: List[int] = []
+    for p in pos_lists:
+        p = np.asarray(p, dtype=np.int64)
+        for ui, u in enumerate(uniq):
+            if len(u) == len(p) and np.array_equal(u, p):
+                mult[ui] += 1
+                break
+        else:
+            uniq.append(p)
+            mult.append(1)
+    mults = np.asarray(mult, dtype=np.int64)
+    n_uniq = len(uniq)
+    events = np.concatenate(uniq)
     labels = np.concatenate(
-        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(uniq)]
     )
     order = np.argsort(events, kind="stable")
     events, labels = events[order], labels[order]
-    count = np.zeros(kterms, dtype=np.int64)
+    count = np.zeros(n_uniq, dtype=np.int64)
     have = 0
     left = 0
     freq = 0
     for right in range(len(events)):
         lr = labels[right]
-        if count[lr] == 0:
-            have += 1
         count[lr] += 1
-        # shrink to the minimal window ending at `right`
-        while count[labels[left]] > 1:
+        if count[lr] == mults[lr]:
+            have += 1
+        # shrink to the minimal window ending at `right` (drop events a
+        # covering window does not need)
+        while count[labels[left]] > mults[labels[left]]:
             count[labels[left]] -= 1
             left += 1
-        if have == kterms:
+        if have == n_uniq:
             width = int(events[right] - events[left]) + 1
             if width - kterms <= slop:
                 freq += 1

@@ -291,6 +291,37 @@ def test_sloppy_phrase_freq_bruteforce():
         assert got == exp, (trial, [l.tolist() for l in lists], slop, got, exp)
 
 
+def test_sloppy_phrase_repeated_terms():
+    """Repeats-aware sloppy matching (SloppyPhraseMatcher repeats groups):
+    a repeated query term needs multiplicity-many DISTINCT positions in
+    the window — one occurrence must not satisfy both slots."""
+    from lucene_solr_ray.search.sloppy_check import brute_force_window_count
+    from lucene_solr_ray.search.searcher import sloppy_phrase_freq
+
+    a = np.array([0, 2], dtype=np.int64)
+    b = np.array([1], dtype=np.int64)
+    # query "a b a" over doc "a b a": exactly one covering window at slop 0
+    assert sloppy_phrase_freq([a, b, a], 0) == 1
+    # doc "a b" (a only once) can NEVER match "a b a"
+    a1 = np.array([0], dtype=np.int64)
+    for slop in range(0, 6):
+        assert sloppy_phrase_freq([a1, b, a1], slop) == 0
+    # randomized: duplicate one list into a repeat slot, engine == brute
+    rng = np.random.default_rng(9)
+    for trial in range(200):
+        slop = int(rng.integers(0, 5))
+        base = [
+            np.unique(rng.integers(0, 25, size=rng.integers(1, 6))).astype(np.int64)
+            for _ in range(int(rng.integers(2, 4)))
+        ]
+        dup = base[int(rng.integers(0, len(base)))]
+        lists = base + [dup]
+        rng.shuffle(lists)
+        got = sloppy_phrase_freq(lists, slop)
+        exp = brute_force_window_count(lists, slop)
+        assert got == exp, (trial, [l.tolist() for l in lists], slop, got, exp)
+
+
 def test_sloppy_phrase_query(ray_session, small_corpus, corpus_queries, tmp_path_factory):
     """Sloppy phrase over a positions index: engine == oracle == P=1
     (SpanNearQuery-style unordered window, slop=2)."""

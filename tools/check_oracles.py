@@ -2,6 +2,10 @@
 sf_dir and compare row count + sorted values against the DuckDB oracle.
 
 Usage: python tools/check_oracles.py [sf_dir] [name ...]
+
+Importable surface (used by tests/test_contract_sweep.py so the sweep
+can't rot out of the committed validation): ``oracle_connection(sf_dir)``
+and ``check_entry(name, sf_dir, con, qs, oracles)``.
 """
 
 from __future__ import annotations
@@ -41,6 +45,50 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def oracle_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_entry(name: str, sf_dir: str, con, qs, oracles):
+    """Run ONE contract entry → (status, detail). status ∈
+    {"pass", "rows-only", "fail"}; detail is the failure message or the
+    row count."""
+    fn = qs[name]
+    try:
+        got = normalize(to_pandas(fn(sf_dir)))
+    except Exception as e:
+        return "fail", f"engine raised {type(e).__name__}: {e}"
+    if name not in oracles:
+        return "rows-only", f"{len(got)} rows"
+    try:
+        exp = normalize(con.sql(oracles[name]).df())
+    except Exception as e:
+        return "fail", f"oracle SQL raised {e}"
+    if list(got.columns) != list(exp.columns):
+        return "fail", f"columns {list(got.columns)} != {list(exp.columns)}"
+    if len(got) != len(exp):
+        return "fail", f"rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
+        else:
+            eq = (a == b).all()
+        if not eq:
+            bad = got[c].to_numpy() != exp[c].to_numpy()
+            i = int(np.nonzero(bad)[0][0])
+            return "fail", (
+                f"column {c} differs at sorted row {i}: "
+                f"got {got.iloc[i].to_dict()} exp {exp.iloc[i].to_dict()}"
+            )
+    return "pass", f"{len(got)} rows"
+
+
 def main():
     import ray
 
@@ -57,71 +105,24 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = oracle_connection(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
-    for name, fn in qs.items():
+    for name in qs:
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        try:
-            got = normalize(to_pandas(fn(sf_dir)))
-        except Exception as e:
-            print(f"FAIL {name}: engine raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
+        status, detail = check_entry(name, sf_dir, con, qs, oracles)
         dt = time.perf_counter() - t0
-        if name not in oracles:
-            print(f"rows-only {name}: {len(got)} rows  ({dt:.1f}s)")
+        if status == "fail":
+            print(f"FAIL {name}: {detail}")
+            n_fail += 1
+        elif status == "rows-only":
+            print(f"rows-only {name}: {detail}  ({dt:.1f}s)")
             n_rowsonly += 1
-            continue
-        try:
-            exp = normalize(con.sql(oracles[name]).df())
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {e}")
-            n_fail += 1
-            continue
-        if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-            n_fail += 1
-            continue
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-            n_fail += 1
-            continue
-        mismatch = None
-        for c in got.columns:
-            a, b = got[c].to_numpy(), exp[c].to_numpy()
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
-            else:
-                eq = (a == b).all()
-            if not eq:
-                mismatch = c
-                break
-        if mismatch:
-            bad = (got[mismatch].to_numpy() != exp[mismatch].to_numpy())
-            i = int(np.nonzero(bad)[0][0])
-            print(
-                f"FAIL {name}: column {mismatch} differs at sorted row {i}: "
-                f"got {got.iloc[i].to_dict()} exp {exp.iloc[i].to_dict()}"
-            )
-            n_fail += 1
-            continue
-        # dtype check (driver compares schemas)
-        dd = [
-            (c, str(got[c].dtype), str(exp[c].dtype))
-            for c in got.columns
-            if got[c].dtype != exp[c].dtype
-        ]
-        note = f"  [dtype diff: {dd}]" if dd else ""
-        print(f"PASS {name}: {len(got)} rows  ({dt:.1f}s){note}")
-        n_pass += 1
+        else:
+            print(f"PASS {name}: {detail}  ({dt:.1f}s)")
+            n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
