@@ -1,12 +1,19 @@
-"""Multimodal (image/audio/video) column plumbing — decode stubbed.
+"""Multimodal (image/audio/video) column plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata, exactly the
-pattern the index treats the ``html`` column with (SURVEY.md §1.2). The
-decode/feature kernels would be actor-pool ``map_batches`` stages loading
-codecs once per actor — the image/audio libraries are NOT in this
-container, so the kernel body is stubbed (clearly marked), while the
-Ray-side plumbing is real and tested: schema, batch sizing for large
-binary payloads, actor signature, output layout.
+pattern the index treats the ``html`` column with (SURVEY.md §1.2).
+Decode/feature kernels are actor-pool ``map_batches`` stages loading their
+codec once per actor. Two tiers ship here:
+
+- **ImageMetaStage** — a REAL pure-Python container-header decoder
+  (PNG IHDR / JPEG SOFn segment walk / GIF logical-screen descriptor /
+  BMP DIB header): format, width, height, bit depth, with matching
+  byte-exact synthesizers for fixtures. No external libs needed.
+- **MediaDecodeStage** — full pixel/sample decode + feature extraction;
+  the kernel body remains stubbed (clearly marked) because PIL/ffmpeg/
+  soundfile are NOT in this container, while the Ray-side plumbing —
+  schema, batch sizing for large binary payloads, actor signature,
+  output layout — is real and tested.
 
 Batch-size note (SURVEY.md §7.4.4 / ray_guide "Memory-aware"): binary
 payload stages must use a SMALL ``batch_size`` (payload_bytes × batch ×
@@ -17,11 +24,16 @@ concurrency must fit the worker heap) and ``batch_format="pyarrow"``
 from __future__ import annotations
 
 import hashlib
+from typing import Tuple
 
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["binary_meta_batch", "MediaDecodeStage", "SUGGESTED_BINARY_BATCH_SIZE"]
+__all__ = [
+    "binary_meta_batch", "MediaDecodeStage", "SUGGESTED_BINARY_BATCH_SIZE",
+    "parse_image_header", "ImageMetaStage",
+    "make_png", "make_jpeg", "make_gif", "make_bmp",
+]
 
 SUGGESTED_BINARY_BATCH_SIZE = 64  # rows per batch for multi-MB payloads
 
@@ -37,6 +49,165 @@ def binary_meta_batch(batch: pa.Table, bin_col: str = "payload") -> pa.Table:
     )
 
 
+def parse_image_header(p: bytes) -> Tuple[str, int, int, int]:
+    """(format, width, height, bit_depth) from raw image bytes — a pure
+    container-header walk, no pixel decode, no external libraries.
+
+    - PNG: 8-byte signature, then the IHDR chunk (width/height uint32 BE,
+      bit-depth byte).
+    - JPEG: SOI then a segment walk to the first frame header SOF0-SOF15
+      (skipping DHT/JPG/DAC, standalone markers and fill bytes); height/
+      width uint16 BE, precision byte.
+    - GIF: GIF87a/GIF89a signature + logical screen descriptor (uint16
+      LE), bit depth from the packed color-resolution field.
+    - BMP: 'BM' + BITMAPINFOHEADER (int32 LE, height may be negative for
+      top-down rows), bit depth uint16 LE.
+    Raises ValueError for unrecognized containers."""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(p) < 25 or p[12:16] != b"IHDR":
+            raise ValueError("truncated PNG header")
+        w = int.from_bytes(p[16:20], "big")
+        h = int.from_bytes(p[20:24], "big")
+        return "png", w, h, p[24]
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        n = len(p)
+        while i + 1 < n:
+            if p[i] != 0xFF:
+                break
+            marker = p[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            if i + 4 > n:
+                break
+            seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break
+                precision = p[i + 4]
+                h = int.from_bytes(p[i + 5 : i + 7], "big")
+                w = int.from_bytes(p[i + 7 : i + 9], "big")
+                return "jpeg", w, h, precision
+            i += 2 + seglen
+        raise ValueError("no JPEG SOF frame header found")
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        if len(p) < 11:
+            raise ValueError("truncated GIF header")
+        w = int.from_bytes(p[6:8], "little")
+        h = int.from_bytes(p[8:10], "little")
+        return "gif", w, h, (p[10] & 0x07) + 1
+    if p[:2] == b"BM":
+        if len(p) < 30:
+            raise ValueError("truncated BMP header")
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = abs(int.from_bytes(p[22:26], "little", signed=True))
+        return "bmp", w, h, int.from_bytes(p[28:30], "little")
+    raise ValueError("unrecognized image container")
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + tag + data
+        + zlib.crc32(tag + data).to_bytes(4, "big")
+    )
+
+
+def make_png(w: int, h: int, depth: int = 8) -> bytes:
+    """Structurally valid minimal PNG (signature + IHDR + empty IDAT +
+    IEND, real CRCs) — fixture for the header decoder."""
+    import zlib
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, 0, 0, 0, 0])  # grayscale, deflate, adaptive, none
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w: int, h: int, precision: int = 8) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0 frame header + EOI."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = (
+        bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 0x11, 0x11, 0])  # one component
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+        + b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(w: int, h: int) -> bytes:
+    """Minimal GIF89a: header + screen descriptor (256-entry GCT → bit
+    depth 8) + global color table + trailer."""
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit color resolution
+        + b"\x00" * (256 * 3)
+        + b"\x3b"
+    )
+
+
+def make_bmp(w: int, h: int, depth: int = 24) -> bytes:
+    """Minimal BMP: file header + BITMAPINFOHEADER (no pixel data)."""
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + depth.to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return b"BM" + (14 + len(dib)).to_bytes(4, "little") + b"\x00" * 8 + dib
+
+
+class ImageMetaStage:
+    """REAL actor-pool image decode stage (container headers): one batch
+    of binary payloads → format/width/height/bit_depth columns via
+    ``parse_image_header``. Unrecognized payloads surface as nulls (a
+    crawl batch must not die on one corrupt file); the payload column is
+    dropped post-decode. Stateless beyond construction, but kept a
+    callable CLASS so the wiring matches the heavier codec stages
+    (SURVEY.md §2.4: setup once per actor, work per batch)."""
+
+    def __init__(self, bin_col: str = "payload", drop_payload: bool = True):
+        self.bin_col = bin_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts, ws, hs, ds = [], [], [], []
+        for p in batch[self.bin_col].to_pylist():
+            try:
+                f, w, h, d = parse_image_header(p)
+            except (ValueError, IndexError):
+                f, w, h, d = None, None, None, None
+            fmts.append(f)
+            ws.append(w)
+            hs.append(h)
+            ds.append(d)
+        out = batch.drop_columns([self.bin_col]) if self.drop_payload else batch
+        return (
+            out.append_column("format", pa.array(fmts, type=pa.string()))
+            .append_column("width", pa.array(ws, type=pa.int64()))
+            .append_column("height", pa.array(hs, type=pa.int64()))
+            .append_column("bit_depth", pa.array(ds, type=pa.int64()))
+        )
+
+
 class MediaDecodeStage:
     """Actor-pool decode/feature stage. Real plumbing, stubbed kernel.
 
@@ -48,7 +219,8 @@ class MediaDecodeStage:
     ``fake=True`` produces a deterministic feature vector derived from the
     payload hash (for pipeline tests); ``fake=False`` raises
     NotImplementedError at the decode call — the marked integration point
-    for PIL/ffmpeg/soundfile when available.
+    for PIL/ffmpeg/soundfile when available. The REAL header-level image
+    decoder (no external libs) is ``ImageMetaStage`` above.
     """
 
     FEATURE_DIM = 16

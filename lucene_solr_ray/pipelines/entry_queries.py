@@ -1623,6 +1623,64 @@ def sql_binary_meta() -> str:
     return "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents"
 
 
+def q_image_meta(sf_dir: str):
+    """REAL image decode (container headers, no external libs): per doc, a
+    byte-exact PNG/JPEG/GIF/BMP payload is synthesized from doc_id (format
+    cycles by doc_id % 4, dimensions derive arithmetically), then the
+    ImageMetaStage actor pool parses format/width/height/bit_depth back
+    out of the BYTES. The oracle recomputes the planted dimensions from
+    doc_id — matching proves the synthesizer↔parser round trip, i.e. the
+    decoder actually reads the container headers."""
+    from ..functions.dedup import default_actor_concurrency
+    from ..functions.multimodal import (
+        SUGGESTED_BINARY_BATCH_SIZE,
+        ImageMetaStage,
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_png,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    MAKERS = (make_png, make_jpeg, make_gif, make_bmp)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        payloads = [
+            MAKERS[int(i) % 4](int(i) % 640 + 1, int(i) % 480 + 1) for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return (
+        ds.map_batches(mk, batch_format="pyarrow")
+        .map_batches(
+            ImageMetaStage,
+            batch_format="pyarrow",
+            batch_size=SUGGESTED_BINARY_BATCH_SIZE * 4,
+            concurrency=default_actor_concurrency(),
+        )
+        .select_columns(["doc_id", "format", "width", "height", "bit_depth"])
+    )
+
+
+def sql_image_meta() -> str:
+    # gif bit depth comes from the 8-bit color-resolution field; png
+    # grayscale depth 8; jpeg precision 8; bmp 24-bit
+    return """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+       CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+       CAST(CASE doc_id % 4 WHEN 3 THEN 24 ELSE 8 END AS BIGINT) AS bit_depth
+FROM documents
+"""
+
+
 # ============================================================== relational ==
 def q_rollup_pricing(sf_dir: str):
     """TPC-H Q1-shaped rollup (RollupStream + SlotAcc aggregates)."""
@@ -4321,6 +4379,7 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     # multimodal plumbing
     "binary_meta": q_binary_meta,
+    "image_meta": q_image_meta,
     # relational / streaming-expression surface (§2.5-§2.8)
     "rollup_pricing": q_rollup_pricing,
     "join_nation_revenue": q_join_nation_revenue,
@@ -4421,6 +4480,7 @@ ORACLES = {
     "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),
     "binary_meta": sql_binary_meta(),
+    "image_meta": sql_image_meta(),
     "rollup_pricing": sql_rollup_pricing(),
     "join_nation_revenue": sql_join_nation_revenue(),
     "top_orders": sql_top_orders(),

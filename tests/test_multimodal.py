@@ -1,0 +1,77 @@
+"""Image container-header decoder: synthesizer↔parser round trips for
+every format, adversarial/malformed payloads, and the actor-pool stage
+end-to-end (nulls for corrupt rows, payload dropped)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.functions.multimodal import (
+    ImageMetaStage,
+    make_bmp,
+    make_gif,
+    make_jpeg,
+    make_png,
+    parse_image_header,
+)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 3), (640, 480), (65535, 1), (123, 65535)])
+def test_header_roundtrip_all_formats(w, h):
+    assert parse_image_header(make_png(w, h)) == ("png", w, h, 8)
+    assert parse_image_header(make_jpeg(w, h)) == ("jpeg", w, h, 8)
+    if w <= 65535 and h <= 65535:
+        assert parse_image_header(make_gif(w, h)) == ("gif", w, h, 8)
+    assert parse_image_header(make_bmp(w, h)) == ("bmp", w, h, 24)
+
+
+def test_png_large_dims_and_depth():
+    # PNG dims are uint32 BE — beyond the 16-bit formats
+    assert parse_image_header(make_png(1_000_000, 2, depth=16)) == (
+        "png", 1_000_000, 2, 16)
+
+
+def test_jpeg_sof_walk_skips_segments():
+    # extra APPn/COM/DQT segments before SOF must be walked over; DHT
+    # (0xC4) must NOT be mistaken for a frame header
+    jp = make_jpeg(321, 123)
+    soi, rest = jp[:2], jp[2:]
+    com = b"\xff\xfe" + (12).to_bytes(2, "big") + b"0123456789"
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x00\x00"
+    assert parse_image_header(soi + com + dht + rest) == ("jpeg", 321, 123, 8)
+
+
+def test_bmp_topdown_negative_height():
+    p = bytearray(make_bmp(10, 20))
+    p[22:26] = (-20).to_bytes(4, "little", signed=True)
+    assert parse_image_header(bytes(p)) == ("bmp", 10, 20, 24)
+
+
+@pytest.mark.parametrize("payload", [
+    b"", b"\x00", b"not an image at all",
+    b"\x89PNG\r\n\x1a\n",                      # truncated PNG
+    b"\xff\xd8\xff\xd9",                        # JPEG with no SOF
+    b"GIF89a" + b"\x01",                        # truncated GIF
+    b"BM\x00\x00",                              # truncated BMP
+])
+def test_malformed_payloads_raise(payload):
+    with pytest.raises(ValueError):
+        parse_image_header(payload)
+
+
+def test_image_meta_stage_batch():
+    stage = ImageMetaStage()
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "payload": pa.array(
+            [make_png(3, 4), make_jpeg(5, 6), make_gif(7, 8), make_bmp(9, 10),
+             b"corrupt bytes"],
+            type=pa.binary()),
+    })
+    out = stage(batch).to_pandas()
+    assert "payload" not in out.columns
+    assert list(out["format"]) == ["png", "jpeg", "gif", "bmp", None]
+    assert list(out["width"].astype("Int64")) == [3, 5, 7, 9, None] or (
+        out["width"].tolist()[:4] == [3, 5, 7, 9] and np.isnan(out["width"].iloc[4]))
+    assert out["height"].tolist()[:4] == [4, 6, 8, 10]
+    assert out["bit_depth"].tolist()[:4] == [8, 8, 8, 24]
