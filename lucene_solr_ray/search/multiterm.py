@@ -10,13 +10,18 @@ CONSTANT SCORE (MultiTermQuery CONSTANT_SCORE_REWRITE; we do not
 re-create FuzzyQuery's blended-freq scoring — documented deviation).
 
 Scan costs are bounded: wildcard/fuzzy narrow the scan to the literal /
-required prefix range first; regexp runs one RE2 kernel over the vocab
-(vectorized C, ~50k terms per segment — microseconds)."""
+required prefix range first; regexp extracts the pattern's REQUIRED
+PREFIX SET (top-level alternation branches, bounded group/char-class
+expansion — the cheap core of Lucene's automaton ∩ term-dict
+intersection, no full FST needed) and RE2-scans only the matching
+sorted-vocab ranges, falling back to one full-vocab kernel when the
+pattern is unbounded at position 0. ``SCAN_STATS`` counts scanned vs
+total vocab terms so benches can show the narrowed path engaging."""
 
 from __future__ import annotations
 
 import re
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -24,8 +29,152 @@ import pyarrow.compute as pc
 
 __all__ = [
     "wildcard_to_regex", "expand_wildcard", "expand_regexp", "expand_fuzzy",
-    "levenshtein_batch",
+    "levenshtein_batch", "regex_prefix_set", "SCAN_STATS",
 ]
+
+# per-process diagnostic: vocab narrowing effectiveness (reset at will)
+SCAN_STATS = {"calls": 0, "scanned_terms": 0, "total_terms": 0}
+
+
+def _split_toplevel_alt(p: str) -> List[str]:
+    """Split on unescaped ``|`` at paren depth 0, outside char classes."""
+    parts, cur = [], []
+    depth, in_cls = 0, False
+    i, n = 0, len(p)
+    while i < n:
+        c = p[i]
+        if c == "\\" and i + 1 < n:
+            cur.append(p[i : i + 2])
+            i += 2
+            continue
+        if in_cls:
+            cur.append(c)
+            if c == "]":
+                in_cls = False
+        elif c == "[":
+            in_cls = True
+            cur.append(c)
+            if i + 1 < n and p[i + 1] == "]":  # leading ] is a literal
+                cur.append("]")
+                i += 1
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _seq_prefixes(s: str, cap: int) -> Tuple[set, bool]:
+    """(required prefixes, consumed_whole_sequence) for one alternation-free
+    branch: walk literals / escaped literals / fully-literal groups / small
+    char classes left to right; stop (returning the prefixes accumulated
+    so far) at the first element that is optional, variable-width, or too
+    complex. Every string the branch matches starts with one of the
+    returned prefixes."""
+    prefixes = {""}
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        alts: Optional[set] = None
+        if c == "\\":
+            if i + 1 >= n or s[i + 1] in "dDwWsSbBAZ0123456789":
+                return prefixes, False  # class escape / backref: not literal
+            alts = {s[i + 1]}
+            j = i + 2
+        elif c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] == "\\":
+                    j += 1
+                elif s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return prefixes, False
+            inner = s[i + 1 : j - 1]
+            if inner.startswith("?:"):
+                inner = inner[2:]
+            elif inner.startswith("?"):
+                return prefixes, False  # lookaround / named group: bail
+            sub = set()
+            for b in _split_toplevel_alt(inner):
+                ps, full = _seq_prefixes(b, cap)
+                if not full:
+                    return prefixes, False  # partial branch: can't append
+                sub |= ps
+            alts = sub
+        elif c == "[":
+            j = i + 1
+            if j < n and s[j] == "^":
+                return prefixes, False
+            members = []
+            if j < n and s[j] == "]":
+                members.append("]")
+                j += 1
+            while j < n and s[j] != "]":
+                if s[j] == "\\" and j + 1 < n:
+                    members.append(s[j + 1])
+                    j += 2
+                    continue
+                if j + 2 < n and s[j + 1] == "-" and s[j + 2] != "]":
+                    lo_c, hi_c = ord(s[j]), ord(s[j + 2])
+                    if hi_c - lo_c > 8 or hi_c < lo_c:
+                        return prefixes, False
+                    members.extend(chr(x) for x in range(lo_c, hi_c + 1))
+                    j += 3
+                    continue
+                members.append(s[j])
+                j += 1
+            if j >= n:
+                return prefixes, False
+            j += 1
+            alts = set(members)
+        elif c in ".^$*+?{|)":
+            return prefixes, False
+        else:
+            alts = {c}
+            j = i + 1
+        if j < n and s[j] in "*?{":
+            # element optional or variable-count: prefix ends BEFORE it
+            return prefixes, False
+        new = {p + a for p in prefixes for a in alts}
+        if len(new) > cap:
+            return prefixes, False
+        prefixes = new
+        if j < n and s[j] == "+":
+            # one occurrence consumed; further repeats vary → stop here
+            return prefixes, False
+        i = j
+    return prefixes, True
+
+
+def regex_prefix_set(pattern: str, cap: int = 32) -> Optional[List[str]]:
+    """Required literal prefixes of an ANCHORED regexp — every matching
+    string starts with one of them — or None when any alternation branch
+    is unbounded at position 0 (full-vocab scan required). The bounded
+    literal/branch extraction that stands in for Lucene's automaton ∩
+    term-dictionary walk (reference: lucene/core/.../util/automaton/ +
+    AutomatonQuery.java, branch_8x; SURVEY.md §2.3)."""
+    out: set = set()
+    for b in _split_toplevel_alt(pattern):
+        ps, _full = _seq_prefixes(b, cap)
+        if ps == {""}:
+            return None
+        out |= ps
+    if len(out) > cap:
+        return None
+    return sorted(out)
 
 
 def wildcard_to_regex(pattern: str) -> Tuple[str, str]:
@@ -52,6 +201,9 @@ def expand_wildcard(reader, pattern: str) -> np.ndarray:
     range scan), then one vectorized RE2 match over the slice."""
     prefix, rx = wildcard_to_regex(pattern)
     lo, hi = reader.prefix_range(prefix) if prefix else (0, len(reader.terms))
+    SCAN_STATS["calls"] += 1
+    SCAN_STATS["scanned_terms"] += max(0, hi - lo)
+    SCAN_STATS["total_terms"] += len(reader.terms)
     if lo >= hi:
         return np.empty(0, dtype=np.int64)
     hit = pc.match_substring_regex(_vocab_slice(reader, lo, hi), rx).to_numpy(
@@ -61,14 +213,39 @@ def expand_wildcard(reader, pattern: str) -> np.ndarray:
 
 
 def expand_regexp(reader, pattern: str) -> np.ndarray:
-    """Anchored regexp over the whole vocab (RegexpQuery semantics: the
-    pattern must match the ENTIRE term)."""
-    if len(reader.terms) == 0:
+    """Anchored regexp (RegexpQuery semantics: the pattern must match the
+    ENTIRE term). The required-prefix set narrows the scan to the merged
+    sorted-vocab ranges of the prefixes; unbounded patterns scan the
+    whole vocab with one RE2 kernel."""
+    n = len(reader.terms)
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    hit = pc.match_substring_regex(
-        _vocab_slice(reader, 0, len(reader.terms)), f"^(?:{pattern})$"
-    ).to_numpy(zero_copy_only=False)
-    return np.nonzero(hit)[0]
+    prefixes = regex_prefix_set(pattern)
+    if prefixes:
+        ranges = sorted(reader.prefix_range(p) for p in prefixes)
+        merged: List[List[int]] = []
+        for lo, hi in ranges:
+            if lo >= hi:
+                continue
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+    else:
+        merged = [[0, n]]
+    SCAN_STATS["calls"] += 1
+    SCAN_STATS["scanned_terms"] += sum(hi - lo for lo, hi in merged)
+    SCAN_STATS["total_terms"] += n
+    rx = f"^(?:{pattern})$"
+    outs = []
+    for lo, hi in merged:
+        hit = pc.match_substring_regex(_vocab_slice(reader, lo, hi), rx).to_numpy(
+            zero_copy_only=False
+        )
+        outs.append(lo + np.nonzero(hit)[0])
+    if not outs:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(outs)
 
 
 def levenshtein_batch(cands: np.ndarray, query: str) -> np.ndarray:
@@ -112,6 +289,9 @@ def expand_fuzzy(reader, term: str, max_edits: int = 2, prefix_len: int = 0) -> 
         lo, hi = reader.prefix_range(term[:prefix_len])
     else:
         lo, hi = 0, len(reader.terms)
+    SCAN_STATS["calls"] += 1
+    SCAN_STATS["scanned_terms"] += max(0, hi - lo)
+    SCAN_STATS["total_terms"] += len(reader.terms)
     if lo >= hi:
         return np.empty(0, dtype=np.int64)
     sl = reader.terms.slice(lo, hi)

@@ -360,3 +360,88 @@ def test_sloppy_phrase_query(ray_session, small_corpus, corpus_queries, tmp_path
     assert np.array_equal(
         got["score"].to_numpy().astype(np.float32), exp["score"].to_numpy()
     )
+
+
+def test_regex_prefix_set():
+    """Required-prefix extraction: every matching string must start with a
+    returned prefix; None = unbounded (full scan)."""
+    from lucene_solr_ray.search.multiterm import regex_prefix_set
+
+    assert regex_prefix_set("(s|p)lan|h.sh") == ["h", "plan", "slan"]
+    assert regex_prefix_set("abc") == ["abc"]
+    assert regex_prefix_set("ab*c") == ["a"]       # b optional
+    assert regex_prefix_set("ab+c") == ["ab"]      # one b required
+    assert regex_prefix_set("a[xy]z") == ["axz", "ayz"]
+    assert regex_prefix_set("a[b-d]") == ["ab", "ac", "ad"]
+    assert regex_prefix_set(r"a\.b") == ["a.b"]    # escaped literal dot
+    assert regex_prefix_set("(?:foo|ba)r") == ["bar", "foor"]
+    assert regex_prefix_set("(|a)b") == sorted(["b", "ab"])
+    # unbounded at position 0 → None
+    assert regex_prefix_set(".*x") is None
+    assert regex_prefix_set("[^a]b") is None
+    assert regex_prefix_set(r"\d+") is None
+    assert regex_prefix_set("x|.y") is None        # one branch unbounded
+    assert regex_prefix_set("a{2,3}b") is None or regex_prefix_set("a{2,3}b") == []
+
+
+def test_regexp_narrowed_equals_full_scan():
+    """Property gate for the prefix narrowing: expand_regexp over a fake
+    sorted vocab must equal a brute-force full-vocab re.fullmatch for
+    every pattern, bounded and unbounded."""
+    import re as _re
+
+    from lucene_solr_ray.search import multiterm
+    from lucene_solr_ray.index.segment import TermDict
+    import pyarrow as _pa
+
+    rng = np.random.default_rng(13)
+    vocab = sorted({
+        "".join(rng.choice(list("abcdefgh"), size=rng.integers(2, 7)))
+        for _ in range(3000)
+    } | {"plan", "slan", "hash", "hush", "scan", "span", "query"})
+
+    class FakeReader:
+        terms = TermDict(_pa.array(vocab, type=_pa.string()))
+        def prefix_range(self, p):
+            pb = p.encode("utf-8")
+            return (self.terms.searchsorted(pb),
+                    self.terms.searchsorted(pb + b"\xff"))
+
+    r = FakeReader()
+    patterns = [
+        "(s|p)lan|h.sh", "pl.n", "s(c|p)an", "qu[de]ry", "a.*", ".*an",
+        "ab+a", "(h|q)u..", "plan|scan|span", "z+", "[ab][cd]e.*",
+    ]
+    for pat in patterns:
+        got = sorted(multiterm.expand_regexp(r, pat).tolist())
+        rx = _re.compile(f"^(?:{pat})$")
+        exp = [i for i, t in enumerate(vocab) if rx.match(t)]
+        assert got == exp, (pat, got[:5], exp[:5])
+
+
+def test_regexp_contract_pattern_narrows():
+    """The ft_regexp_count contract pattern must ENGAGE the narrowed path:
+    scanned terms ≪ vocab (the bench-visible counter)."""
+    from lucene_solr_ray.index.segment import TermDict
+    from lucene_solr_ray.search import multiterm
+    import pyarrow as _pa
+
+    rng = np.random.default_rng(3)
+    vocab = sorted({
+        "".join(rng.choice(list("abcdefghijklmnop"), size=rng.integers(3, 8)))
+        for _ in range(5000)
+    } | {"plan", "slan", "hash"})
+
+    class FakeReader:
+        terms = TermDict(_pa.array(vocab, type=_pa.string()))
+        def prefix_range(self, p):
+            pb = p.encode("utf-8")
+            return (self.terms.searchsorted(pb),
+                    self.terms.searchsorted(pb + b"\xff"))
+
+    before = dict(multiterm.SCAN_STATS)
+    ords = multiterm.expand_regexp(FakeReader(), "(s|p)lan|h.sh")
+    scanned = multiterm.SCAN_STATS["scanned_terms"] - before["scanned_terms"]
+    total = multiterm.SCAN_STATS["total_terms"] - before["total_terms"]
+    assert {vocab[i] for i in ords} >= {"plan", "slan", "hash"}
+    assert scanned < total / 3, (scanned, total)
