@@ -82,16 +82,23 @@ def _build_porter(args: dict) -> Callable[[str], Optional[str]]:
 
 
 def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
-    """SnowballPorterFilterFactory (language=English / Porter2) analog
-    (reference: lucene/analysis/common/.../snowball/
-    SnowballPorterFilterFactory.java, branch_8x). ``protected`` lists
-    terms exempt from stemming (KeywordMarkerFilter analog)."""
-    from .snowball import snowball_stem
+    """SnowballPorterFilterFactory analog (reference: lucene/analysis/
+    common/.../snowball/SnowballPorterFilterFactory.java, branch_8x).
+    ``language``: "english"/"porter2" (default) or "german" (the ICU-lite
+    language pack, analysis/german.py). ``protected`` lists terms exempt
+    from stemming (KeywordMarkerFilter analog)."""
+    lang = str(args.get("language", "english")).lower()
+    if lang in ("english", "porter2", "en"):
+        from .snowball import snowball_stem as stem
+    elif lang in ("german", "de"):
+        from .german import german_stem as stem
+    else:
+        raise KeyError(f"unknown snowball language {lang!r}")
 
     protected = frozenset(args.get("protected", ()))
     if protected:
-        return lambda t: t if t in protected else snowball_stem(t)
-    return snowball_stem
+        return lambda t: t if t in protected else stem(t)
+    return stem
 
 
 def _build_length(args: dict) -> Callable[[str], Optional[str]]:
@@ -307,7 +314,34 @@ def _build_phonetic(args: dict) -> Callable[[str], Optional[str]]:
     return _soundex
 
 
+def _icu_fold(token: str) -> str:
+    """ICUFoldingFilter analog (reference: lucene/analysis/icu/.../
+    ICUFoldingFilter.java, branch_8x — UTR#30 folding ≈ NFKC + case fold
+    + diacritic removal): explicit fold table (the non-decomposable
+    cases), then NFKD with combining marks stripped, case-folded, NFKC
+    re-composed. A superset of ascii_folding: non-Latin scripts keep
+    their (normalized, case-folded) form instead of being dropped."""
+    import unicodedata
+
+    if all(ord(c) < 128 for c in token):
+        return token.casefold()
+    out = []
+    for c in token:
+        if ord(c) < 128:
+            out.append(c)
+            continue
+        f = _FOLD.get(c)
+        if f is not None:
+            out.append(f)
+            continue
+        dec = unicodedata.normalize("NFKD", c)
+        kept = "".join(d for d in dec if not unicodedata.combining(d))
+        out.append(kept if kept else c)
+    return unicodedata.normalize("NFKC", "".join(out)).casefold()
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
+    "icu_folding": lambda args: _icu_fold,
     "phonetic": _build_phonetic,
     "stop": _build_stop,
     "porter_stem": _build_porter,

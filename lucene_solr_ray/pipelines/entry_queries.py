@@ -1073,6 +1073,103 @@ SELECT m.df, m.total_tf, s.sum_dl FROM m, s
 """
 
 
+# planted German surface forms and their Snowball-german stems (stem
+# VALUES pinned by tests/test_analyzer_filters.py German goldens; the
+# zz prefix keeps them disjoint from the natural corpus vocabulary)
+GERMAN_PLANT = [
+    ("zzHäuser", "zzhaus"),
+    ("zzKatzen", "zzkatz"),
+    ("zzLaufen", "zzlauf"),
+    ("zzSchönheit", "zzschonheit"),
+    ("zzMädchen", "zzmadch"),
+]
+
+
+def ensure_ft_german_index(sf_dir: str) -> str:
+    """documents index through the ICU-lite language pack: lowercase →
+    snowball german stemmer → icu folding (SURVEY.md §2.2 language packs;
+    round-3 verdict task 10). Each doc gets ONE planted German token
+    appended (by doc_id % 5) so the chain has non-ASCII work to do;
+    cached separately from the unigram ft index."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:german1"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+
+    base = _docs_as_pages(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        # urls are "doc://<doc_id>" in the pages mapping; recover the id
+        ids = np.asarray(
+            [int(u.rsplit("/", 1)[-1]) for u in batch["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        toks = [GERMAN_PLANT[int(i) % 5][0] for i in ids]
+        text = pc.binary_join_element_wise(
+            batch["text"], pa.array(toks, type=pa.string()), " "
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=base.map_batches(plant, batch_format="pyarrow"),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "filters": [
+                "lowercase",
+                {"name": "snowball_stem", "language": "german"},
+                "icu_folding",
+            ],
+        },
+    )
+    return index_root
+
+
+def q_ft_german_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of each planted German stem in the folded+
+    stemmed index. The stem constants are pinned by the Snowball-german
+    golden tests; the oracle recomputes the plant counts from doc_id —
+    matching proves the language-pack chain (stemmer + ICU folding) ran
+    over every document at build time."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_german_index(sf_dir)
+    stems = [s for _, s in GERMAN_PLANT]
+    stats = read_query_term_stats(idx, stems)
+    rows = [
+        {"stem": s, "df": stats.get(s, (0, 0))[0],
+         "total_tf": stats.get(s, (0, 0))[1]}
+        for s in stems
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def sql_ft_german_stem_stats() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{stem}'" for i, (_, stem) in enumerate(GERMAN_PLANT)
+    )
+    return f"""
+SELECT CASE doc_id % 5 {cases} END AS stem,
+       count(*) AS df, count(*) AS total_tf
+FROM documents GROUP BY 1
+"""
+
+
 MLT_SRC_DOC = 7
 MLT_MAX_TERMS = 10
 MLT_MIN_DF = 2
@@ -4387,6 +4484,7 @@ QUERIES = {
     "facet_event_types": q_facet_event_types,
     "facet_top_terms": q_facet_top_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
+    "ft_german_stem_stats": q_ft_german_stem_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "spellcheck_terms": q_spellcheck_terms,
@@ -4487,6 +4585,7 @@ ORACLES = {
     "facet_event_types": sql_facet_event_types(),
     "facet_top_terms": sql_facet_top_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
+    "ft_german_stem_stats": sql_ft_german_stem_stats(),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),

@@ -502,3 +502,62 @@ def test_phonetic_index_search(ray_session, tmp_path):
     assert list(res2["url"]) == ["u://0"]
     res3 = search(idx, [{"query_id": 0, "kind": "term", "terms": ["zzz"]}], k=10)
     assert len(res3) == 0
+
+
+def test_german_snowball_goldens():
+    """Hand-verified vectors of the published Snowball german algorithm
+    (snowballstem.org) — regions (incl. the R1 >= 3 adjustment), all
+    three steps, the niss rule, u-between-vowels marking, umlaut strip."""
+    from lucene_solr_ray.analysis.german import german_stem
+
+    cases = {
+        "häuser": "haus",
+        "haus": "haus",
+        "katzen": "katz",
+        "laufen": "lauf",
+        "läuft": "lauft",
+        "aufhören": "aufhor",
+        "mädchen": "madch",
+        "schönheit": "schonheit",
+        "größe": "gross",
+        "bedürfnisse": "bedurfnis",   # (b) deletion then niss → nis
+        "abenteuer": "abenteu",
+        "zulässig": "zulass",         # ig in R2
+        "wichtig": "wichtig",         # ig NOT in R2 → kept
+        "verfahren": "verfahr",
+        "aufeinander": "aufeinand",
+        "bauen": "bau",               # u between vowels marked consonant
+        "zzhäuser": "zzhaus",
+        "zzkatzen": "zzkatz",
+        "zzlaufen": "zzlauf",
+        "zzschönheit": "zzschonheit",
+        "zzmädchen": "zzmadch",
+    }
+    for w, exp in cases.items():
+        assert german_stem(w) == exp, (w, german_stem(w), exp)
+
+
+def test_snowball_language_registry():
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    de = build_filter_chain([{"name": "snowball_stem", "language": "german"}])
+    assert de("katzen") == "katz"
+    en = build_filter_chain(["snowball_stem"])
+    assert en("running") == "run"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="snowball language"):
+        build_filter_chain([{"name": "snowball_stem", "language": "klingon"}])
+
+
+def test_icu_folding_filter():
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    fold = build_filter_chain(["icu_folding"])
+    assert fold("Müller") == "muller"
+    assert fold("CAFÉ") == "cafe"
+    assert fold("straße") == "strasse"
+    assert fold("ǅungla") == "dzungla"   # titlecase digraph: NFKD+casefold
+    # non-Latin scripts survive (normalized + case-folded), not dropped
+    assert fold("ΣΟΦΙΑ") == "σοφια"
+    assert fold("plain") == "plain"
