@@ -3344,6 +3344,52 @@ FROM region
 """
 
 
+def q_xml_loader(sf_dir: str):
+    """Solr XML update-payload loader (SURVEY.md §2.1 XMLLoader): the
+    nation table rendered as TWO <add> payload files (XML-escaped field
+    values), streamed back through read_update_xml with a typed schema —
+    every nation must come back exactly once with its key intact."""
+    import xml.sax.saxutils as sx
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.xmlloader import read_update_xml
+
+    t = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    tmpdir = os.path.join("/tmp", "lsr_loader_cache",
+                          hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    os.makedirs(tmpdir, exist_ok=True)
+    rows = list(zip(t["n_nationkey"].to_pylist(), t["n_name"].to_pylist()))
+    paths = []
+    for part in range(2):
+        chunk = rows[part::2]
+        body = "".join(
+            f'<doc><field name="n_nationkey">{k}</field>'
+            f'<field name="n_name">{sx.escape(v)}</field></doc>'
+            for k, v in chunk
+        )
+        p = os.path.join(tmpdir, f"nation-{part}.xml")
+        with open(p, "w") as f:
+            f.write(f"<add>{body}</add>")
+        paths.append(p)
+    ds = read_update_xml(
+        paths,
+        schema=pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())]),
+    )
+    return rel.rollup(ds, ["n_nationkey", "n_name"], {"n_nationkey": ["count"]}).map_batches(
+        lambda t: t.rename_columns(["n_nationkey", "n_name", "n_copies"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_xml_loader() -> str:
+    return """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, 1::BIGINT AS n_copies
+FROM nation
+"""
+
+
 def q_realtime_get(sf_dir: str):
     """realtime get (SURVEY.md §2.10 RealTimeGetComponent): point lookups
     of fixed urls against the live index — returns (doc_id, dl); dl must
@@ -4532,6 +4578,7 @@ QUERIES = {
     "cursor_page_orders": q_cursor_page_orders,
     "left_outer_region_nations": q_left_outer_region_nations,
     "csv_json_loaders": q_csv_json_loaders,
+    "xml_loader": q_xml_loader,
     "urp_chain": q_urp_chain,
     "function_registry": q_function_registry,
     "score_join_customers": q_score_join_customers,
@@ -4630,6 +4677,7 @@ ORACLES = {
     "cursor_page_orders": sql_cursor_page_orders(),
     "left_outer_region_nations": sql_left_outer_region_nations(),
     "csv_json_loaders": sql_csv_json_loaders(),
+    "xml_loader": sql_xml_loader(),
     "urp_chain": sql_urp_chain(),
     "function_registry": sql_function_registry(),
     "score_join_customers": sql_score_join_customers(),
