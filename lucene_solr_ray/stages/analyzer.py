@@ -26,7 +26,49 @@ import pyarrow.compute as pc
 from ..analysis.tokenizer import StandardTokenizer
 from ..index.partitioner import part_keys
 
-__all__ = ["AnalyzerStage", "analyzer_spec_hash", "analyze_table"]
+__all__ = ["AnalyzerStage", "analyzer_spec_hash", "analyze_table", "analyze"]
+
+
+def analyze(text: str, spec: dict = None) -> list:
+    """``analyze()`` debug entry point — the Solr
+    FieldAnalysisRequestHandler / streaming-expression ``analyze()``
+    evaluator analog (reference: solr/solrj/.../io/eval/AnalyzeEvaluator
+    .java + solr/core/.../handler/FieldAnalysisRequestHandler.java,
+    branch_8x; SURVEY.md §2.9 "analyze() ... ✦ as our analyzer debug
+    entry point"): run a full analyzer spec over ONE string and return
+    the emitted tokens IN ORDER — filter-dropped tokens omitted, synonym
+    expansions emitted in place, shingles after their source unigrams.
+    Driver-side convenience; the batch path is AnalyzerStage."""
+    from ..analysis.filters import build_filter_chain
+    from ..analysis.shingle import ShingleConfig, shingle_token_list
+
+    spec = spec or DEFAULT_SPEC
+    tok = StandardTokenizer(
+        max_token_length=int(spec.get("max_token_length", 255))
+    )
+    filters = list(spec.get("filters", []))
+    sh = [
+        f for f in filters
+        if (isinstance(f, dict) and f.get("name") == "shingle") or f == "shingle"
+    ]
+    if len(sh) > 1:
+        raise ValueError("at most one shingle entry per analyzer spec")
+    toks = tok.tokenize_lower(text or "")
+    if sh:
+        args = dict(sh[0]) if isinstance(sh[0], dict) else {}
+        args.pop("name", None)
+        toks, _dl = shingle_token_list(toks, ShingleConfig.from_args(args))
+        filters = [f for f in filters if f not in sh]
+    chain = build_filter_chain(filters)
+    if chain is None:
+        return toks
+    out = []
+    for t in toks:
+        r = chain(t)
+        if r is None or r == "":
+            continue
+        out.extend(r if isinstance(r, list) else [r])
+    return out
 
 
 def analyzer_spec_hash(spec: dict) -> str:

@@ -561,3 +561,23 @@ def test_icu_folding_filter():
     # non-Latin scripts survive (normalized + case-folded), not dropped
     assert fold("ΣΟΦΙΑ") == "σοφια"
     assert fold("plain") == "plain"
+
+
+def test_analyze_debug_entry_point():
+    """analyze() (FieldAnalysisRequestHandler / analyze() evaluator
+    analog): ordered token output through full specs."""
+    from lucene_solr_ray.stages.analyzer import analyze
+
+    assert analyze("Hello World FOO") == ["hello", "world", "foo"]
+    spec = {
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", {"name": "stop", "words": ["the"]}, "porter_stem"],
+    }
+    assert analyze("the Running runner", spec) == ["run", "runner"]
+    de = {"filters": ["lowercase", {"name": "snowball_stem", "language": "german"},
+                      "icu_folding"]}
+    assert analyze("Häuser und Katzen", de) == ["haus", "und", "katz"]
+    sh = {"filters": ["lowercase", {"name": "shingle", "min_shingle": 2,
+                                    "max_shingle": 2}]}
+    assert analyze("a b c", sh) == ["a", "b", "c", "a b", "b c"]
+    assert analyze("", spec) == []
