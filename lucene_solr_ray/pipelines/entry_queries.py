@@ -289,6 +289,127 @@ def q_ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ft_subquery_topk(sf_dir: str) -> pd.DataFrame:
+    """[subquery] document transformer (SURVEY.md §2.2 document
+    transformers; reference: solr/core/.../response/transform/
+    SubQueryAugmenterFactory.java, branch_8x): the BM25-or top-5 parents
+    each get a child top-3 — child query parameterized by the PARENT's
+    top-tf term (tie → lexicographically smallest), parent excluded from
+    its own children. All 5 child queries run as one batched distributed
+    search via pipelines.query.subquery."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from ..analysis.tokenizer import tokenize_lower
+    from .query import subquery
+
+    idx = ensure_ft_index(sf_dir)
+    sim = {"dtype": "float64", "mode": "div"}
+    parents = search(
+        idx, [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        k=5, method="exhaustive", sim_config=sim,
+    )
+    pids = _url_to_doc_id(parents["url"])
+    dset = pads.dataset(_docs_path(sf_dir))
+    t = dset.to_table(
+        filter=pc.field("doc_id").isin([int(x) for x in pids]),
+        columns=["doc_id", "text"],
+    )
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def make_query(row):
+        did = int(_url_to_doc_id([row["url"]])[0])
+        tf = Counter(tokenize_lower(texts[did]))
+        term = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        return {"kind": "term", "terms": [term]}
+
+    res = subquery(idx, parents, make_query, sub_k=3,
+                   sim_config=sim, method="exhaustive")
+    return pd.DataFrame(
+        {
+            "parent_doc_id": _url_to_doc_id(res["parent_url"]),
+            "parent_rank": res["parent_rank"].astype(np.int64),
+            "sub_rank": res["sub_rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_subquery_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf0 AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+pscored AS (
+  SELECT tf0.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs0.df + 0.5) / (dfs0.df + 0.5))
+           - ln(1 + (stats.n - dfs0.df + 0.5) / (dfs0.df + 0.5))
+             / (1 + tf0.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS score
+  FROM tf0
+  JOIN dfs0 USING (term)
+  JOIN norml ON norml.doc_id = tf0.doc_id
+  CROSS JOIN stats
+  GROUP BY tf0.doc_id
+),
+parents AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS parent_rank
+  FROM pscored ORDER BY score DESC, doc_id ASC LIMIT 5
+),
+ptf AS (
+  SELECT doc_id, term, count(*) AS c FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM parents) GROUP BY doc_id, term
+),
+pterm AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, term ASC) AS rn
+    FROM ptf
+  ) WHERE rn = 1
+),
+ctf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN (SELECT term FROM pterm) GROUP BY doc_id, term
+),
+cdfs AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+cscore AS (
+  SELECT ctf.term, ctf.doc_id,
+         ln(1 + (stats.n - cdfs.df + 0.5) / (cdfs.df + 0.5))
+         - ln(1 + (stats.n - cdfs.df + 0.5) / (cdfs.df + 0.5))
+           / (1 + ctf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n)))) AS score
+  FROM ctf
+  JOIN cdfs USING (term)
+  JOIN norml ON norml.doc_id = ctf.doc_id
+  CROSS JOIN stats
+),
+children AS (
+  SELECT p.doc_id AS parent_doc_id, p.parent_rank,
+         c.doc_id AS child_doc_id, c.score,
+         row_number() OVER (
+           PARTITION BY p.doc_id ORDER BY c.score DESC, c.doc_id ASC
+         ) AS sub_rank
+  FROM parents p
+  JOIN pterm t ON t.doc_id = p.doc_id
+  JOIN cscore c ON c.term = t.term AND c.doc_id <> p.doc_id
+)
+SELECT CAST(parent_doc_id AS BIGINT) AS parent_doc_id,
+       CAST(parent_rank AS BIGINT) AS parent_rank,
+       CAST(sub_rank AS BIGINT) AS sub_rank,
+       CAST(child_doc_id AS BIGINT) AS doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM children WHERE sub_rank <= 3
+"""
+    )
+
+
 def q_ft_filter_topk(sf_dir: str) -> pd.DataFrame:
     """Occur.FILTER clause (reference: lucene BooleanClause.Occur.FILTER,
     branch_8x — the solr fq= analog; SURVEY.md §2.3): docs must match the
@@ -4473,6 +4594,7 @@ FROM c ORDER BY doc_id
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
     "ft_bm25_or_topk": q_ft_bm25_or_topk,
+    "ft_subquery_topk": q_ft_subquery_topk,
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
     "ft_filter_topk": q_ft_filter_topk,
@@ -4588,6 +4710,7 @@ QUERIES = {
 
 ORACLES = {
     "ft_bm25_or_topk": sql_ft_bm25_or_topk(),
+    "ft_subquery_topk": sql_ft_subquery_topk(),
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
     "ft_filter_topk": sql_ft_filter_topk(),

@@ -30,7 +30,72 @@ from ..search.similarity import Bm25Similarity, similarity_from_config
 from ..search.topk import merge_topk_group
 from ..state.manifest import partition_segments, read_root_manifest
 
-__all__ = ["search", "prepare_search_context", "realtime_get", "explain"]
+__all__ = ["search", "prepare_search_context", "realtime_get", "explain",
+           "subquery"]
+
+
+def subquery(
+    index_root: str,
+    parents,
+    make_query,
+    sub_k: int = 3,
+    sim_config: Optional[dict] = None,
+    method: str = "auto",
+    exclude_parent: bool = True,
+):
+    """``[subquery]`` document transformer (reference: solr/core/src/java/
+    org/apache/solr/response/transform/SubQueryAugmenterFactory.java ~300
+    LoC, branch_8x; SURVEY.md §2.2 document transformers): enrich every
+    parent result row with its own child top-k.
+
+    ``parents``: a result DataFrame (query_id, rank, url, ...);
+    ``make_query(row) -> query-spec dict`` parameterizes the child query
+    from the parent row (the fl=[subquery] v= substitution analog). All
+    child queries run as ONE batched distributed search — the scatter
+    happens once for the whole parent set, never per parent.
+    ``exclude_parent`` drops the parent doc itself from its children
+    (Solr's common uniq-key != v exclusion).
+
+    Returns (parent_query_id, parent_rank, parent_url, sub_rank, url,
+    score) with sub_rank 1..sub_k per parent."""
+    import pandas as pd
+
+    parents = parents.reset_index(drop=True)
+    specs = []
+    for i, row in parents.iterrows():
+        q = dict(make_query(row))
+        q["query_id"] = int(i)
+        specs.append(q)
+    if not specs:
+        return pd.DataFrame(
+            columns=["parent_query_id", "parent_rank", "parent_url",
+                     "sub_rank", "url", "score"]
+        )
+    child = search(
+        index_root, specs, k=sub_k + (1 if exclude_parent else 0),
+        method=method, sim_config=sim_config,
+    )
+    rows = []
+    for i, prow in parents.iterrows():
+        mine = child[child["query_id"] == i]
+        if exclude_parent:
+            mine = mine[mine["url"] != prow["url"]]
+        mine = mine.head(sub_k)
+        for sub_rank, (_, crow) in enumerate(mine.iterrows(), start=1):
+            rows.append(
+                {
+                    "parent_query_id": prow["query_id"],
+                    "parent_rank": prow["rank"],
+                    "parent_url": prow["url"],
+                    "sub_rank": sub_rank,
+                    "url": crow["url"],
+                    "score": crow["score"],
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["parent_query_id", "parent_rank", "parent_url",
+                       "sub_rank", "url", "score"]
+    )
 
 
 def prepare_search_context(
