@@ -92,6 +92,8 @@ def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
         from .snowball import snowball_stem as stem
     elif lang in ("german", "de"):
         from .german import german_stem as stem
+    elif lang in ("swedish", "sv"):
+        from .swedish import swedish_stem as stem
     else:
         raise KeyError(f"unknown snowball language {lang!r}")
 

@@ -581,3 +581,33 @@ def test_analyze_debug_entry_point():
                                     "max_shingle": 2}]}
     assert analyze("a b c", sh) == ["a", "b", "c", "a b", "b c"]
     assert analyze("", spec) == []
+
+
+def test_swedish_snowball_goldens():
+    """Hand-verified vectors of the published Snowball swedish algorithm:
+    step-1 a-suffixes + s-ending rule, step-2 doubled-consonant trim,
+    step-3 lig/ig/els + fullt/löst replacements, R1 >= 3."""
+    from lucene_solr_ray.analysis.swedish import swedish_stem
+
+    cases = {
+        "jakten": "jakt",
+        "klockor": "klock",
+        "klockornas": "klock",
+        "vackraste": "vackr",
+        "stämningsfullt": "stämningsfull",
+        "möjligt": "möj",            # gt trim then lig delete
+        "hästen": "häst",
+        "flickorna": "flick",
+        "dagarnas": "dag",
+        "huset": "huset",            # "et" not a suffix; unchanged
+        "husets": "huset",           # s after valid t
+        "verkligheten": "verk",      # heten delete then lig delete
+        "nn": "nn",                  # too short for R1
+    }
+    for w, exp in cases.items():
+        assert swedish_stem(w) == exp, (w, swedish_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    sv = build_filter_chain([{"name": "snowball_stem", "language": "sv"}])
+    assert sv("klockor") == "klock"
