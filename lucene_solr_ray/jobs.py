@@ -87,6 +87,17 @@ def main(argv=None):
     c = sub.add_parser("check", help="CheckIndex invariants")
     c.add_argument("--index-root", required=True)
 
+    an = sub.add_parser(
+        "analyze",
+        help="run an analyzer spec over text (FieldAnalysisRequestHandler "
+             "analog); spec from --spec-json or an index root's manifest",
+    )
+    an.add_argument("--text", required=True)
+    an.add_argument("--spec-json", default=None,
+                    help="inline JSON analyzer spec")
+    an.add_argument("--index-root", default=None,
+                    help="take the spec from this index's manifest")
+
     d = sub.add_parser("delta", help="DIH-style watermark delta import")
     d.add_argument("--input", nargs="+", required=True)
     d.add_argument("--index-root", required=True)
@@ -99,6 +110,20 @@ def main(argv=None):
     r.add_argument("--dst", required=True)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "analyze":  # pure driver-side; no Ray session needed
+        from .stages.analyzer import analyze
+
+        spec = None
+        if args.spec_json:
+            spec = json.loads(args.spec_json)
+        elif args.index_root:
+            from .state.manifest import read_root_manifest
+
+            spec = read_root_manifest(args.index_root).get("analyzer_spec")
+        print(json.dumps({"tokens": analyze(args.text, spec)}, ensure_ascii=False))
+        return
+
     _init_ray()
 
     if args.cmd == "build":
