@@ -234,9 +234,17 @@ def _multi_member_rows(sigs, key_col: str, num_partitions: Optional[int] = None)
     real buckets instead of one call per corpus row. Both steps are
     vectorized and distributed: a native count aggregate finds the
     multi-member keys, a hash left_semi join keeps their rows (no driver
-    key-set, no broadcast — the multi-key table is unbounded at scale)."""
+    key-set, no broadcast — the multi-key table is unbounded at scale).
+
+    ``sigs`` is consumed TWICE (count side + join probe side) —
+    materialize it first or the upstream signature actor pool executes
+    twice CONCURRENTLY, and on a small session the two pools' actor
+    floors pin every CPU and deadlock the shuffle between them (measured:
+    dedup_minhash at num_cpus=4 hung >240 s; the signature rows are
+    ~24 B/doc, so the spill is bounded at any corpus size)."""
     from .relational import default_shuffle_partitions
 
+    sigs = sigs.materialize()
     counts = sigs.groupby(key_col).count()
     multi = (
         counts.map_batches(
@@ -553,9 +561,20 @@ def _fetch_verify_pairs(uniq, parquet_path: str, id_col: str, text_col: str,
                 }
             )
 
+    # point-read fetchers: a modest pool is plenty — but its FLOOR must
+    # stay clear of the CPU budget: on a 4-CPU session a (2, 8) floor here
+    # plus the MinHash pool's floor of 2 pinned every core and DEADLOCKED
+    # the shuffle tasks between them (measured: sf0.001 hung >240 s at
+    # num_cpus=4; 6 s at 8). Floor 1, cap grown with the cluster.
+    try:
+        import ray as _ray
+
+        _cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        _cpus = 8
     return uniq.map_batches(
         FetchVerify, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(2, 8),  # point-read fetchers: modest pool is plenty
+        concurrency=(1, max(1, min(8, _cpus - 3))),
     )
 
 
