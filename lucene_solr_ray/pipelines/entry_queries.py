@@ -491,20 +491,31 @@ def q_ft_classic_topk(sf_dir: str) -> pd.DataFrame:
     norm = 1/sqrt(lossy length bucket). float64 for SQL parity; WAND is
     auto-disabled (sqrt(freq) has no per-term upper bound)."""
     idx = ensure_ft_index(sf_dir)
+    # contract ranks on the FLOORED e6 score with doc_id tiebreak (both
+    # sides): sqrt/division ulp noise between the engine's float64 sum
+    # order and duckdb's can reorder docs tied at 1e-6 (observed at
+    # sf0.001: same score_e6, ranks 4/5 swapped). k=15 margin keeps the
+    # top-10 cut deterministic through e6 boundary ties too.
     res = search(
         idx,
         [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
-        k=10,
+        k=15,
         method="exhaustive",
         sim_config={"name": "classic", "dtype": "float64", "mode": "div"},
     )
-    return pd.DataFrame(
+    df = pd.DataFrame(
         {
-            "rank": res["rank"].astype(np.int64),
             "doc_id": _url_to_doc_id(res["url"]),
             "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
         }
     )
+    df = (
+        df.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df
 
 
 def sql_ft_classic_topk() -> str:
@@ -529,11 +540,13 @@ scored AS (
   CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
-       doc_id,
-       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
-FROM scored
-ORDER BY score DESC, doc_id ASC
+SELECT row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank,
+       doc_id, score_e6
+FROM (
+  SELECT doc_id, CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+  FROM scored
+)
+ORDER BY score_e6 DESC, doc_id ASC
 LIMIT 10
 """
     )
