@@ -242,17 +242,21 @@ def _multi_member_rows(sigs, key_col: str, num_partitions: Optional[int] = None)
     floors pin every CPU and deadlock the shuffle between them (measured:
     dedup_minhash at num_cpus=4 hung >240 s; the signature rows are
     ~24 B/doc, so the spill is bounded at any corpus size)."""
-    from .relational import default_shuffle_partitions
+    from .relational import bucketed_agg, default_shuffle_partitions
 
     sigs = sigs.materialize()
-    counts = sigs.groupby(key_col).count()
+    # bucket keys are high-cardinality (≈ one per corpus row): count with
+    # the bucketed combiner+merge, not a per-key exchange
     multi = (
-        counts.map_batches(
-            lambda t: pa.table({key_col: t[key_col], "cnt": t["count()"]}),
-            batch_format="pyarrow",
+        bucketed_agg(
+            sigs.select_columns([key_col]), key_col,
+            [(key_col, "count")], ["cnt"],
         )
         .filter(expr="cnt >= 2")
         .drop_columns(["cnt"])
+        # heal block schemas before the join (ray-data notes: schema-less
+        # empty bundles from the bucketed map_groups lineage)
+        .repartition(default_shuffle_partitions(num_partitions))
     )
     return sigs.join(
         multi,
@@ -314,12 +318,19 @@ def distinct_pairs(pairs, value_col: Optional[str] = None, mode: str = "min"):
             cols[value_col] = batch[value_col]
         return pa.table(cols)
 
+    from .relational import bucketed_agg
+
     packed = pairs.map_batches(pack, batch_format="pyarrow")
+    # packed pair keys are high-cardinality by construction — bucketed
+    # combiner+merge instead of the per-key exchange
     if value_col is None:
-        agg = packed.groupby("ab").count().drop_columns(["count()"])
+        agg = bucketed_agg(
+            packed, "ab", [("ab", "count")], ["_cnt"]
+        ).drop_columns(["_cnt"])
     else:
-        fn = Min if mode == "min" else Max
-        agg = packed.groupby("ab").aggregate(fn(value_col, alias_name=value_col))
+        agg = bucketed_agg(
+            packed, "ab", [(value_col, mode)], [value_col]
+        )
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
@@ -954,8 +965,6 @@ def span_dedup_counts(ds, id_col: str = "doc_id", text_col: str = "text",
     duplicated hashes join back via one co-partitioned hash join, then a
     per-doc count. 64-bit hashes stand in for exact strings (collision
     probability ~ n²/2⁶⁵ — documented accepted risk)."""
-    from ray.data.aggregate import Count
-
     from .relational import default_shuffle_partitions
 
     R = np.uint64(0x5851F42D4C957F2D)  # odd -> invertible mod 2^64
@@ -993,15 +1002,22 @@ def span_dedup_counts(ds, id_col: str = "doc_id", text_col: str = "text",
 
     # rows feed TWO consumers (the hash count and the join probe) —
     # materialize once so the read+rolling-hash lineage runs a single time
+    from .relational import bucketed_agg
+
     rows = ds.map_batches(spans, batch_format="pyarrow").materialize()
     P = default_shuffle_partitions(num_partitions)
-    counts = (rows.select_columns(["span_hash"]).groupby("span_hash")
-              .aggregate(Count(alias_name="c")))
-    dups = counts.filter(expr="c > 1").select_columns(["span_hash"])
+    # both counts key on HIGH-cardinality values (span hashes, doc ids):
+    # the bucketed combiner+merge replaces the per-key sort exchange
+    counts = bucketed_agg(rows.select_columns(["span_hash"]), "span_hash",
+                          [("span_hash", "count")], ["c"])
+    # heal block schemas before the join: the bucketed map_groups lineage
+    # emits schema-less empty bundles on tiny inputs (ray-data notes)
+    dups = (counts.filter(expr="c > 1").select_columns(["span_hash"])
+            .repartition(P))
     joined = rows.join(dups, join_type="inner", num_partitions=P,
                        on=("span_hash",))
-    return (joined.groupby(id_col)
-            .aggregate(Count(alias_name="n_dup_spans")))
+    return bucketed_agg(joined.select_columns([id_col]), id_col,
+                        [(id_col, "count")], ["n_dup_spans"])
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

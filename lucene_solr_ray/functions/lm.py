@@ -56,13 +56,15 @@ def explode_bigrams(ds, id_col: str, text_col: str, split: str = " "):
 
 def bigram_counts(bigrams, id_col: str):
     """Distributed LM training: ``(key, c12)`` bigram counts and
-    ``(w1, c1)`` context counts (c1 = number of bigrams starting w1)."""
-    from ray.data.aggregate import Count
+    ``(w1, c1)`` context counts (c1 = number of bigrams starting w1).
+    Bigram keys are vocabulary²-cardinality — counted with the bucketed
+    combiner+merge (relational.bucketed_agg), not a per-key exchange."""
+    from .relational import bucketed_agg
 
-    bgc = (bigrams.select_columns(["key"]).groupby("key")
-           .aggregate(Count(alias_name="c12")))
-    ctx = (bigrams.select_columns(["w1"]).groupby("w1")
-           .aggregate(Count(alias_name="c1")))
+    bgc = bucketed_agg(bigrams.select_columns(["key"]), "key",
+                       [("key", "count")], ["c12"])
+    ctx = bucketed_agg(bigrams.select_columns(["w1"]), "w1",
+                       [("w1", "count")], ["c1"])
     return bgc, ctx
 
 
@@ -76,6 +78,10 @@ def _joined(ds, id_col: str, text_col: str, num_partitions=None):
     # and spill, never on the driver
     bg = explode_bigrams(ds, id_col, text_col).materialize()
     bgc, ctx = bigram_counts(bg, id_col)
+    # heal block schemas before joining: the bucketed-count lineage emits
+    # schema-less empty bundles on tiny inputs (ray-data notes)
+    bgc = bgc.repartition(P)
+    ctx = ctx.repartition(P)
     j = bg.join(bgc, join_type="inner", num_partitions=P, on=("key",))
     return j.join(ctx, join_type="inner", num_partitions=P, on=("w1",))
 
@@ -85,7 +91,7 @@ def rare_bigram_stats(ds, id_col: str, text_col: str, rare_max: int = 2,
     """Integer-exact curation signal: per doc, total bigrams and how many
     are corpus-rare (bigram count ≤ ``rare_max``). High rare fraction =
     atypical/noisy text."""
-    from ray.data.aggregate import Count, Sum
+    from .relational import bucketed_agg
 
     j = _joined(ds, id_col, text_col, num_partitions)
 
@@ -94,9 +100,10 @@ def rare_bigram_stats(ds, id_col: str, text_col: str, rare_max: int = 2,
         return pa.table({id_col: batch[id_col], "rare": rare})
 
     flagged = j.map_batches(flag, batch_format="pyarrow")
-    return (flagged.groupby(id_col)
-            .aggregate(Count(alias_name="n_bigrams"),
-                       Sum("rare", alias_name="n_rare")))
+    return bucketed_agg(
+        flagged, id_col,
+        [(id_col, "count"), ("rare", "sum")], ["n_bigrams", "n_rare"],
+    )
 
 
 def lm_score_docs(ds, id_col: str, text_col: str, alpha: float = 0.5,
@@ -105,15 +112,20 @@ def lm_score_docs(ds, id_col: str, text_col: str, alpha: float = 0.5,
     ``mean over bigrams of ln((c12 + a) / (c1 + a*V))`` for corpus vocab
     size V. Float sums are order-dependent — gate with the pytest numpy
     reference, not a SQL hash (see module docstring)."""
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Mean
 
-    # V = distinct tokens across the corpus (incl. doc-final tokens)
+    from .relational import bucketed_agg
+
+    # V = distinct tokens across the corpus (incl. doc-final tokens) —
+    # vocabulary-cardinality key, bucketed distinct
     def toks(batch: pa.Table) -> pa.Table:
         return pa.table({"tok": pc.list_flatten(
             pc.split_pattern(batch[text_col], " "))})
 
-    V = (ds.map_batches(toks, batch_format="pyarrow")
-         .groupby("tok").aggregate(Count(alias_name="_c")).count())
+    V = bucketed_agg(
+        ds.map_batches(toks, batch_format="pyarrow"), "tok",
+        [("tok", "count")], ["_c"],
+    ).count()
 
     j = _joined(ds, id_col, text_col, num_partitions)
 
