@@ -191,6 +191,7 @@ def run_bench() -> dict:
             "ltr_rerank_topk", "group_top_orders", "json_facet_orders",
             "pack_token_windows", "graph_2hop_parts", "ngram_repetition",
             "session_windows_users", "asof_last_error", "span_dedup_docs",
+            "hopping_window_events",
             "lm_rare_bigrams", "topk_tokens_sketch",
             "decontaminate_docs", "json_facet_query", "sort_by_function",
             "timeseries_orders", "facet_interval_price",
