@@ -39,12 +39,15 @@ SUGGESTED_BINARY_BATCH_SIZE = 64  # rows per batch for multi-MB payloads
 
 
 def binary_meta_batch(batch: pa.Table, bin_col: str = "payload") -> pa.Table:
-    """Typed metadata for an opaque binary column: byte length + sha1 —
-    vectorized, no decode."""
-    payloads = batch[bin_col].to_pylist()
-    n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
-    sha1 = [hashlib.sha1(p).hexdigest() for p in payloads]
-    return batch.append_column("n_bytes", pa.array(n_bytes)).append_column(
+    """Typed metadata for an opaque binary column: byte length (one Arrow
+    kernel) + sha1 (per-row by necessity — the digest reads every byte),
+    no decode."""
+    import pyarrow.compute as pc
+
+    col = batch[bin_col]
+    n_bytes = pc.cast(pc.binary_length(col), pa.int64())
+    sha1 = [hashlib.sha1(p).hexdigest() for p in col.to_pylist()]
+    return batch.append_column("n_bytes", n_bytes).append_column(
         "sha1", pa.array(sha1, type=pa.string())
     )
 
