@@ -262,3 +262,51 @@ def test_range_join_matches_cross_filter(ray_session, vals, ivals, width, blocks
     if len(ref):
         got = got.sort_values(["lid", "rid"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["lid", "rid"]].astype(np.int64), ref)
+
+
+def test_bucketed_agg_matches_pandas(ray_session):
+    """bucketed_agg (combiner + bucket-grouped pyarrow merge) must equal a
+    pandas groupby bit-for-bit across fns, key types, and null values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.relational import bucketed_agg
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 5_000, n),            # high cardinality
+        "k2": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(-100, 100, n).astype("int64"),
+    })
+    # sprinkle nulls into v (sum/min/max ignore nulls; count counts rows)
+    vnull = df["v"].astype("Int64")
+    vnull[rng.choice(n, 500, replace=False)] = pd.NA
+    t = pa.table({"k1": df.k1, "k2": df.k2, "v": pa.array(vnull, type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+
+    got = bucketed_agg(
+        ds, ["k1", "k2"],
+        [("v", "sum"), ("v", "min"), ("v", "max"), ("v", "count")],
+        ["s", "mn", "mx", "c"],
+    ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+
+    pdf = pd.DataFrame({"k1": df.k1, "k2": df.k2, "v": vnull})
+    g = pdf.groupby(["k1", "k2"], sort=True)
+    exp = pd.DataFrame({
+        # min_count=1 → all-null groups sum to NA, matching Arrow's null
+        "s": g["v"].sum(min_count=1),
+        "mn": g["v"].min(),
+        "mx": g["v"].max(),
+        "c": g["v"].size(),
+    }).reset_index()
+    assert len(got) == len(exp)
+    assert got["k1"].tolist() == exp["k1"].tolist()
+    assert got["k2"].tolist() == exp["k2"].tolist()
+    for col in ("s", "mn", "mx"):
+        a = got[col].astype("float64").to_numpy()
+        b = exp[col].astype("float64").to_numpy()
+        assert np.array_equal(a, b, equal_nan=True), col
+    assert got["c"].astype("int64").tolist() == exp["c"].astype("int64").tolist()
