@@ -50,19 +50,23 @@ def swedish_stem(word: str) -> str:
         return w
     r1 = _r1(w)
 
-    # step 1: longest match wins across BOTH groups ("s" only beats
-    # nothing — every group-(a) entry is ≥1 char, so try (a) first, then s)
-    matched = False
+    # step 1: Snowball runs the among under ``setlimit tomark p1`` — only
+    # suffixes that START within R1 are candidates, and the longest such
+    # candidate wins (an out-of-R1 longer match like "anden" in "handen"
+    # must NOT shadow the in-R1 "en").  "s" competes in the same pool; if
+    # it wins, its s_ending condition gates the delete (no backtracking).
+    best = None
     for suf in _STEP1:
-        if w.endswith(suf):
-            if len(w) - len(suf) >= r1:
-                w = w[: len(w) - len(suf)]
-            matched = True
-            break
-    if not matched and w.endswith("s"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            best = suf
+            break  # _STEP1 is longest-first
+    if best is None and w.endswith("s") and len(w) - 1 >= r1:
+        best = "s"
         pos = len(w) - 1
-        if pos >= r1 and pos >= 1 and w[pos - 1] in _S_ENDING:
+        if pos >= 1 and w[pos - 1] in _S_ENDING:
             w = w[:pos]
+    elif best is not None:
+        w = w[: len(w) - len(best)]
 
     # step 2
     for suf in _STEP2:
@@ -70,14 +74,13 @@ def swedish_stem(word: str) -> str:
             w = w[:-1]
             break
 
-    # step 3 (longest match; löst→lös and fullt→full replace, rest delete)
+    # step 3 — same setlimit semantics: longest suffix STARTING in R1 wins
+    # (löst→lös and fullt→full replace, rest delete)
     for suf in ("fullt", "löst", "lig", "els", "ig"):
-        if not w.endswith(suf):
-            continue
-        if len(w) - len(suf) >= r1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
             if suf in ("fullt", "löst"):
                 w = w[:-1]
             else:
                 w = w[: len(w) - len(suf)]
-        break
+            break
     return w

@@ -781,7 +781,9 @@ def embedding_neardup_remove(ds, threshold: float, id_col: str = "vec_id",
     block_refs = _normalized_blocks(ds, id_col, vec_col, chunk_rows)
     nb = len(block_refs)
     if nb == 0:
-        return ds
+        # keep the documented contract (survivors come back WITHOUT
+        # vec_col) on the empty-input path too, so callers see one schema
+        return ds.drop_columns([vec_col])
 
     pairs = ray.data.from_items(
         [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]

@@ -535,16 +535,18 @@ class SegmentReader:
             self._dm_groups = {}
         pf, mins, maxs = self._dm_meta
         if mins is None:
-            groups = range(pf.metadata.num_row_groups)
+            groups = list(range(pf.metadata.num_row_groups))
         else:
-            # parquet may TRUNCATE string min/max statistics: a long url
-            # sharing a prefix with the truncated max can bisect to the
-            # wrong group. Probe the statistics-chosen group AND its right
-            # neighbor (urls are sorted across groups, so truncation can
-            # shift ownership by at most one group).
+            # parquet may TRUNCATE string min statistics, which only makes
+            # the recorded min SMALLER — bisect_right over truncated mins
+            # lands at-or-RIGHT-of the true owner, never left (any group
+            # with truncated min > url has actual min > url too). When
+            # several groups' truncated mins collapse to a shared prefix
+            # the true owner can be several groups LEFT, so walk left from
+            # the bisect group; the loop below stops once a loaded group's
+            # ACTUAL first url <= url (the url cannot live further left).
             g = bisect.bisect_right(mins, url) - 1
-            ng = pf.metadata.num_row_groups
-            groups = [x for x in (g, g + 1) if 0 <= x < ng]
+            groups = list(range(g, -1, -1))
         for g in groups:
             ent = self._dm_groups.get(g)
             if ent is None:
@@ -556,6 +558,8 @@ class SegmentReader:
             i = bisect.bisect_left(urls_g, url)
             if i < len(urls_g) and urls_g[i] == url:
                 return int(ids[i])
+            if mins is not None and urls_g and urls_g[0] <= url:
+                break  # true owner found and url absent; stop walking left
         return None
 
     def prefix_range(self, prefix: str) -> tuple:

@@ -371,15 +371,16 @@ def realtime_get(index_root: str, urls: List[str]):
         """-> (local_docid, dl) | 'dead' | None."""
         pf_dm, mins, maxs, off, pf_nn, nn_off, dead = seg_meta(seg)
         if mins is None:
-            groups = range(pf_dm.metadata.num_row_groups)
+            groups = list(range(pf_dm.metadata.num_row_groups))
         else:
             # urls sorted across groups: the owning group is the last one
-            # whose min <= url. Probe its right neighbor too — parquet may
-            # truncate long string min/max stats, shifting the bisect by
-            # one group (see SegmentReader.docid_of_url).
+            # whose min <= url. Parquet may PREFIX-TRUNCATE string min
+            # stats, which only makes recorded mins smaller — the bisect
+            # lands at-or-RIGHT-of the true owner, so walk LEFT from it;
+            # the loop stops once a loaded group's actual first url <= url
+            # (see SegmentReader.docid_of_url).
             g = bisect.bisect_right(mins, url) - 1
-            ng = pf_dm.metadata.num_row_groups
-            groups = [x for x in (g, g + 1) if 0 <= x < ng]
+            groups = list(range(g, -1, -1))
         for g in groups:
             ent = rg_cache.get((seg, g))
             if ent is None:
@@ -400,6 +401,8 @@ def realtime_get(index_root: str, urls: List[str]):
                     row - nn_off[ng]
                 ].as_py()
                 return d, int(dl)
+            if mins is not None and seg_urls and seg_urls[0] <= url:
+                break  # true owner reached and url absent; stop walking
         return None
 
     rows = []

@@ -86,8 +86,11 @@ def _seq_prefixes(s: str, cap: int) -> Tuple[set, bool]:
         c = s[i]
         alts: Optional[set] = None
         if c == "\\":
-            if i + 1 >= n or s[i + 1] in "dDwWsSbBAZ0123456789":
-                return prefixes, False  # class escape / backref: not literal
+            # only escaped PUNCTUATION is a known literal; any alphanumeric
+            # escape (\d \w \n \t \x41 A backrefs …) has non-literal
+            # semantics — bail rather than mis-read it as the letter itself
+            if i + 1 >= n or s[i + 1].isalnum():
+                return prefixes, False
             alts = {s[i + 1]}
             j = i + 2
         elif c == "(":
@@ -124,6 +127,8 @@ def _seq_prefixes(s: str, cap: int) -> Tuple[set, bool]:
                 j += 1
             while j < n and s[j] != "]":
                 if s[j] == "\\" and j + 1 < n:
+                    if s[j + 1].isalnum():  # \d \w \n \x… inside a class
+                        return prefixes, False
                     members.append(s[j + 1])
                     j += 2
                     continue

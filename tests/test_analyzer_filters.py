@@ -603,6 +603,11 @@ def test_swedish_snowball_goldens():
         "husets": "huset",           # s after valid t
         "verkligheten": "verk",      # heten delete then lig delete
         "nn": "nn",                  # too short for R1
+        # setlimit semantics: the among only sees suffixes STARTING in R1,
+        # so an out-of-R1 longer match must not shadow the in-R1 one
+        "handen": "hand",            # "anden" starts before R1; "en" wins
+        "stranden": "strand",        # same
+        "bens": "ben",               # "ens" starts before R1; s-rule wins
     }
     for w, exp in cases.items():
         assert swedish_stem(w) == exp, (w, swedish_stem(w), exp)
