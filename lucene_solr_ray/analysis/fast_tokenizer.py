@@ -34,7 +34,39 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tokenize_ascii_buffer", "doc_tf_from_tokens", "ascii_doc_mask"]
+__all__ = [
+    "tokenize_ascii_buffer", "doc_tf_from_tokens", "ascii_doc_mask",
+    "concat_ranges",
+]
+
+
+def concat_ranges(starts: np.ndarray, lens: np.ndarray):
+    """Gather indices for the concatenation of ranges
+    ``[starts[i], starts[i]+lens[i])`` → (idx int64[total], out_off
+    int64[n+1]). Built with ONE cumsum over the output length (start each
+    range with a jump step, +1 inside) instead of arange + np.repeat —
+    np.repeat with ragged counts was the single hottest line of the
+    analyzer profile. Zero-length ranges are allowed."""
+    m = len(starts)
+    out_off = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), out_off
+    nz = lens > 0
+    s_nz, l_nz = starts[nz], lens[nz]
+    # int32 indices when the source fits — halves the memory traffic of
+    # the fill + cumsum + gather (token bytes ≈ text bytes per batch)
+    dt = np.int32 if int(s_nz.max()) + total < 2**31 - 1 else np.int64
+    idx = np.ones(total, dtype=dt)
+    idx[0] = s_nz[0]
+    if len(s_nz) > 1:
+        # output position where each later range begins = cumsum of the
+        # nonzero lengths; write the jump from the previous range's end
+        pos = np.cumsum(l_nz[:-1])
+        idx[pos] = (s_nz[1:] - s_nz[:-1] - l_nz[:-1] + 1).astype(dt)
+    np.cumsum(idx, out=idx)
+    return idx, out_off
 
 # byte classes
 _DIGIT, _LETTER, _UNDER, _MIDL, _MIDN = 1, 2, 4, 8, 16
@@ -106,44 +138,65 @@ def tokenize_ascii_buffer(
         return z, z.copy(), z.copy()
 
     cls = _CLS[buf]
-    prev = np.empty(L, dtype=np.uint8)
-    prev[0] = 0
-    prev[1:] = cls[:-1]
-    nxt = np.empty(L, dtype=np.uint8)
-    nxt[-1] = 0
-    nxt[:-1] = cls[1:]
-    # neighbor classes must not leak across doc boundaries
     starts_of_docs = offs[:-1][offs[:-1] < L]
-    prev[starts_of_docs] = 0
-    ends_of_docs = offs[1:] - 1
-    ends_of_docs = ends_of_docs[(ends_of_docs >= 0) & (ends_of_docs < L)]
-    nxt[ends_of_docs] = 0
+    in_tok = (cls & _INTOK) > 0
 
-    join = ((cls & _MIDL > 0) & (prev & _LETTER > 0) & (nxt & _LETTER > 0)) | (
-        (cls & _MIDN > 0) & (prev & _DIGIT > 0) & (nxt & _DIGIT > 0)
-    )
-    in_tok = (cls & _INTOK > 0) | join
+    # mid chars (' . : , ;) are SPARSE in real text: evaluate the WB6/7 +
+    # WB11/12 join rules only at those positions instead of building
+    # full-width shifted prev/next class arrays (saves ~8 buffer passes)
+    mids = np.nonzero(cls & (_MIDL | _MIDN))[0]
+    if len(mids):
+        mc = cls[mids]
+        prev_cls = np.where(mids > 0, cls[np.maximum(mids - 1, 0)], 0)
+        nxt_cls = np.where(mids < L - 1, cls[np.minimum(mids + 1, L - 1)], 0)
+        # neighbor classes must not leak across doc boundaries
+        i = np.searchsorted(starts_of_docs, mids)
+        at_start = (i < len(starts_of_docs)) & (
+            starts_of_docs[np.minimum(i, len(starts_of_docs) - 1)] == mids
+        )
+        prev_cls[at_start] = 0
+        doc_end = offs[np.searchsorted(offs, mids, side="right")] - 1
+        nxt_cls[mids == doc_end] = 0
+        join_m = (
+            ((mc & _MIDL) > 0) & ((prev_cls & _LETTER) > 0) & ((nxt_cls & _LETTER) > 0)
+        ) | (((mc & _MIDN) > 0) & ((prev_cls & _DIGIT) > 0) & ((nxt_cls & _DIGIT) > 0))
+        in_tok[mids[join_m]] = True
 
-    prev_in = np.empty(L, dtype=bool)
-    prev_in[0] = False
-    prev_in[1:] = in_tok[:-1]
-    prev_in[starts_of_docs] = False
-    nxt_in = np.empty(L, dtype=bool)
-    nxt_in[-1] = False
-    nxt_in[:-1] = in_tok[1:]
-    nxt_in[ends_of_docs] = False
+    # run boundaries from the in-token delta; then split any run spanning a
+    # doc boundary (docs routinely end mid-word, so these splits are real)
+    d = np.diff(in_tok.view(np.int8))
+    run_starts = np.nonzero(d == 1)[0] + 1
+    run_ends = np.nonzero(d == -1)[0]  # inclusive
+    if in_tok[0]:
+        run_starts = np.concatenate(([0], run_starts))
+    if in_tok[-1]:
+        run_ends = np.concatenate((run_ends, [L - 1]))
+    splits = starts_of_docs[starts_of_docs > 0]
+    if len(splits):
+        splits = splits[in_tok[splits] & in_tok[splits - 1]]
+    if len(splits):
+        # both inputs are sorted and splits fall strictly inside runs:
+        # O(n) merge-insert instead of re-sorting the whole run array
+        run_starts = np.insert(
+            run_starts, np.searchsorted(run_starts, splits), splits
+        )
+        run_ends = np.insert(
+            run_ends, np.searchsorted(run_ends, splits - 1), splits - 1
+        )
 
-    run_starts = np.nonzero(in_tok & ~prev_in)[0]
-    run_ends = np.nonzero(in_tok & ~nxt_in)[0]  # inclusive
-
-    # drop runs with no alphanumeric byte (pure-underscore runs)
-    # NOTE: cumsum over a bool array is pathologically slow in some numpy
-    # builds — go through an int8 view (100x faster, same values)
-    alnum_cum = np.concatenate(
-        ([0], np.cumsum(((cls & _ALNUM) > 0).view(np.int8), dtype=np.int32))
-    )
-    has_alnum = (alnum_cum[run_ends + 1] - alnum_cum[run_starts]) > 0
-    run_starts, run_ends = run_starts[has_alnum], run_ends[has_alnum]
+    # drop runs with no alphanumeric byte: a run can only lack alnum when
+    # it is ALL underscores (joined mid chars require alnum neighbors), so
+    # count underscores per run against the sparse underscore position
+    # list — two searchsorteds, no full-buffer segmented reduce
+    if len(run_starts):
+        under_pos = np.nonzero(buf == 0x5F)[0]
+        if len(under_pos):
+            cnt = np.searchsorted(under_pos, run_ends, side="right") - np.searchsorted(
+                under_pos, run_starts, side="left"
+            )
+            has_alnum = cnt < (run_ends - run_starts + 1)
+            if not has_alnum.all():
+                run_starts, run_ends = run_starts[has_alnum], run_ends[has_alnum]
     lens = run_ends - run_starts + 1
 
     # split over-long runs into max_token_length chunks (rare)
@@ -173,18 +226,13 @@ def tokens_to_string_array(
     n = len(starts)
     if n == 0:
         return pa.array([], type=pa.string())
-    out_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=out_off[1:])
-    total = int(out_off[-1])
-    idx = np.arange(total, dtype=np.int64)
-    idx += np.repeat(starts - out_off[:-1], lens)
+    idx, out_off = concat_ranges(starts, lens)
     tok = data[idx]
     upper = (tok >= 0x41) & (tok <= 0x5A)
     tok[upper] += 0x20
+    # pa.py_buffer wraps the numpy memory zero-copy and keeps it alive
     return pa.StringArray.from_buffers(
-        n,
-        pa.py_buffer(out_off.astype(np.int32).tobytes()),
-        pa.py_buffer(tok.tobytes()),
+        n, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(tok)
     )
 
 

@@ -167,7 +167,7 @@ def build_index(
     P = num_partitions
 
     def route(batch: pa.Table) -> pa.Table:
-        pk = part_keys(batch["url"].to_pylist(), P)
+        pk = part_keys(batch["url"], P)
         out = batch.append_column("part_key", pa.array(pk))
         if done_set:
             keep = ~np.isin(pk, np.fromiter(done_set, dtype=np.int32))
@@ -529,7 +529,7 @@ def append_index(
     ds = ds.drop_columns(["lang"])
 
     def route(batch: pa.Table) -> pa.Table:
-        pk = part_keys(batch["url"].to_pylist(), P)
+        pk = part_keys(batch["url"], P)
         return batch.append_column("part_key", pa.array(pk))
 
     ds = ds.map_batches(route, batch_format="pyarrow")

@@ -80,13 +80,35 @@ def analyzer_spec_hash(spec: dict) -> str:
 DEFAULT_SPEC = {"tokenizer": "standard_uax29", "max_token_length": 255, "filters": ["lowercase"]}
 
 
+def _tokenize_rows_regex(texts: list, tokenizer: StandardTokenizer):
+    """Regex-tokenize a list of texts → (lowercased token pa.Array, doc_ids
+    int64). Token boundaries come from the per-doc reference regex (exact
+    semantics for non-ASCII docs); LOWERCASE runs as one Arrow
+    ``utf8_lower`` kernel — codepoint-wise like Java
+    ``Character.toLowerCase(int)`` (İ→i single codepoint, Σ→σ context-free;
+    verified identical to tokenizer.lowercase across BMP+SMP in
+    tests/test_tokenizer.py) — instead of per-token Python."""
+    n = len(texts)
+    toks_all: list = []
+    counts = np.empty(n, dtype=np.int64)
+    tokenize = tokenizer.tokenize
+    for i, text in enumerate(texts):
+        toks = tokenize(text) if text else []
+        counts[i] = len(toks)
+        toks_all.extend(toks)
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    arr = pc.utf8_lower(pa.array(toks_all, type=pa.string()))
+    return arr, doc_ids
+
+
 def _analyze_rows_regex(
     texts: list, tokenizer: StandardTokenizer, want_positions: bool = False,
     shingles=None,
 ) -> tuple:
     """Reference regex path for a list of texts → (per-doc term lists,
     per-doc freq arrays, dl array[, per-doc flat position arrays]).
-    Exact; used for non-ASCII docs."""
+    Exact; kept as the brute-force twin for property tests (the batch
+    pipeline uses _tokenize_rows_regex + doc_tf_from_tokens)."""
     from ..analysis.shingle import shingle_token_list
 
     n = len(texts)
@@ -186,71 +208,65 @@ def analyze_table(
             pa.array(list_off, type=pa.int32()), pa.array(freqs)
         )
     else:
-        # mixed batch: fast path on the ASCII docs, regex on the rest,
-        # reassembled in original doc order
+        # mixed batch: fast path on the ASCII docs, regex tokenization +
+        # the SAME vectorized tf accumulation on the rest, reassembled in
+        # original doc order
         ascii_idx = np.nonzero(ascii_mask)[0]
         fb_idx = np.nonzero(~ascii_mask)[0]
         sub = text_col.take(pa.array(ascii_idx))
         data, offs = _string_buffers(sub)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        if want_positions:
-            a_values, a_off, a_freqs, a_dl, a_pos = doc_tf_from_tokens(
-                tokens, doc_ids, len(sub), want_positions=True
-            )
-            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
-            f_terms, f_freqs, f_dl, f_pos = _analyze_rows_regex(
-                fb_texts, tokenizer, want_positions=True
-            )
-        elif shingles is not None:
+        fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
+        f_tokens, f_doc_ids = _tokenize_rows_regex(fb_texts, tokenizer)
+        a_pos = f_pos = None
+        if shingles is not None:
             from ..analysis.shingle import shingle_token_stream
 
             tokens, doc_ids, a_dl = shingle_token_stream(
                 tokens, doc_ids, len(sub), shingles
             )
             a_values, a_off, a_freqs, _ = doc_tf_from_tokens(tokens, doc_ids, len(sub))
-            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
-            f_terms, f_freqs, f_dl = _analyze_rows_regex(
-                fb_texts, tokenizer, shingles=shingles
+            f_tokens, f_doc_ids, f_dl = shingle_token_stream(
+                f_tokens, f_doc_ids, len(fb_idx), shingles
+            )
+            f_values, f_off, f_freqs, _ = doc_tf_from_tokens(
+                f_tokens, f_doc_ids, len(fb_idx)
+            )
+        elif want_positions:
+            a_values, a_off, a_freqs, a_dl, a_pos = doc_tf_from_tokens(
+                tokens, doc_ids, len(sub), want_positions=True
+            )
+            f_values, f_off, f_freqs, f_dl, f_pos = doc_tf_from_tokens(
+                f_tokens, f_doc_ids, len(fb_idx), want_positions=True
             )
         else:
             a_values, a_off, a_freqs, a_dl = doc_tf_from_tokens(tokens, doc_ids, len(sub))
-            fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
-            f_terms, f_freqs, f_dl = _analyze_rows_regex(fb_texts, tokenizer)
+            f_values, f_off, f_freqs, f_dl = doc_tf_from_tokens(
+                f_tokens, f_doc_ids, len(fb_idx)
+            )
 
-        fb_values = pa.array(
-            [t for ts in f_terms for t in ts], type=pa.string()
-        )
-        combined = pa.concat_arrays(
-            [
-                a_values.combine_chunks()
-                if isinstance(a_values, pa.ChunkedArray)
-                else a_values,
-                fb_values,
-            ]
-        )
+        def _chunkless(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        combined = pa.concat_arrays([_chunkless(a_values), _chunkless(f_values)])
         na_total = len(a_values)
-        fb_off = np.zeros(len(f_terms) + 1, dtype=np.int64)
-        np.cumsum([len(ts) for ts in f_terms], out=fb_off[1:])
-        combined_freqs = np.concatenate([a_freqs] + list(f_freqs)).astype(np.int32)
+        combined_freqs = np.concatenate([a_freqs, f_freqs]).astype(np.int32)
 
         # vectorized reassembly: per-doc source start in `combined`, then
-        # the repeat/arange gather (same trick as the token byte gather)
+        # one concat_ranges gather (same cumsum trick as the byte gather)
+        from ..analysis.fast_tokenizer import concat_ranges
+
         counts = np.empty(n, dtype=np.int64)
         src_start = np.empty(n, dtype=np.int64)
         dl = np.empty(n, dtype=np.int32)
         counts[ascii_idx] = np.diff(a_off)
-        counts[fb_idx] = np.diff(fb_off)
+        counts[fb_idx] = np.diff(f_off)
         src_start[ascii_idx] = a_off[:-1]
-        src_start[fb_idx] = na_total + fb_off[:-1]
+        src_start[fb_idx] = na_total + f_off[:-1]
         dl[ascii_idx] = a_dl
         dl[fb_idx] = f_dl
-        list_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=list_off[1:])
-        total = int(list_off[-1])
-        take_idx = np.arange(total, dtype=np.int64) + np.repeat(
-            src_start - list_off[:-1], counts
-        )
+        take_idx, list_off = concat_ranges(src_start, counts)
         values = combined.take(pa.array(take_idx))
         flat_freqs = combined_freqs[take_idx]
         terms_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), values)
@@ -261,21 +277,20 @@ def analyze_table(
             # positions follow the SAME entry reorder as terms: gather each
             # entry's [src_off, src_off+freq) range from the combined flat
             # position array
-            combined_pos = np.concatenate(
-                [a_pos] + list(f_pos)
-            ).astype(np.int32) if (len(a_pos) or f_pos) else np.empty(0, dtype=np.int32)
+            combined_pos = np.concatenate([a_pos, f_pos]).astype(np.int32)
             src_pos_off = np.zeros(len(combined_freqs) + 1, dtype=np.int64)
             np.cumsum(combined_freqs.astype(np.int64), out=src_pos_off[1:])
-            out_pos_off = np.zeros(len(flat_freqs) + 1, dtype=np.int64)
-            np.cumsum(flat_freqs.astype(np.int64), out=out_pos_off[1:])
-            total_pos = int(out_pos_off[-1])
-            gather = np.arange(total_pos, dtype=np.int64) + np.repeat(
-                src_pos_off[take_idx] - out_pos_off[:-1], flat_freqs
+            gather, _ = concat_ranges(
+                src_pos_off[take_idx], flat_freqs.astype(np.int64)
             )
             flat_pos = combined_pos[gather]
 
-    urls = table["url"].to_pylist()
-    pk = part_keys(urls, num_partitions)
+    # the route stage already computed part_key for resume filtering —
+    # reuse it instead of re-hashing every url
+    if "part_key" in table.column_names:
+        pk = table["part_key"]
+    else:
+        pk = part_keys(table["url"], num_partitions)
     cols = {
         "url": table["url"],
         "warc_ts": table["warc_ts"],
