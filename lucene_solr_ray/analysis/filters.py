@@ -84,9 +84,10 @@ def _build_porter(args: dict) -> Callable[[str], Optional[str]]:
 def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
     """SnowballPorterFilterFactory analog (reference: lucene/analysis/
     common/.../snowball/SnowballPorterFilterFactory.java, branch_8x).
-    ``language``: "english"/"porter2" (default) or "german" (the ICU-lite
-    language pack, analysis/german.py). ``protected`` lists terms exempt
-    from stemming (KeywordMarkerFilter analog)."""
+    ``language``: "english"/"porter2" (default), "german", "swedish",
+    "french" or "spanish" (the language packs under analysis/; each
+    implemented from the published Snowball algorithm). ``protected``
+    lists terms exempt from stemming (KeywordMarkerFilter analog)."""
     lang = str(args.get("language", "english")).lower()
     if lang in ("english", "porter2", "en"):
         from .snowball import snowball_stem as stem
@@ -94,6 +95,10 @@ def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
         from .german import german_stem as stem
     elif lang in ("swedish", "sv"):
         from .swedish import swedish_stem as stem
+    elif lang in ("french", "fr"):
+        from .french import french_stem as stem
+    elif lang in ("spanish", "es"):
+        from .spanish import spanish_stem as stem
     else:
         raise KeyError(f"unknown snowball language {lang!r}")
 

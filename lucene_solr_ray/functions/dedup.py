@@ -384,21 +384,19 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                 algo: str = "fast"):
-    """Keep the min-id row per distinct content: hash → groupby → first.
-    (groupby on the 32-hex hash: uniform, unskewed key. Pass
-    ``algo="md5"`` for byte-parity with MD5Signature / a SQL oracle that
-    compares hash VALUES; the default vectorized key dedups identically.)"""
+    """Keep the min-id row per distinct content: hash → bucketed top-1.
+    (Key = the 32-hex content hash: uniform, unskewed. Pass ``algo="md5"``
+    for byte-parity with MD5Signature / a SQL oracle that compares hash
+    VALUES; the default vectorized key dedups identically.) Row-preserving
+    via relational.bucketed_top1 — per-block Arrow combiner + bucket merge,
+    no per-key Python callable (the old per-group pandas head(1) was the
+    1e8-group scale trap)."""
+    from .relational import bucketed_top1
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    return (
-        ds.map_batches(
-            lambda b: add_content_hash(b, text_col, algo), batch_format="pyarrow"
-        )
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col, algo), batch_format="pyarrow"
     )
+    return bucketed_top1(hashed, ["content_hash"], [id_col], [False])
 
 
 def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text",

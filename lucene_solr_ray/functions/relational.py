@@ -49,6 +49,71 @@ def default_shuffle_partitions(num_partitions: Optional[int] = None) -> int:
     return max(8, cpus)
 
 
+def _first_per_key(t: pa.Table, keyl: List[str], sort_keys) -> pa.Table:
+    """Sort ``t`` by ``sort_keys`` (Arrow C++ stable sort — any dtype) and
+    keep the FIRST row of every distinct key combination, fully vectorized
+    (dictionary-encoded key codes + one boundary diff; no per-group
+    Python). Nulls count as a distinct key value."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(sort_keys)
+    mask = np.zeros(t.num_rows, dtype=bool)
+    mask[0] = True
+    for k in keyl:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        mask[1:] |= codes[1:] != codes[:-1]
+    return t.filter(pa.array(mask))
+
+
+def bucketed_top1(ds, keys, order_cols: Sequence[str],
+                  descending: Sequence[bool],
+                  num_partitions: Optional[int] = None):
+    """Best-row-per-key for HIGH-CARDINALITY keys, row-preserving: the
+    bucketed combiner+merge pattern (see bucketed_agg) applied to top-1
+    selection. Map side: each block keeps only its local best row per key
+    (Arrow sort + vectorized first-per-key) and tags a key-hash bucket, so
+    the shuffle moves ≤ one row per (block, key); merge side: one
+    ``groupby(bucket)`` over ``P`` buckets re-sorts each bucket table in
+    C++ and keeps the global first per key. Replaces the per-key
+    ``map_groups(head(1)/sort.head(1))`` pandas callables — at 1e8 groups
+    that is an Arrow kernel per bucket instead of 1e8 Python calls.
+    With no ``order_cols`` the winner is an arbitrary-but-single row per
+    key (UniqueStream first-wins semantics under hash partitioning)."""
+    keyl = [keys] if isinstance(keys, str) else list(keys)
+    P = default_shuffle_partitions(num_partitions)
+    sort_keys = [(k, "ascending") for k in keyl] + [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(order_cols, descending)
+    ]
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _first_per_key(t, keyl, sort_keys)
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keyl:
+                h = h * np.uint64(0x100000001B3) ^ _key_bucket_hash(t[k])
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        return _first_per_key(g.drop_columns(["_bucket"]), keyl, sort_keys)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def bucketed_agg(ds, keys, aggs, out_names, num_partitions: Optional[int] = None):
     """Grouped aggregation for HIGH-CARDINALITY keys: per-block pyarrow
     combiner + bucket-grouped pyarrow merge — no per-key exchange (the
@@ -288,17 +353,19 @@ def top(ds, keys: Sequence[str], descending: Sequence[bool], k: int):
 
 def unique_stream(ds, col: str):
     """UniqueStream (…/io/stream/UniqueStream.java ~120 LoC): dedup by key,
-    first wins — hash groupby replaces the sorted-stream one-pass. When the
-    key is the ONLY column, this is DISTINCT and runs as a native count
-    aggregate (map-side pre-agg, no per-group Python callable — the scale
-    path for 1e8+ groups); otherwise a per-group head(1)."""
+    first wins — hash groupby replaces the sorted-stream one-pass (under
+    hash partitioning "first" is an arbitrary single winner, exactly as
+    the old per-group head(1) was). When the key is the ONLY column this
+    is DISTINCT and runs as a native count aggregate; the row-preserving
+    multi-column path is the bucketed combiner+merge top-1 (no per-key
+    Python callable — the scale path for 1e8+ groups)."""
     try:
         only_col = ds.schema().names == [col]
     except Exception:
         only_col = False
     if only_col:
         return distinct(ds, [col])
-    return ds.groupby(col).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return bucketed_top1(ds, [col], [], [])
 
 
 def _key_bucket_hash(k) -> np.ndarray:
@@ -772,16 +839,11 @@ def cursor_page(ds, sort_col: str, unique_col: str, k: int,
 def collapse(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool]):
     """CollapsingQParserPlugin / grouping top-1 (solr/core/.../search/
     CollapsingQParserPlugin.java ~2,900 LoC): keep the best row per group
-    by the given order. Generic path (any dtypes); when the order columns
-    pack into one int64, prefer ``collapse_packed`` — native aggregate,
-    no per-group Python."""
-
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            list(order_cols), ascending=[not d for d in descending], kind="mergesort"
-        ).head(1)
-
-    return ds.groupby(key).map_groups(best, batch_format="pandas")
+    by the given order. Generic path (any dtypes) = the bucketed
+    combiner+merge top-1 — Arrow sort per block/bucket, no per-key Python;
+    ``collapse_packed`` remains the one-aggregate alternative when the
+    order columns pack into one int64."""
+    return bucketed_top1(ds, [key], list(order_cols), list(descending))
 
 
 def collapse_packed(ds, key: str, pack_fn, unpack_fn, mode: str = "max"):

@@ -1304,6 +1304,119 @@ FROM documents GROUP BY 1
 """
 
 
+# (surface, stem) plants for the French / Spanish Snowball packs (round-5
+# verdict task 6); stems pinned by tests/test_analyzer_filters.py goldens
+FRENCH_PLANT = [
+    ("zzAdoration", "zzador"),
+    ("zzChevaux", "zzcheval"),
+    ("zzContinuelle", "zzcontinuel"),
+    ("zzFinissait", "zzfin"),
+    ("zzSimplement", "zzsimpl"),
+]
+SPANISH_PLANT = [
+    ("zzCanciones", "zzcancion"),
+    ("zzTorturadora", "zztortur"),
+    ("zzAtrevida", "zzatrev"),
+    ("zzNacionalidad", "zznacional"),
+    ("zzTrabajando", "zztrabaj"),
+]
+
+
+def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) -> str:
+    """documents index through a Snowball language pack (lowercase →
+    snowball ``language`` → icu folding), with one planted token per doc
+    (by doc_id % len(plants)) so the pack has real work on every doc;
+    cached per language (same shape as ensure_ft_german_index)."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:{cache_tag}"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+
+    base = _docs_as_pages(sf_dir)
+    m = len(plants)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(u.rsplit("/", 1)[-1]) for u in batch["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        toks = [plants[int(i) % m][0] for i in ids]
+        text = pc.binary_join_element_wise(
+            batch["text"], pa.array(toks, type=pa.string()), " "
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=base.map_batches(plant, batch_format="pyarrow"),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "filters": [
+                "lowercase",
+                {"name": "snowball_stem", "language": language},
+                "icu_folding",
+            ],
+        },
+    )
+    return index_root
+
+
+def _q_lang_stem_stats(sf_dir: str, language: str, plants, cache_tag: str) -> pd.DataFrame:
+    """Global (df, total_tf) of each planted stem — proves the language
+    pack ran over every document at build time (same contract shape as
+    ft_german_stem_stats)."""
+    from ..index.stats import read_query_term_stats
+
+    idx = _ensure_ft_lang_index(sf_dir, language, plants, cache_tag)
+    stems = [s for _, s in plants]
+    stats = read_query_term_stats(idx, stems)
+    rows = [
+        {"stem": s, "df": stats.get(s, (0, 0))[0],
+         "total_tf": stats.get(s, (0, 0))[1]}
+        for s in stems
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def q_ft_french_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """French Snowball pack (analysis/french.py; reference: lucene/analysis/
+    common/.../snowball/SnowballPorterFilterFactory.java language=French +
+    org/tartarus/snowball/ext/FrenchStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "french", FRENCH_PLANT, "french1")
+
+
+def q_ft_spanish_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Spanish Snowball pack (analysis/spanish.py; reference: .../ext/
+    SpanishStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "spanish", SPANISH_PLANT, "spanish1")
+
+
+def _sql_lang_stem_stats(plants) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{stem}'" for i, (_, stem) in enumerate(plants)
+    )
+    return f"""
+SELECT CASE doc_id % {len(plants)} {cases} END AS stem,
+       count(*) AS df, count(*) AS total_tf
+FROM documents GROUP BY 1
+"""
+
+
 MLT_SRC_DOC = 7
 MLT_MAX_TERMS = 10
 MLT_MIN_DF = 2
@@ -4666,6 +4779,8 @@ QUERIES = {
     "facet_top_terms": q_facet_top_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
     "ft_german_stem_stats": q_ft_german_stem_stats,
+    "ft_french_stem_stats": q_ft_french_stem_stats,
+    "ft_spanish_stem_stats": q_ft_spanish_stem_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "spellcheck_terms": q_spellcheck_terms,
@@ -4769,6 +4884,8 @@ ORACLES = {
     "facet_top_terms": sql_facet_top_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
     "ft_german_stem_stats": sql_ft_german_stem_stats(),
+    "ft_french_stem_stats": _sql_lang_stem_stats(FRENCH_PLANT),
+    "ft_spanish_stem_stats": _sql_lang_stem_stats(SPANISH_PLANT),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),

@@ -616,3 +616,80 @@ def test_swedish_snowball_goldens():
 
     sv = build_filter_chain([{"name": "snowball_stem", "language": "sv"}])
     assert sv("klockor") == "klock"
+
+
+def test_french_snowball_goldens():
+    """Hand-traced vectors of the published Snowball french algorithm:
+    prelude marking (U/I/Y), RV exceptions (par/col/tap, two-vowel),
+    step-1 groups incl. the amment/emment/ment fail-through into the verb
+    steps, 2a's non-vowel-in-RV condition, residual step 4, undouble and
+    un-accent. Documented deviation: Snowball-2.0 ë→He/ï→Hi not applied."""
+    from lucene_solr_ray.analysis.french import french_stem
+
+    cases = {
+        "mangeaient": "mang",          # prelude I mark + 2b a-group + e
+        "continuelle": "continuel",    # step 4 e + undouble ell
+        "adoration": "ador",           # step 1 ation in R2
+        "voudriez": "voudr",           # 2b e-group iez
+        "jouissance": "jouiss",        # prelude U; step 1 ance
+        "simplement": "simpl",         # ement in RV
+        "remerciements": "remerci",
+        "vraiment": "vrai",            # ment fail-through, 2a/2b fail, step 4
+        "finissait": "fin",            # 2a issait after non-vowel
+        "chevaux": "cheval",           # aux → al in R1
+        "beaux": "beau",               # eaux → eau
+        "vendeuse": "vendeux",         # euse: R2 fails, R1 → eux
+        "abondamment": "abond",        # amment → ant, then 2b deletes ant
+        "majestueusement": "majestu",  # ement then eus in R2
+        "nationale": "national",
+        "propositions": "proposit",    # 2b ions in R2
+        "payer": "pai",                # prelude Y; 2b er; step 3 Y → i
+        "barils": "baril",             # step 4 s after l
+    }
+    for w, exp in cases.items():
+        assert french_stem(w) == exp, (w, french_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    fr = build_filter_chain([{"name": "snowball_stem", "language": "french"}])
+    assert fr("adoration") == "ador"
+
+    # contract plants (ft_french_stem_stats) pin these exact stems
+    from lucene_solr_ray.pipelines.entry_queries import FRENCH_PLANT
+
+    for surface, stem in FRENCH_PLANT:
+        assert french_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_spanish_snowball_goldens():
+    """Hand-traced vectors of the published Snowball spanish algorithm:
+    step-0 attached pronouns (incl. the iéndo unaccent), step-1 d-suffix
+    groups, 2a y-verbs after u, 2b verb pool with the gu-u rule, residual
+    step 3, final de-accenting."""
+    from lucene_solr_ray.analysis.spanish import spanish_stem
+
+    cases = {
+        "canciones": "cancion",        # 2b es
+        "atrevida": "atrev",           # 2b ida
+        "torturadora": "tortur",       # step 1 adora in R2
+        "haciéndola": "hac",           # step 0 pronoun + unaccent + 2b iendo
+        "distinguen": "disting",       # 2b en + gu-u drop
+        "distinguir": "distingu",      # 2b ir (no gu rule in delete group)
+        "lógica": "logic",             # step 3 a + de-accent
+        "nacionalidad": "nacional",    # step 1 idad in R2
+        "rápidamente": "rapid",        # amente in R1
+        "trabajando": "trabaj",        # 2b ando
+        "construyeron": "constru",     # 2a yeron after u, in RV
+    }
+    for w, exp in cases.items():
+        assert spanish_stem(w) == exp, (w, spanish_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    es = build_filter_chain([{"name": "snowball_stem", "language": "es"}])
+    assert es("canciones") == "cancion"
+
+    from lucene_solr_ray.pipelines.entry_queries import SPANISH_PLANT
+
+    for surface, stem in SPANISH_PLANT:
+        assert spanish_stem(surface.lower()) == stem, (surface, stem)
