@@ -196,9 +196,17 @@ def run_bench() -> dict:
             "decontaminate_docs", "json_facet_query", "sort_by_function",
             "timeseries_orders", "facet_interval_price",
         ]:
-            t0 = time.perf_counter()
-            consume(eq.QUERIES[name](sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # best-of-2 with both numbers recorded (round-5 bench
+            # discipline: single-shot per-pipeline timings conflated the
+            # documented first-invocation worker-pool spin-up with engine
+            # regressions — see BENCH_r04's lm_rare_bigrams)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                consume(eq.QUERIES[name](sf_dir))
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs)
+            timings[f"{name}_runs"] = runs
 
     shutil.rmtree(index_root, ignore_errors=True)  # free the tmpfs RAM
 

@@ -92,7 +92,7 @@ def build_index(
     resume: bool = True,
     check_extraction: bool = False,
     analyzer_concurrency=None,
-    analyzer_batch_size: int = 1024,
+    analyzer_batch_size: int = 512,
     dataset=None,
     fingerprint: Optional[str] = None,
     analyzer_spec: Optional[Dict] = None,
@@ -486,7 +486,7 @@ def append_index(
     input_paths: List[str],
     index_root: str,
     lang: Optional[str] = "en",
-    analyzer_batch_size: int = 1024,
+    analyzer_batch_size: int = 512,
     max_segments_per_partition: Optional[int] = None,
     dataset=None,
     fingerprint: Optional[str] = None,

@@ -29,11 +29,15 @@ import pyarrow.compute as pc
 
 __all__ = [
     "wildcard_to_regex", "expand_wildcard", "expand_regexp", "expand_fuzzy",
-    "levenshtein_batch", "regex_prefix_set", "SCAN_STATS",
+    "levenshtein_batch", "regex_prefix_set", "regex_required_factor",
+    "SCAN_STATS",
 ]
 
-# per-process diagnostic: vocab narrowing effectiveness (reset at will)
-SCAN_STATS = {"calls": 0, "scanned_terms": 0, "total_terms": 0}
+# per-process diagnostic: vocab narrowing effectiveness (reset at will).
+# scanned_terms counts terms the EXPENSIVE anchored-RE2 kernel evaluated
+# (after prefix-range narrowing and/or the required-factor prefilter);
+# factor_calls counts unbounded patterns rescued by the factor prefilter.
+SCAN_STATS = {"calls": 0, "scanned_terms": 0, "total_terms": 0, "factor_calls": 0}
 
 
 def _split_toplevel_alt(p: str) -> List[str]:
@@ -182,6 +186,97 @@ def regex_prefix_set(pattern: str, cap: int = 32) -> Optional[List[str]]:
     return sorted(out)
 
 
+def regex_required_factor(pattern: str) -> Optional[str]:
+    """Longest literal substring REQUIRED by every string the (anchored)
+    pattern matches, or None. The automaton-factor analog for patterns
+    with no usable required prefix (e.g. ``.*foo.*`` → ``foo``): the
+    cheap C substring kernel prefilters the vocab so the anchored RE2
+    evaluates only candidate terms. Conservative: bails on top-level
+    alternation, treats groups/classes/escape-classes as opaque run
+    breakers, and drops any literal governed by an optional/variable
+    quantifier — so the returned factor is always sound."""
+    p, n = pattern, len(pattern)
+    runs: List[str] = []
+    cur: List[str] = []
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    def skip_quant(j: int) -> int:
+        if j < n and p[j] in "*+?":
+            return j + 1
+        if j < n and p[j] == "{":
+            k = p.find("}", j)
+            return (k + 1) if k != -1 else n
+        return j
+
+    i = 0
+    while i < n:
+        c = p[i]
+        piece: Optional[str] = None
+        if c == "|":
+            return None  # top-level alternation: no single required factor
+        if c == "\\":
+            if i + 1 < n and not p[i + 1].isalnum():
+                piece, j = p[i + 1], i + 2
+            else:
+                flush()
+                i = skip_quant(i + 2)
+                continue
+        elif c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if p[j] == "\\":
+                    j += 1
+                elif p[j] == "(":
+                    depth += 1
+                elif p[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return None
+            flush()
+            i = skip_quant(j)
+            continue
+        elif c == "[":
+            j = i + 1
+            if j < n and p[j] == "^":
+                j += 1
+            if j < n and p[j] == "]":
+                j += 1
+            while j < n and p[j] != "]":
+                j += 2 if p[j] == "\\" else 1
+            if j >= n:
+                return None
+            flush()
+            i = skip_quant(j + 1)
+            continue
+        elif c in ".^$":
+            flush()
+            i = skip_quant(i + 1)
+            continue
+        elif c in "*+?{)":
+            return None  # dangling quantifier / unbalanced: bail
+        else:
+            piece, j = c, i + 1
+        # literal piece: a following quantifier decides whether it counts
+        if j < n and p[j] in "*?{":
+            flush()  # piece optional / variable-count: excluded
+            i = skip_quant(j)
+        elif j < n and p[j] == "+":
+            cur.append(piece)  # required at least once, then run breaks
+            flush()
+            i = j + 1
+        else:
+            cur.append(piece)
+            i = j
+    flush()
+    best = max(runs, key=len, default="")
+    return best if len(best) >= 2 else None
+
+
 def wildcard_to_regex(pattern: str) -> Tuple[str, str]:
     """(literal_prefix, full anchored regex) for a Lucene wildcard pattern
     (``*`` = any run, ``?`` = any single char)."""
@@ -226,6 +321,7 @@ def expand_regexp(reader, pattern: str) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     prefixes = regex_prefix_set(pattern)
+    factor = None
     if prefixes:
         ranges = sorted(reader.prefix_range(p) for p in prefixes)
         merged: List[List[int]] = []
@@ -237,17 +333,32 @@ def expand_regexp(reader, pattern: str) -> np.ndarray:
             else:
                 merged.append([lo, hi])
     else:
+        # unbounded at position 0: fall back to a required-substring
+        # prefilter (cheap C kernel) so the anchored RE2 only evaluates
+        # candidate terms instead of the whole vocab
         merged = [[0, n]]
+        factor = regex_required_factor(pattern)
     SCAN_STATS["calls"] += 1
-    SCAN_STATS["scanned_terms"] += sum(hi - lo for lo, hi in merged)
     SCAN_STATS["total_terms"] += n
     rx = f"^(?:{pattern})$"
     outs = []
     for lo, hi in merged:
-        hit = pc.match_substring_regex(_vocab_slice(reader, lo, hi), rx).to_numpy(
-            zero_copy_only=False
-        )
-        outs.append(lo + np.nonzero(hit)[0])
+        sl = _vocab_slice(reader, lo, hi)
+        base = lo
+        if factor is not None:
+            SCAN_STATS["factor_calls"] += 1
+            pre = pc.match_substring(sl, factor).to_numpy(zero_copy_only=False)
+            cand = np.nonzero(pre)[0]
+            if len(cand) == 0:
+                continue
+            sl = sl.take(pa.array(cand))
+            SCAN_STATS["scanned_terms"] += len(cand)
+            hit = pc.match_substring_regex(sl, rx).to_numpy(zero_copy_only=False)
+            outs.append(base + cand[np.nonzero(hit)[0]])
+            continue
+        SCAN_STATS["scanned_terms"] += hi - lo
+        hit = pc.match_substring_regex(sl, rx).to_numpy(zero_copy_only=False)
+        outs.append(base + np.nonzero(hit)[0])
     if not outs:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(outs)

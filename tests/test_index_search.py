@@ -411,12 +411,24 @@ def test_regexp_narrowed_equals_full_scan():
     patterns = [
         "(s|p)lan|h.sh", "pl.n", "s(c|p)an", "qu[de]ry", "a.*", ".*an",
         "ab+a", "(h|q)u..", "plan|scan|span", "z+", "[ab][cd]e.*",
+        # unbounded-at-0 patterns exercising the required-FACTOR prefilter
+        ".*lan.*", ".*ash", ".*qu.ry.*", ".+sh", ".*ab.*cd.*",
     ]
     for pat in patterns:
         got = sorted(multiterm.expand_regexp(r, pat).tolist())
         rx = _re.compile(f"^(?:{pat})$")
         exp = [i for i, t in enumerate(vocab) if rx.match(t)]
         assert got == exp, (pat, got[:5], exp[:5])
+
+    # the factor path must actually engage and bound the RE2 scan
+    from lucene_solr_ray.search.multiterm import SCAN_STATS, regex_required_factor
+
+    assert regex_required_factor(".*lan.*") == "lan"
+    before = dict(SCAN_STATS)
+    multiterm.expand_regexp(r, ".*lan.*")
+    assert SCAN_STATS["factor_calls"] > before["factor_calls"]
+    scanned = SCAN_STATS["scanned_terms"] - before["scanned_terms"]
+    assert scanned < len(vocab)  # prefiltered, not a full RE2 scan
 
 
 def test_regexp_contract_pattern_narrows():

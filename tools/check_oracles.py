@@ -92,8 +92,14 @@ def check_entry(name: str, sf_dir: str, con, qs, oracles):
 def main():
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -108,12 +114,14 @@ def main():
     con = oracle_connection(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
+    record = {}
     for name in qs:
         if only and name not in only:
             continue
         t0 = time.perf_counter()
         status, detail = check_entry(name, sf_dir, con, qs, oracles)
         dt = time.perf_counter() - t0
+        record[name] = {"status": status, "detail": detail, "sec": round(dt, 2)}
         if status == "fail":
             print(f"FAIL {name}: {detail}")
             n_fail += 1
@@ -125,6 +133,21 @@ def main():
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "rows_only": n_rowsonly,
+                    "entries": record,
+                },
+                f,
+                indent=1,
+            )
     sys.exit(1 if n_fail else 0)
 
 
