@@ -259,20 +259,41 @@ def doc_tf_from_tokens(
         return empty + (np.empty(0, dtype=np.int32),) if want_positions else empty
     enc = pc.dictionary_encode(tokens)
     codes = enc.indices.to_numpy().astype(np.int64)
-    key = (doc_ids.astype(np.int64) << 32) | codes
-    uniq, counts = np.unique(key, return_counts=True)
-    u_docs = (uniq >> 32).astype(np.int64)
-    u_codes = (uniq & 0xFFFFFFFF).astype(np.int64)
+    # pack (doc, code) into the narrowest dtype the ranges allow — int32
+    # keys halve the sort's memory traffic (typical batch: <1k docs ×
+    # <100k-term dict fits easily)
+    bits = max(1, int(len(enc.dictionary) - 1).bit_length() if len(enc.dictionary) else 1)
+    if n_docs.bit_length() + bits <= 31:
+        key = ((doc_ids << bits) | codes).astype(np.int32)
+        shift = bits
+    else:
+        key = (doc_ids.astype(np.int64) << 32) | codes
+        shift = 32
+    mask = (np.int64(1) << shift) - 1
+    if not want_positions:
+        uniq, counts = np.unique(key, return_counts=True)
+    else:
+        # positions need the stable permutation anyway — derive the unique
+        # keys/counts from ONE argsort instead of sorting the keys twice
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        first = np.ones(len(key_s), dtype=bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        uniq = key_s[first]
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(key_s)))
+    uniq = uniq.astype(np.int64)
+    u_docs = uniq >> shift
+    u_codes = uniq & mask
     offsets = np.searchsorted(u_docs, np.arange(n_docs + 1, dtype=np.int64))
     values = enc.dictionary.take(pa.array(u_codes))
     if not want_positions:
         return values, offsets, counts.astype(np.int32), dl
-    # token position within its doc, then tokens regrouped by (doc, term)
-    # in ascending position order (np.argsort stable keeps token order)
+    # token position within its doc, regrouped by (doc, term) in ascending
+    # position order (the stable argsort keeps token order)
     doc_start = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(dl.astype(np.int64), out=doc_start[1:])
     tok_pos = (np.arange(len(tokens), dtype=np.int64) - doc_start[doc_ids]).astype(
         np.int32
     )
-    order = np.argsort(key, kind="stable")
     return values, offsets, counts.astype(np.int32), dl, tok_pos[order]
