@@ -99,6 +99,10 @@ def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
         from .french import french_stem as stem
     elif lang in ("spanish", "es"):
         from .spanish import spanish_stem as stem
+    elif lang in ("portuguese", "pt"):
+        from .portuguese import portuguese_stem as stem
+    elif lang in ("italian", "it"):
+        from .italian import italian_stem as stem
     else:
         raise KeyError(f"unknown snowball language {lang!r}")
 

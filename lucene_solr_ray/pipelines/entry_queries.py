@@ -1320,6 +1320,22 @@ SPANISH_PLANT = [
     ("zzNacionalidad", "zznacional"),
     ("zzTrabajando", "zztrabaj"),
 ]
+# post-icu_folding stems (all ASCII already); region offsets re-traced
+# with the zz prefix — see tests/test_analyzer_filters.py
+PORTUGUESE_PLANT = [
+    ("zzComunicação", "zzcomunic"),
+    ("zzFelizmente", "zzfeliz"),
+    ("zzBandeira", "zzbandeir"),
+    ("zzPensamento", "zzpensament"),
+    ("zzAprendizado", "zzaprendiz"),
+]
+ITALIAN_PLANT = [
+    ("zzOrganizzazione", "zzorganizz"),
+    ("zzRapidamente", "zzrapid"),
+    ("zzFelicità", "zzfelic"),
+    ("zzGuardando", "zzguard"),
+    ("zzDifferenza", "zzdifferent"),
+]
 
 
 def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) -> str:
@@ -1404,6 +1420,20 @@ def q_ft_spanish_stem_stats(sf_dir: str) -> pd.DataFrame:
     """Spanish Snowball pack (analysis/spanish.py; reference: .../ext/
     SpanishStemmer.java, branch_8x)."""
     return _q_lang_stem_stats(sf_dir, "spanish", SPANISH_PLANT, "spanish1")
+
+
+def q_ft_portuguese_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Portuguese Snowball pack (analysis/portuguese.py; reference: .../ext/
+    PortugueseStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(
+        sf_dir, "portuguese", PORTUGUESE_PLANT, "portuguese1"
+    )
+
+
+def q_ft_italian_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Italian Snowball pack (analysis/italian.py; reference: .../ext/
+    ItalianStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "italian", ITALIAN_PLANT, "italian1")
 
 
 def _sql_lang_stem_stats(plants) -> str:
@@ -4781,6 +4811,8 @@ QUERIES = {
     "ft_german_stem_stats": q_ft_german_stem_stats,
     "ft_french_stem_stats": q_ft_french_stem_stats,
     "ft_spanish_stem_stats": q_ft_spanish_stem_stats,
+    "ft_portuguese_stem_stats": q_ft_portuguese_stem_stats,
+    "ft_italian_stem_stats": q_ft_italian_stem_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "spellcheck_terms": q_spellcheck_terms,
@@ -4886,6 +4918,8 @@ ORACLES = {
     "ft_german_stem_stats": sql_ft_german_stem_stats(),
     "ft_french_stem_stats": _sql_lang_stem_stats(FRENCH_PLANT),
     "ft_spanish_stem_stats": _sql_lang_stem_stats(SPANISH_PLANT),
+    "ft_portuguese_stem_stats": _sql_lang_stem_stats(PORTUGUESE_PLANT),
+    "ft_italian_stem_stats": _sql_lang_stem_stats(ITALIAN_PLANT),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),

@@ -693,3 +693,97 @@ def test_spanish_snowball_goldens():
 
     for surface, stem in SPANISH_PLANT:
         assert spanish_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_portuguese_snowball_goldens():
+    """Hand-traced vectors of the published Snowball portuguese
+    algorithm: the ã→a~/õ→o~ prelude (tilde = consonant), step-1 groups
+    (aça~o/uça~o/ência/amente/mente/idade/ira), the verb pool in RV,
+    c-preceded i (step 3) vs residual vowel (step 4) gating, and the
+    always-on step 5 (final e + gu/ci undouble, ç→c). Portuguese keeps
+    acute/circumflex accents — only the nasal tildes round-trip."""
+    from lucene_solr_ray.analysis.portuguese import portuguese_stem
+
+    cases = {
+        "quilométricas": "quilométr",  # step 1 icas in R2 (accent kept)
+        "bobagem": "bobag",            # step 2 em
+        "corações": "coraçõ",          # step-1 aço~es fails R2 → step 2 es
+        "coração": "coraçã",           # nothing matches → step 4 o
+        "felizmente": "feliz",         # mente in R2
+        "grandes": "grand",            # step 2 es
+        "aprendizado": "aprendiz",     # step 2 ado
+        "cantarão": "cant",            # step 2 ara~o (prelude form)
+        "proposta": "propost",         # step 4 a
+        "lealdade": "lealdad",         # step 5 final e
+        "felicidade": "felic",         # step 1 idade in R2
+        "chegue": "cheg",              # step 5 e + gu undouble
+        "meninas": "menin",            # step 2 as
+        "maçã": "maçã",                # prelude round-trips untouched
+        "comunicação": "comunic",      # step 1 aça~o in R2
+        "rapidamente": "rapid",        # amente in R1
+        "falaríamos": "fal",           # step 2 aríamos
+        "pensamento": "pensament",     # amento fails R2 → step 4 o
+        "bandeira": "bandeir",         # step 1 ira → ir after e, in RV
+        "agência": "agênc",            # ência fails R2 → step 2 ia
+        "biologia": "biolog",          # logia fails R2 → step 2 ia
+        "abraço": "abrac",             # step 4 o then step 5 ç→c
+        "introdução": "introdu",       # step 1 uça~o → u in R2
+        "experiência": "experient",    # step 1 ência → ente, step 5 e
+        "comportamento": "comport",    # step 1 amento in R2
+        "delicia": "delic",            # step 2 ia then step 3 c-preceded i
+        "livros": "livr",              # step 4 os
+    }
+    for w, exp in cases.items():
+        assert portuguese_stem(w) == exp, (w, portuguese_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    pt = build_filter_chain([{"name": "snowball_stem", "language": "pt"}])
+    assert pt("comunicação") == "comunic"
+
+    from lucene_solr_ray.pipelines.entry_queries import PORTUGUESE_PLANT
+
+    for surface, stem in PORTUGUESE_PLANT:
+        assert portuguese_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_italian_snowball_goldens():
+    """Hand-traced vectors of the published Snowball italian algorithm:
+    acute→grave + U/I prelude marks, step-0 attached pronouns (ando/endo
+    delete vs ar/er/ir→e), step-1 groups (azione+ic, logia, uzione, enza
+    →ente, amento-in-RV, amente-in-R1, ità, ivo), the verb pool in RV,
+    step 3a's vowel + preceding-i double delete, and 3b's ch/gh→c/g."""
+    from lucene_solr_ray.analysis.italian import italian_stem
+
+    cases = {
+        "abbandonata": "abbandon",     # step 2 ata
+        "pronunciamento": "pronunc",   # amento in RV + 3a i
+        "cioccolata": "cioccol",       # step 2 ata
+        "nazionale": "nazional",       # 3a final e
+        "nazione": "nazion",           # azione fails R2 → 3a e
+        "organizzazione": "organizz",  # azione in R2
+        "rapidamente": "rapid",        # amente in R1
+        "felicità": "felic",           # ità in R2
+        "guardando": "guard",          # step 2 ando
+        "questione": "question",       # qU prelude mark round-trips
+        "arrivederci": "arrived",      # step 0 ci after er → e, step 2 ere
+        "mangiandolo": "mang",         # step 0 lo after ando, step 2 ando
+        "bellezza": "bellezz",         # nothing matches but 3a a
+        "pagherebbero": "pag",         # step 2 erebbero + 3b gh→g
+        "amici": "amic",               # ici fails R2 → 3a i
+        "psicologia": "psicolog",      # logia fails R2 → 3a a then i
+        "distribuzione": "distribu",   # uzione → u in R2 (u survives 3a)
+        "differenza": "different",     # enza → ente in R2, 3a e
+    }
+    for w, exp in cases.items():
+        assert italian_stem(w) == exp, (w, italian_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    it = build_filter_chain([{"name": "snowball_stem", "language": "it"}])
+    assert it("organizzazione") == "organizz"
+
+    from lucene_solr_ray.pipelines.entry_queries import ITALIAN_PLANT
+
+    for surface, stem in ITALIAN_PLANT:
+        assert italian_stem(surface.lower()) == stem, (surface, stem)
