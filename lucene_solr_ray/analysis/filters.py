@@ -103,6 +103,14 @@ def _build_snowball(args: dict) -> Callable[[str], Optional[str]]:
         from .portuguese import portuguese_stem as stem
     elif lang in ("italian", "it"):
         from .italian import italian_stem as stem
+    elif lang in ("russian", "ru"):
+        from .russian import russian_stem as stem
+    elif lang in ("dutch", "nl"):
+        from .dutch import dutch_stem as stem
+    elif lang in ("norwegian", "no", "nb"):
+        from .norwegian import norwegian_stem as stem
+    elif lang in ("danish", "da"):
+        from .norwegian import danish_stem as stem
     else:
         raise KeyError(f"unknown snowball language {lang!r}")
 
@@ -351,8 +359,29 @@ def _icu_fold(token: str) -> str:
     return unicodedata.normalize("NFKC", "".join(out)).casefold()
 
 
+def _build_arabic_normalization(args: dict):
+    from .arabic import arabic_normalize
+
+    return arabic_normalize
+
+
+def _build_arabic_stem(args: dict):
+    from .arabic import arabic_stem
+
+    return arabic_stem
+
+
+def _build_persian_normalization(args: dict):
+    from .arabic import persian_normalize
+
+    return persian_normalize
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "icu_folding": lambda args: _icu_fold,
+    "arabic_normalization": _build_arabic_normalization,
+    "arabic_stem": _build_arabic_stem,
+    "persian_normalization": _build_persian_normalization,
     "phonetic": _build_phonetic,
     "stop": _build_stop,
     "porter_stem": _build_porter,

@@ -1336,6 +1336,35 @@ ITALIAN_PLANT = [
     ("zzGuardando", "zzguard"),
     ("zzDifferenza", "zzdifferent"),
 ]
+# Cyrillic plants; stems chosen icu_fold-stable (no й/ё survives the stem)
+RUSSIAN_PLANT = [
+    ("zzКнигами", "zzкниг"),
+    ("zzЧитавшие", "zzчита"),
+    ("zzАктивность", "zzактивн"),
+    ("zzНовейший", "zzнов"),
+    ("zzСтранный", "zzстран"),
+]
+DUTCH_PLANT = [
+    ("zzOpleiding", "zzopleid"),
+    ("zzGemakkelijk", "zzgemak"),
+    ("zzKatten", "zzkat"),
+    ("zzOpenbare", "zzopen"),
+    ("zzBoot", "zzbot"),
+]
+NORWEGIAN_PLANT = [
+    ("zzBilene", "zzbil"),
+    ("zzHuset", "zzhus"),
+    ("zzVakkert", "zzvakker"),
+    ("zzHemmelig", "zzhemm"),
+    ("zzSendt", "zzsend"),
+]
+DANISH_PLANT = [
+    ("zzBilerne", "zzbil"),
+    ("zzVenligst", "zzven"),
+    ("zzKattens", "zzkat"),
+    ("zzTrygt", "zztryg"),
+    ("zzDagens", "zzdag"),
+]
 
 
 def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) -> str:
@@ -1434,6 +1463,32 @@ def q_ft_italian_stem_stats(sf_dir: str) -> pd.DataFrame:
     """Italian Snowball pack (analysis/italian.py; reference: .../ext/
     ItalianStemmer.java, branch_8x)."""
     return _q_lang_stem_stats(sf_dir, "italian", ITALIAN_PLANT, "italian1")
+
+
+def q_ft_russian_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Russian Snowball pack (analysis/russian.py; reference: .../ext/
+    RussianStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "russian", RUSSIAN_PLANT, "russian1")
+
+
+def q_ft_dutch_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Dutch Snowball pack (analysis/dutch.py; reference: .../ext/
+    DutchStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "dutch", DUTCH_PLANT, "dutch1")
+
+
+def q_ft_norwegian_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Norwegian Snowball pack (analysis/norwegian.py; reference: .../ext/
+    NorwegianStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(
+        sf_dir, "norwegian", NORWEGIAN_PLANT, "norwegian1"
+    )
+
+
+def q_ft_danish_stem_stats(sf_dir: str) -> pd.DataFrame:
+    """Danish Snowball pack (analysis/norwegian.py#danish_stem; reference:
+    .../ext/DanishStemmer.java, branch_8x)."""
+    return _q_lang_stem_stats(sf_dir, "danish", DANISH_PLANT, "danish1")
 
 
 def _sql_lang_stem_stats(plants) -> str:
@@ -4813,6 +4868,10 @@ QUERIES = {
     "ft_spanish_stem_stats": q_ft_spanish_stem_stats,
     "ft_portuguese_stem_stats": q_ft_portuguese_stem_stats,
     "ft_italian_stem_stats": q_ft_italian_stem_stats,
+    "ft_russian_stem_stats": q_ft_russian_stem_stats,
+    "ft_dutch_stem_stats": q_ft_dutch_stem_stats,
+    "ft_norwegian_stem_stats": q_ft_norwegian_stem_stats,
+    "ft_danish_stem_stats": q_ft_danish_stem_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "spellcheck_terms": q_spellcheck_terms,
@@ -4920,6 +4979,10 @@ ORACLES = {
     "ft_spanish_stem_stats": _sql_lang_stem_stats(SPANISH_PLANT),
     "ft_portuguese_stem_stats": _sql_lang_stem_stats(PORTUGUESE_PLANT),
     "ft_italian_stem_stats": _sql_lang_stem_stats(ITALIAN_PLANT),
+    "ft_russian_stem_stats": _sql_lang_stem_stats(RUSSIAN_PLANT),
+    "ft_dutch_stem_stats": _sql_lang_stem_stats(DUTCH_PLANT),
+    "ft_norwegian_stem_stats": _sql_lang_stem_stats(NORWEGIAN_PLANT),
+    "ft_danish_stem_stats": _sql_lang_stem_stats(DANISH_PLANT),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),

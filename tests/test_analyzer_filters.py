@@ -787,3 +787,171 @@ def test_italian_snowball_goldens():
 
     for surface, stem in ITALIAN_PLANT:
         assert italian_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_russian_snowball_goldens():
+    """Hand-traced vectors of the published Snowball russian algorithm:
+    ё→е folding, the RV setlimit (a suffix extending before RV cannot
+    match), among semantics (longest in-RV match, then the а/я
+    condition, no backtracking — so пила's verb 'ла' fails on и and the
+    noun 'а' wins), reflexive + conditioned-verb chains, derivational
+    ост/ость wholly in R2, superlative ейш + нн undoubling."""
+    from lucene_solr_ray.analysis.russian import russian_stem
+
+    cases = {
+        "книгами": "книг",            # noun ами
+        "красивый": "красив",         # adjective ый, no participle
+        "читавшие": "чита",           # adjective ие + participle вш после а
+        "читать": "чита",             # verb ть после а
+        "читается": "чита",           # reflexive ся + verb ет после а
+        "книга": "книг",              # noun а
+        "новейший": "нов",            # adjective ий + step-4 superlative ейш
+        "остановившись": "останов",   # perfective gerund ившись (group 2)
+        "женщинами": "женщин",        # noun ами
+        "важность": "важност",        # noun ь; ост NOT in R2
+        "активность": "активн",       # noun ь; ост in R2
+        "странный": "стран",          # adjective ый + нн→н
+        "ёлка": "елк",                # ё fold + noun а
+        "жизнью": "жизн",             # noun ью
+        "быстрая": "быстр",           # adjective ая
+        "пила": "пил",                # verb ла fails (и before) → noun а
+    }
+    for w, exp in cases.items():
+        assert russian_stem(w) == exp, (w, russian_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    ru = build_filter_chain([{"name": "snowball_stem", "language": "ru"}])
+    assert ru("книгами") == "книг"
+
+    from lucene_solr_ray.pipelines.entry_queries import RUSSIAN_PLANT
+
+    for surface, stem in RUSSIAN_PLANT:
+        assert russian_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_arabic_persian_filters():
+    """ArabicNormalizationFilter / ArabicStemFilter (light10) /
+    PersianNormalizationFilter analogs: harakat + tatweel stripping,
+    alef/yeh/teh-marbuta folding, one-prefix + iterated-suffix stemming
+    with the published length gates, and the Farsi letterform folds."""
+    from lucene_solr_ray.analysis.arabic import (
+        arabic_normalize, arabic_stem, persian_normalize,
+    )
+
+    # normalization: diacritics stripped, hamza'd alef folded
+    assert arabic_normalize("الْكِتَابُ") == "الكتاب"
+    assert arabic_normalize("أحمد") == "احمد"
+    assert arabic_normalize("آمن") == "امن"
+    assert arabic_normalize("مكتبة") == "مكتبه"     # teh marbuta → heh
+    assert arabic_normalize("مستشفى") == "مستشفي"   # dotless yeh → yeh
+    assert arabic_normalize("كتــــاب") == "كتاب"    # tatweel removed
+
+    # stemming: one prefix, iterated suffixes, length gates
+    assert arabic_stem("الكتاب") == "كتاب"          # ال prefix
+    assert arabic_stem("والكتاب") == "كتاب"         # وال prefix
+    assert arabic_stem("كتابها") == "كتاب"          # ها suffix
+    assert arabic_stem("مكتبات") == "مكتب"          # ات suffix
+    assert arabic_stem("وعد") == "وعد"              # و gate: len<4 keeps
+    assert arabic_stem("وكتب") == "كتب"             # و strips at len≥4
+    assert arabic_stem("بلد") == "بلد"              # nothing to strip
+    # normalization feeds the stemmer (the Lucene chain order)
+    assert arabic_stem(arabic_normalize("مكتبة")) == "مكتب"
+
+    # persian letterform folds
+    assert persian_normalize("کتاب") == "كتاب"      # keheh → kaf
+    assert persian_normalize("می‌خواهم") == "ميخواهم"  # farsi yeh + ZWNJ
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    ar = build_filter_chain(["arabic_normalization", "arabic_stem"])
+    assert ar("الْكِتَابُ") == "كتاب"
+    fa = build_filter_chain(["persian_normalization"])
+    assert fa("کتاب") == "كتاب"
+
+
+def test_dutch_snowball_goldens():
+    """Hand-traced vectors of the published Snowball dutch algorithm:
+    the ≥3-letter R1 floor (R2 unadjusted), valid en-/s-ending tests,
+    kk/dd/tt undoubling, heden→heid, the step-2 e flag gating 3b's bar,
+    lijk's step-2 rerun, end/ing's ig follow-up, and step 4's
+    consonant-VV-consonant vowel undoubling."""
+    from lucene_solr_ray.analysis.dutch import dutch_stem
+
+    cases = {
+        "lichamelijk": "licham",        # lijk in R2 + step-2 rerun
+        "lichamelijkheden": "licham",   # heden→heid, heid, lijk, e
+        "bomen": "bom",                 # en after non-vowel
+        "katten": "kat",                # en + tt undouble
+        "lopen": "lop",
+        "straten": "strat",
+        "muren": "mur",
+        "boten": "bot",
+        "boot": "bot",                  # step 4 oo undouble
+        "openbaar": "open",             # baar in R2
+        "openbaarheid": "open",         # heid then baar
+        "openbare": "open",             # step-2 e then bar (flag gated)
+        "vrijwillig": "vrijwill",       # ig in R2
+        "opleiding": "opleid",          # ing in R2, no ig follow-up
+        "verdediging": "verded",        # ing then ig follow-up
+        "betalen": "betal",
+        "mogelijkheden": "mogelijk",    # lijk NOT in R2 here
+        "apen": "apen",                 # R1 floor blocks en
+        "gemakkelijk": "gemak",         # lijk + e + kk undouble
+    }
+    for w, exp in cases.items():
+        assert dutch_stem(w) == exp, (w, dutch_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    nl = build_filter_chain([{"name": "snowball_stem", "language": "nl"}])
+    assert nl("lichamelijkheden") == "licham"
+
+    from lucene_solr_ray.pipelines.entry_queries import DUTCH_PLANT
+
+    for surface, stem in DUTCH_PLANT:
+        assert dutch_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_norwegian_danish_snowball_goldens():
+    """Hand-traced vectors of the published Snowball norwegian + danish
+    algorithms: the shared R1 ≥3 floor, Norwegian's k-after-non-vowel
+    s-ending and erte/ert→er, Danish's igst→st + step-2 rerun and
+    any-double-consonant undouble."""
+    from lucene_solr_ray.analysis.norwegian import danish_stem, norwegian_stem
+
+    no_cases = {
+        "bilene": "bil", "bilen": "bil", "huset": "hus",
+        "kvinnene": "kvinn", "viktig": "vikt",
+        "vakkert": "vakker",       # erte/ert → er
+        "hemmelig": "hemm",        # step 3 elig
+        "mulighetene": "mul",      # hetene then ig
+        "hans": "han",             # s after valid n
+        "huskes": "husk",          # es (group a beats bare s)
+        "sendt": "send",           # step 2 dt
+    }
+    for w, exp in no_cases.items():
+        assert norwegian_stem(w) == exp, (w, norwegian_stem(w), exp)
+
+    da_cases = {
+        "bilerne": "bil", "huset": "hus", "dagens": "dag",
+        "venligst": "ven",         # igst → st, then lig
+        "hellige": "hel",          # e then lig
+        "trygt": "tryg",           # step 2 gt
+        "kattens": "kat",          # ens then tt undouble
+        "forløst": "forløs",       # løst → løs in R1
+    }
+    for w, exp in da_cases.items():
+        assert danish_stem(w) == exp, (w, danish_stem(w), exp)
+
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    assert build_filter_chain([{"name": "snowball_stem", "language": "no"}])("bilene") == "bil"
+    assert build_filter_chain([{"name": "snowball_stem", "language": "da"}])("bilerne") == "bil"
+
+    from lucene_solr_ray.pipelines.entry_queries import DANISH_PLANT, NORWEGIAN_PLANT
+
+    for surface, stem in NORWEGIAN_PLANT:
+        assert norwegian_stem(surface.lower()) == stem, (surface, stem)
+    for surface, stem in DANISH_PLANT:
+        assert danish_stem(surface.lower()) == stem, (surface, stem)
