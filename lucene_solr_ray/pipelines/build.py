@@ -70,17 +70,27 @@ def _check_extraction_invariant(batch: pa.Table) -> pa.Table:
     """Per-row invariant from BASELINE.json:15: extracted text must be
     byte-identical per url. Our synthetic html wraps text invertibly
     (FIXTURES.md §1); rows violating the invariant fail the build loudly
-    (the reference's analog: Tika extraction is deterministic per url)."""
-    html = batch["html"].to_pylist()
-    text = batch["text"].to_pylist()
-    for i, (h, t) in enumerate(zip(html, text)):
-        if h is None:
-            continue
-        inner = h[len(b"<html><body><p>") : -len(b"</p></body></html>")]
-        if inner != t.encode("utf-8"):
-            raise ValueError(
-                f"text-extraction invariant violated for url={batch['url'][i]}"
-            )
+    (the reference's analog: Tika extraction is deterministic per url).
+    Vectorized: rebuild wrap(text) with one element-wise join and compare
+    whole-row bytes — equality of html and wrap(text) implies the inner
+    slice equals text AND the wrapper is intact (strictly stronger than
+    slicing out the middle). Rows with null html are exempt."""
+    html = batch["html"]
+    expect = pc.cast(
+        pc.binary_join_element_wise(
+            "<html><body><p>", batch["text"], "</p></body></html>", ""
+        ),
+        pa.binary(),
+    )
+    eq = pc.equal(html, expect)  # null where html or text is null
+    bad = pc.and_(
+        pc.is_valid(html), pc.invert(pc.coalesce(eq, False))
+    )
+    if pc.any(bad).as_py():
+        i = int(np.argmax(bad.combine_chunks().to_numpy(zero_copy_only=False)))
+        raise ValueError(
+            f"text-extraction invariant violated for url={batch['url'][i]}"
+        )
     return batch.drop_columns(["html"])
 
 
