@@ -189,10 +189,16 @@ def build_index(
     if analyzer_concurrency is None:
         # FIXED-size actor pool (autoscaling from 1 ramps far too slowly —
         # measured 3.5x slower at 32 CPUs), sized to the session CPUs minus
-        # a few for the read tasks: a pool that reserves every CPU starves
-        # the upstream ReadParquet tasks and deadlocks the streaming
-        # executor on a small node
-        analyzer_concurrency = max(2, ncpu - 4) if ncpu > 8 else max(1, ncpu - 1)
+        # a few for the read+spill tasks: a pool that reserves every CPU
+        # starves the upstream ReadParquet tasks and deadlocks the streaming
+        # executor on a small node. At mid widths the reserve must scale
+        # with the pool — ncpu-1 at 8 CPUs left ONE slot for ~25 core-s of
+        # read+spill work, serializing it behind the pool (measured 26.5 s
+        # → 19.2 s at 8 CPUs just by freeing a second task slot).
+        if ncpu > 8:
+            analyzer_concurrency = max(2, ncpu - 4)
+        else:
+            analyzer_concurrency = max(1, ncpu - max(1, ncpu // 4))
     ds = ds.map_batches(
         AnalyzerStage,
         fn_constructor_kwargs={
@@ -472,7 +478,22 @@ def _build_via_runs(
         _spill_partition_stats(index_root, pid, stats_runs, num_shards)
         return time.perf_counter() - t0
 
-    task_secs = ray.get([build_one.remote(pid) for pid in range(P)])
+    # longest-processing-time-first: submit partitions by descending run
+    # bytes so the big ones start in the first wave — at width W the last
+    # wave then holds the SMALL tasks, cutting the straggler tail that
+    # inflates the wide leg's wall time (task order does not affect any
+    # artifact: each task writes only its own partition directory)
+    def _run_bytes(pid: int) -> int:
+        pdir = os.path.join(runs_dir, f"part-{pid:05d}")
+        try:
+            with os.scandir(pdir) as it:
+                return sum(e.stat().st_size for e in it if e.is_file())
+        except OSError:
+            return 0
+
+    order = sorted(range(P), key=_run_bytes, reverse=True)
+    secs_by_pid = dict(zip(order, ray.get([build_one.remote(pid) for pid in order])))
+    task_secs = [secs_by_pid[pid] for pid in range(P)]
     shutil.rmtree(runs_dir, ignore_errors=True)
     phases["segment_build"] = round(time.perf_counter() - t_ph, 3)
     if task_secs:
