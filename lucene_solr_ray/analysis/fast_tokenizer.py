@@ -132,12 +132,23 @@ def tokenize_ascii_buffer(
     buf = data[lo:hi]
     offs = offs - lo
     L = len(buf)
-    n_docs = len(offs) - 1
     if L == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
+    run_starts, lens = _alnum_runs(
+        _CLS[buf], offs, np.nonzero(buf == 0x5F)[0], max_token_length
+    )
+    doc_ids = np.searchsorted(offs, run_starts, side="right") - 1
+    return run_starts + lo, lens, doc_ids
 
-    cls = _CLS[buf]
+
+def _alnum_runs(
+    cls: np.ndarray, offs: np.ndarray, under_pos: np.ndarray, max_token_length: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Alphanumeric token runs over a class sequence (index space = the
+    caller's unit: bytes for ASCII, codepoints for Unicode). Shared core of
+    tokenize_ascii_buffer / tokenize_utf8_buffer — returns (starts, lens)."""
+    L = len(cls)
     starts_of_docs = offs[:-1][offs[:-1] < L]
     in_tok = (cls & _INTOK) > 0
 
@@ -162,6 +173,9 @@ def tokenize_ascii_buffer(
         ) | (((mc & _MIDN) > 0) & ((prev_cls & _DIGIT) > 0) & ((nxt_cls & _DIGIT) > 0))
         in_tok[mids[join_m]] = True
 
+    if not in_tok.any():
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
     # run boundaries from the in-token delta; then split any run spanning a
     # doc boundary (docs routinely end mid-word, so these splits are real)
     d = np.diff(in_tok.view(np.int8))
@@ -184,12 +198,11 @@ def tokenize_ascii_buffer(
             run_ends, np.searchsorted(run_ends, splits - 1), splits - 1
         )
 
-    # drop runs with no alphanumeric byte: a run can only lack alnum when
+    # drop runs with no alphanumeric char: a run can only lack alnum when
     # it is ALL underscores (joined mid chars require alnum neighbors), so
     # count underscores per run against the sparse underscore position
     # list — two searchsorteds, no full-buffer segmented reduce
     if len(run_starts):
-        under_pos = np.nonzero(buf == 0x5F)[0]
         if len(under_pos):
             cnt = np.searchsorted(under_pos, run_ends, side="right") - np.searchsorted(
                 under_pos, run_starts, side="left"
@@ -215,8 +228,144 @@ def tokenize_ascii_buffer(
         order = np.argsort(run_starts, kind="stable")
         run_starts, lens = run_starts[order], lens[order]
 
-    doc_ids = np.searchsorted(offs, run_starts, side="right") - 1
-    return run_starts + lo, lens, doc_ids
+    return run_starts, lens
+
+
+# --- vectorized Unicode path ------------------------------------------------
+# class flags for non-ASCII codepoints extend the byte table's bit layout
+_HAN_F, _HIRA_F, _KATA_F = 32, 64, 128
+_UCLS: np.ndarray | None = None
+
+
+def _unicode_cls() -> np.ndarray:
+    """Full-codepoint class table (uint8[0x110000]) built from the packed
+    bitmaps that tools/gen_unicode_cls.py derives from the reference regex
+    character classes — the vectorized Unicode path and the regex tokenizer
+    therefore share one source of truth for every class decision."""
+    global _UCLS
+    if _UCLS is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "uax29_cls.npz")
+        z = np.load(path)
+        n = 0x110000
+        t = np.zeros(n, dtype=np.uint8)
+        for name, flag in (
+            ("digit", _DIGIT), ("letter", _LETTER), ("midl", _MIDL),
+            ("midn", _MIDN), ("han", _HAN_F), ("hira", _HIRA_F),
+            ("kata", _KATA_F),
+        ):
+            t |= np.unpackbits(z[name])[:n].astype(np.uint8) * np.uint8(flag)
+        t[0x5F] |= _UNDER
+        _UCLS = t
+    return _UCLS
+
+
+def _decode_utf8(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 decode of a validated byte buffer → (codepoints
+    uint32[n_cp], cp byte positions int64[n_cp])."""
+    is_lead = (buf & 0xC0) != 0x80
+    cp_pos = np.nonzero(is_lead)[0]
+    lead = buf[cp_pos].astype(np.uint32)
+    L = len(buf)
+    # sequence length per lead byte
+    n2 = lead >= 0xC0
+    n3 = lead >= 0xE0
+    n4 = lead >= 0xF0
+    cp = np.where(n4, lead & 0x07, np.where(n3, lead & 0x0F,
+                  np.where(n2, lead & 0x1F, lead)))
+    if n2.any():
+        c1 = buf[np.minimum(cp_pos + 1, L - 1)].astype(np.uint32) & 0x3F
+        cp = np.where(n2, (cp << 6) | c1, cp)
+        if n3.any():
+            c2 = buf[np.minimum(cp_pos + 2, L - 1)].astype(np.uint32) & 0x3F
+            cp = np.where(n3, (cp << 6) | c2, cp)
+            if n4.any():
+                c3 = buf[np.minimum(cp_pos + 3, L - 1)].astype(np.uint32) & 0x3F
+                cp = np.where(n4, (cp << 6) | c3, cp)
+    return cp, cp_pos
+
+
+def _mask_runs(mask: np.ndarray, doc_starts: np.ndarray, max_len: int):
+    """Maximal runs of a boolean mask, split at doc boundaries and into
+    max_len chunks — the [KATA]+ alternative of the reference regex."""
+    if not mask.any():
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    L = len(mask)
+    d = np.diff(mask.view(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0]
+    if mask[0]:
+        starts = np.concatenate(([0], starts))
+    if mask[-1]:
+        ends = np.concatenate((ends, [L - 1]))
+    splits = doc_starts[doc_starts > 0]
+    if len(splits):
+        splits = splits[mask[splits] & mask[splits - 1]]
+    if len(splits):
+        starts = np.insert(starts, np.searchsorted(starts, splits), splits)
+        ends = np.insert(ends, np.searchsorted(ends, splits - 1), splits - 1)
+    lens = ends - starts + 1
+    long = lens > max_len
+    if long.any():
+        pieces_s, pieces_l = [starts[~long]], [lens[~long]]
+        for s, ln in zip(starts[long], lens[long]):
+            ks = np.arange(s, s + ln, max_len, dtype=np.int64)
+            pieces_s.append(ks)
+            pieces_l.append(np.minimum(max_len, s + ln - ks))
+        starts = np.concatenate(pieces_s)
+        lens = np.concatenate(pieces_l)
+        order = np.argsort(starts, kind="stable")
+        starts, lens = starts[order], lens[order]
+    return starts, lens
+
+
+def tokenize_utf8_buffer(
+    data: np.ndarray, offs: np.ndarray, max_token_length: int = 255
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token BYTE spans over a concatenated UTF-8 doc buffer (the
+    vectorized twin of the regex tokenizer for docs with non-ASCII bytes;
+    property-pinned token-identical in tests/test_tokenizer.py).
+
+    Decodes codepoints vectorized, classifies them through the
+    regex-derived table, builds alnum/mid/underscore runs with the same
+    core as the ASCII path plus the Han/Hiragana single-codepoint and
+    Katakana-run rules, then maps codepoint spans back to byte spans —
+    token bytes are gathered from the original buffer, so no re-encoding.
+    max_token_length counts CODEPOINTS, matching the reference."""
+    lo, hi = int(offs[0]), int(offs[-1])
+    buf = data[lo:hi]
+    offs_b = offs - lo
+    if len(buf) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    cp, cp_pos = _decode_utf8(buf)
+    cls = _unicode_cls()[cp]
+    # doc boundaries in codepoint space (doc offsets are valid UTF-8
+    # boundaries, so they coincide with codepoint starts)
+    offs_cp = np.searchsorted(cp_pos, offs_b, side="left")
+    starts, lens = _alnum_runs(
+        cls, offs_cp, np.nonzero(cp == 0x5F)[0], max_token_length
+    )
+    # CJK: Han/Hiragana emit single-codepoint tokens, Katakana emits runs
+    cjk = cls & (_HAN_F | _HIRA_F)
+    if cjk.any() or (cls & _KATA_F).any():
+        doc_starts = offs_cp[:-1][offs_cp[:-1] < len(cp)]
+        singles = np.nonzero(cjk)[0]
+        k_starts, k_lens = _mask_runs(
+            (cls & _KATA_F) > 0, doc_starts, max_token_length
+        )
+        starts = np.concatenate([starts, singles, k_starts])
+        lens = np.concatenate([lens, np.ones(len(singles), dtype=np.int64), k_lens])
+        order = np.argsort(starts, kind="stable")
+        starts, lens = starts[order], lens[order]
+    doc_ids = np.searchsorted(offs_cp, starts, side="right") - 1
+    # codepoint spans → byte spans
+    cp_end = np.append(cp_pos, len(buf))
+    b_starts = cp_pos[starts]
+    b_lens = cp_end[starts + lens] - b_starts
+    return b_starts + lo, b_lens, doc_ids
 
 
 def tokens_to_string_array(

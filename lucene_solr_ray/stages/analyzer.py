@@ -217,8 +217,18 @@ def analyze_table(
         data, offs = _string_buffers(sub)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        fb_texts = text_col.take(pa.array(fb_idx)).to_pylist()
-        f_tokens, f_doc_ids = _tokenize_rows_regex(fb_texts, tokenizer)
+        fb = text_col.take(pa.array(fb_idx))
+        if fb.null_count:
+            f_tokens, f_doc_ids = _tokenize_rows_regex(fb.to_pylist(), tokenizer)
+        else:
+            # vectorized Unicode twin of the regex path (fast_tokenizer.
+            # tokenize_utf8_buffer, property-pinned token-identical):
+            # lowercase stays the one Arrow utf8_lower kernel
+            from ..analysis.fast_tokenizer import tokenize_utf8_buffer
+
+            f_data, f_offs = _string_buffers(fb)
+            f_starts, f_lens, f_doc_ids = tokenize_utf8_buffer(f_data, f_offs, m)
+            f_tokens = pc.utf8_lower(tokens_to_string_array(f_data, f_starts, f_lens))
         a_pos = f_pos = None
         if shingles is not None:
             from ..analysis.shingle import shingle_token_stream

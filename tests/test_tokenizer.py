@@ -73,3 +73,93 @@ def test_random_unicode_properties():
             found = s.find(t, pos)
             assert found >= 0, (trial, s, toks)
             pos = found + 1
+
+
+def _via_utf8_buffer(texts, m=255):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.analysis.fast_tokenizer import (
+        _string_buffers,
+        tokenize_utf8_buffer,
+        tokens_to_string_array,
+    )
+
+    arr = pa.array(texts, type=pa.string())
+    data, offs = _string_buffers(arr)
+    starts, lens, dids = tokenize_utf8_buffer(data, offs, m)
+    toks = pc.utf8_lower(tokens_to_string_array(data, starts, lens)).to_pylist()
+    out = [[] for _ in texts]
+    for t, d in zip(toks, dids):
+        out[int(d)].append(t)
+    return out
+
+
+def test_utf8_buffer_matches_regex_goldens():
+    """The vectorized Unicode buffer path is token-identical (post
+    lowercase) to the reference regex tokenizer on every golden."""
+    texts = [g[0] for g in GOLDEN]
+    assert _via_utf8_buffer(texts) == [TOK.tokenize_lower(t) for t in texts]
+
+
+def test_utf8_buffer_matches_regex_fuzz():
+    """Multi-script fuzz: vectorized Unicode path == regex path, including
+    short max_token_length (codepoint-counted splits)."""
+    rng = np.random.default_rng(4242)
+    pools = [
+        "abcXYZ019_",
+        "'.:,;’·״‧ ",
+        "äöüßéñçøπΣσ"
+        "ія汉字中文ひらカタァ"
+        "ーㇰ",
+        " \t\n-!?#@()[]",
+        "٣٤٥०१२",
+        "\U0001f600\U0001f44d\U0001f3fd\U0001f389",
+        "́̈",
+    ]
+    flat = list("".join(pools))
+    for trial in range(120):
+        m = int(rng.choice([255, 255, 3, 7, 1]))
+        tok = StandardTokenizer(m)
+        texts = [
+            "".join(rng.choice(flat, size=int(rng.integers(0, 80))))
+            for _ in range(int(rng.integers(1, 8)))
+        ]
+        got = _via_utf8_buffer(texts, m)
+        want = [tok.tokenize_lower(t) for t in texts]
+        assert got == want, (trial, m, texts)
+
+
+def test_analyze_table_mixed_batch_matches_bruteforce():
+    """analyze_table on a mixed ASCII/Unicode batch (the branch that now
+    runs tokenize_utf8_buffer) == the per-row regex brute force, including
+    positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages.analyzer import _analyze_rows_regex, analyze_table
+
+    texts = [
+        "plain ascii only doc",
+        "héllo wörld Ünïted",
+        "русский текст",
+        "日本語のテキスト カタカナ",
+        "mixed 中ascii文 and 3.14 x_y",
+        "",
+        "emoji \U0001f600 test",
+    ]
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa.array([0] * len(texts), type=pa.timestamp("us")),
+            "text": pa.array(texts),
+        }
+    )
+    tok = StandardTokenizer()
+    got = analyze_table(t, tok, 4, want_positions=True)
+    terms, freqs, dl, pos = _analyze_rows_regex(texts, tok, want_positions=True)
+    for i in range(len(texts)):
+        assert got["terms"][i].as_py() == terms[i], i
+        assert got["freqs"][i].as_py() == list(freqs[i]), i
+        assert got["dl"][i].as_py() == int(dl[i]), i
+        assert got["positions"][i].as_py() == list(pos[i]), i
