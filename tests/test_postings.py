@@ -103,3 +103,30 @@ def test_adjacent_docids_zero_deltas_width():
     # block 0 pays 10-bit width (absolute first delta 1000 sets the FOR
     # frame): 2+160; blocks 1-2 are 1-bit: 2+16 each; freqs all-1 → 0 bits
     assert len(blob) == (2 + 160) + 2 * (2 + 16)
+
+
+def test_pack_group_byte_identity_all_bitwidths():
+    """The byte-plane _pack_group must emit byte-identical output to the
+    reference per-bit expansion for every bit width, and roundtrip through
+    _unpack_group (on-disk format stability across the r5 rewrite)."""
+    import numpy as np
+
+    from lucene_solr_ray.index.postings import BLOCK, _pack_group, _unpack_group
+
+    def reference_pack(vals, bw):
+        n = vals.shape[0]
+        if bw == 0:
+            return np.empty((n, 0), dtype=np.uint8)
+        shifts = np.arange(bw - 1, -1, -1, dtype=np.uint32)
+        bits = (vals[:, :, None] >> shifts).astype(np.uint8) & np.uint8(1)
+        return np.packbits(bits.reshape(n, BLOCK * bw), axis=1)
+
+    rng = np.random.default_rng(7)
+    for bw in range(33):
+        hi = (1 << bw) if bw else 1
+        vals = rng.integers(0, hi, size=(9, BLOCK), dtype=np.uint64).astype(np.uint32)
+        ref = reference_pack(vals, bw)
+        got = _pack_group(vals, bw)
+        assert got.shape == ref.shape and (got == ref).all(), bw
+        if bw:
+            assert (_unpack_group(got, bw) == vals).all(), bw
