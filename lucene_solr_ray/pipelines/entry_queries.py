@@ -1367,11 +1367,14 @@ DANISH_PLANT = [
 ]
 
 
-def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) -> str:
+def _ensure_ft_lang_index(
+    sf_dir: str, language: str, plants, cache_tag: str, filters=None
+) -> str:
     """documents index through a Snowball language pack (lowercase →
-    snowball ``language`` → icu folding), with one planted token per doc
-    (by doc_id % len(plants)) so the pack has real work on every doc;
-    cached per language (same shape as ensure_ft_german_index)."""
+    snowball ``language`` → icu folding; ``filters`` overrides the chain),
+    with one planted token per doc (by doc_id % len(plants)) so the pack
+    has real work on every doc; cached per language (same shape as
+    ensure_ft_german_index)."""
     p = _docs_path(sf_dir)
     fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:{cache_tag}"
     key = hashlib.sha256(fp.encode()).hexdigest()[:16]
@@ -1411,7 +1414,7 @@ def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) ->
         analyzer_spec={
             "tokenizer": "standard_uax29",
             "max_token_length": 255,
-            "filters": [
+            "filters": filters if filters is not None else [
                 "lowercase",
                 {"name": "snowball_stem", "language": language},
                 "icu_folding",
@@ -1421,13 +1424,15 @@ def _ensure_ft_lang_index(sf_dir: str, language: str, plants, cache_tag: str) ->
     return index_root
 
 
-def _q_lang_stem_stats(sf_dir: str, language: str, plants, cache_tag: str) -> pd.DataFrame:
+def _q_lang_stem_stats(
+    sf_dir: str, language: str, plants, cache_tag: str, filters=None
+) -> pd.DataFrame:
     """Global (df, total_tf) of each planted stem — proves the language
     pack ran over every document at build time (same contract shape as
     ft_german_stem_stats)."""
     from ..index.stats import read_query_term_stats
 
-    idx = _ensure_ft_lang_index(sf_dir, language, plants, cache_tag)
+    idx = _ensure_ft_lang_index(sf_dir, language, plants, cache_tag, filters)
     stems = [s for _, s in plants]
     stats = read_query_term_stats(idx, stems)
     rows = [
@@ -1489,6 +1494,33 @@ def q_ft_danish_stem_stats(sf_dir: str) -> pd.DataFrame:
     """Danish Snowball pack (analysis/norwegian.py#danish_stem; reference:
     .../ext/DanishStemmer.java, branch_8x)."""
     return _q_lang_stem_stats(sf_dir, "danish", DANISH_PLANT, "danish1")
+
+
+# multi-script plants exercising the vectorized Unicode tokenize path
+# (fast_tokenizer.tokenize_utf8_buffer): Cyrillic letters, a Han pair
+# (single-codepoint tokens — querying 日 proves the split), a Katakana
+# run, Latin-1 accents, and the Arabic decimal-separator MidNum join.
+# Expected tokens pinned by tests/test_tokenizer.py goldens.
+UNICODE_PLANT = [
+    ("зЦензура", "зцензура"),
+    ("日本", "日"),
+    ("カタカナ", "カタカナ"),
+    ("Ünïfied", "ünïfied"),
+    ("٣٫٤", "٣٫٤"),
+]
+
+
+def q_ft_unicode_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of multi-script planted tokens indexed through
+    the plain lowercase analyzer — every planted doc takes the vectorized
+    Unicode tokenize path (analysis/fast_tokenizer.py#tokenize_utf8_buffer;
+    reference semantics: lucene/core/.../analysis/standard/
+    StandardTokenizer.java UAX#29 grammar, branch_8x). Matching the
+    doc_id-derived oracle proves CJK single/run rules, Cyrillic runs and
+    the MidNum digit join survive the whole build pipeline."""
+    return _q_lang_stem_stats(
+        sf_dir, "unicode", UNICODE_PLANT, "unicode1", filters=["lowercase"]
+    )
 
 
 def _sql_lang_stem_stats(plants) -> str:
@@ -4872,6 +4904,7 @@ QUERIES = {
     "ft_dutch_stem_stats": q_ft_dutch_stem_stats,
     "ft_norwegian_stem_stats": q_ft_norwegian_stem_stats,
     "ft_danish_stem_stats": q_ft_danish_stem_stats,
+    "ft_unicode_token_stats": q_ft_unicode_token_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "spellcheck_terms": q_spellcheck_terms,
@@ -4983,6 +5016,7 @@ ORACLES = {
     "ft_dutch_stem_stats": _sql_lang_stem_stats(DUTCH_PLANT),
     "ft_norwegian_stem_stats": _sql_lang_stem_stats(NORWEGIAN_PLANT),
     "ft_danish_stem_stats": _sql_lang_stem_stats(DANISH_PLANT),
+    "ft_unicode_token_stats": _sql_lang_stem_stats(UNICODE_PLANT),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),
