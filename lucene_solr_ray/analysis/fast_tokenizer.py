@@ -217,7 +217,6 @@ def _alnum_runs(
     long = lens > m
     if long.any():
         pieces_s, pieces_l = [run_starts[~long]], [lens[~long]]
-        ins_order = []
         for s, ln in zip(run_starts[long], lens[long]):
             ks = np.arange(s, s + ln, m, dtype=np.int64)
             kl = np.minimum(m, s + ln - ks)
