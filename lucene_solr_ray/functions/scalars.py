@@ -11,9 +11,14 @@ closure that evaluates per batch with numpy (float64, Solr's evaluation
 dtype).
 
 Implemented (names follow the reference):
-arithmetic  sum sub product div mod abs log sqrt pow neg
+arithmetic  sum sub product div mod abs log ln sqrt cbrt exp pow neg
+trig        sin cos tan asin acos atan sinh cosh tanh atan2 hypot
+            rad deg  (constants: pi e)
 rounding    floor ceil rint
 min/max     min max
+geo         geodist(lat1, lon1, lat2, lon2) [haversine km,
+            R = 6371.0087714 = Lucene DistanceUtils.EARTH_MEAN_RADIUS_KM]
+            sqedist(a1, a2, b1, b2)  dist(p, a1, a2, b1, b2) [Minkowski]
 scaling     scale(x, lo, hi) [two-pass: needs precomputed stats]
             recip(x, m, a, b)  map(x, lo, hi, target)
             linear(x, m, c)
@@ -300,6 +305,74 @@ def _build_datemath(stats, x, expr):
     return fn
 
 
+def _build_const(v):
+    """Zero-arg constant value source (Solr registers pi/e the same way:
+    ValueSourceParser addParser("pi"/"e") → DoubleConstValueSource)."""
+    v = float(v)
+
+    def build(stats):
+        return lambda batch, v=v: v
+
+    return build
+
+
+# Mean earth radius used by Lucene spatial's haversine
+# (DistanceUtils.EARTH_MEAN_RADIUS_KM, branch_8x lucene/spatial-extras).
+EARTH_MEAN_RADIUS_KM = 6371.0087714
+
+
+def _build_geodist(stats, lat1, lon1, lat2, lon2):
+    """geodist(lat1, lon1, lat2, lon2): great-circle distance in km via
+    the haversine formula — the GeoDistValueSource/HaversineFunction pair
+    behind Solr's geodist() (ValueSourceParser "geodist"). Args are any
+    value sources (fields or literals), all in degrees."""
+    fs = [_compile_arg(a, stats) for a in (lat1, lon1, lat2, lon2)]
+
+    def fn(batch):
+        la1, lo1, la2, lo2 = (np.radians(f(batch)) for f in fs)
+        s_lat = np.sin((la2 - la1) * 0.5)
+        s_lon = np.sin((lo2 - lo1) * 0.5)
+        h = s_lat * s_lat + np.cos(la1) * np.cos(la2) * s_lon * s_lon
+        return 2.0 * EARTH_MEAN_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+
+    return fn
+
+
+def _build_sqedist(stats, a1, a2, b1, b2):
+    """sqedist(a1, a2, b1, b2): squared 2-d euclidean distance
+    (SquaredEuclideanFunction)."""
+    fa1, fa2, fb1, fb2 = (_compile_arg(a, stats) for a in (a1, a2, b1, b2))
+
+    def fn(batch):
+        d1 = fa1(batch) - fb1(batch)
+        d2 = fa2(batch) - fb2(batch)
+        return d1 * d1 + d2 * d2
+
+    return fn
+
+
+def _build_dist(stats, p, a1, a2, b1, b2):
+    """dist(p, a1, a2, b1, b2): 2-d Minkowski p-distance (VectorDistanceFunction):
+    p=1 manhattan, p=2 euclidean, p=0 sparseness, p=inf chebyshev."""
+    p = float(p)
+    fa1, fa2, fb1, fb2 = (_compile_arg(a, stats) for a in (a1, a2, b1, b2))
+
+    def fn(batch):
+        d1 = np.abs(fa1(batch) - fb1(batch))
+        d2 = np.abs(fa2(batch) - fb2(batch))
+        if p == 0.0:  # "sparseness": count of non-equal dims
+            return (d1 != 0).astype(np.float64) + (d2 != 0).astype(np.float64)
+        if np.isinf(p):
+            return np.maximum(d1, d2)
+        if p == 1.0:
+            return d1 + d2
+        if p == 2.0:
+            return np.sqrt(d1 * d1 + d2 * d2)
+        return (d1 ** p + d2 ** p) ** (1.0 / p)
+
+    return fn
+
+
 FUNCTIONS: Dict[str, Callable] = {
     "sum": _nary(np.add),
     "sub": _binary(np.subtract),
@@ -335,6 +408,29 @@ FUNCTIONS: Dict[str, Callable] = {
     "strdist": _build_strdist,
     "ms": _build_ms,
     "datemath": _build_datemath,
+    # math pack (ValueSourceParser registers each of these as a
+    # DualFloatFunction/SimpleFloatFunction over java.lang.Math)
+    "exp": _unary(np.exp),
+    "cbrt": _unary(np.cbrt),
+    "sin": _unary(np.sin),
+    "cos": _unary(np.cos),
+    "tan": _unary(np.tan),
+    "asin": _unary(np.arcsin),
+    "acos": _unary(np.arccos),
+    "atan": _unary(np.arctan),
+    "sinh": _unary(np.sinh),
+    "cosh": _unary(np.cosh),
+    "tanh": _unary(np.tanh),
+    "atan2": _binary(np.arctan2),
+    "hypot": _binary(np.hypot),
+    "rad": _unary(np.radians),
+    "deg": _unary(np.degrees),
+    "pi": _build_const(np.pi),
+    "e": _build_const(np.e),
+    # geo / vector distances
+    "geodist": _build_geodist,
+    "sqedist": _build_sqedist,
+    "dist": _build_dist,
 }
 def register_function(name: str, builder: Callable) -> None:
     """SPI hook (§2.11): plugins register extra value-source builders."""

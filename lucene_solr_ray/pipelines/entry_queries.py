@@ -438,6 +438,69 @@ def q_ft_filter_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ft_function_boost_topk(sf_dir: str) -> pd.DataFrame:
+    """FunctionScoreQuery / {!boost} (SURVEY.md §2.9 index-backed value
+    sources; reference: lucene/queries/.../function/FunctionScoreQuery.java
+    + solr ValueSourceParser "termfreq"/"norm", branch_8x): docs matching
+    or(query, join) scored by the INTEGER function
+    10000*termfreq(query) + 100*termfreq(join) + norm(text) — raw
+    within-doc tf from postings and the decoded SmallFloat length norm,
+    evaluated vectorized per segment; top-15."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0,
+            "kind": "func_boost",
+            "of": {"kind": "const",
+                   "of": {"kind": "or", "terms": ["query", "join"]}},
+            "vs": ["sum",
+                   ["product", ["termfreq", "text", "query"], 10000],
+                   ["product", ["termfreq", "text", "join"], 100],
+                   ["norm", "text"]],
+        }],
+        k=15,
+        method="exhaustive",
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score": res["score"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+def sql_ft_function_boost_topk() -> str:
+    return (
+        _ft_sql_common()
+        + """
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ('query', 'join') GROUP BY doc_id, term
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'query' THEN freq END) AS f_query,
+         max(CASE WHEN term = 'join'  THEN freq END) AS f_join
+  FROM tf GROUP BY doc_id
+),
+scored AS (
+  SELECT piv.doc_id,
+         COALESCE(f_query, 0) * 10000 + COALESCE(f_join, 0) * 100 + norml.nl
+           AS score
+  FROM piv JOIN norml ON norml.doc_id = piv.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(score AS BIGINT) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+    )
+
+
 def sql_ft_filter_topk() -> str:
     terms = ",".join(f"'{t}'" for t in ["query", "join", "data"])
     idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
@@ -3859,6 +3922,56 @@ FROM orders ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_function_geodist(sf_dir: str):
+    """geodist()/dist() value sources (SURVEY.md §2.9; ValueSourceParser
+    "geodist" → HaversineFunction, "dist" → VectorDistanceFunction):
+    deterministic per-customer lat/lon derived from keys, haversine km to
+    Paris plus manhattan distance in coordinate space, both on the e3
+    integer grid; 20 nearest by (geodist_e3, c_custkey)."""
+    from ..functions.scalars import compile_value_source
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    lat = ["sub", ["div", ["mod", "c_custkey", 17000], 100.0], 85.0]
+    lon = ["sub", ["div", ["mod", ["sum", ["product", "c_custkey", 7],
+                                   "c_nationkey"], 36000], 100.0], 180.0]
+    f_geo = compile_value_source(["geodist", lat, lon, 48.8566, 2.3522])
+    f_man = compile_value_source(["dist", 1, lat, lon, 48.8566, 2.3522])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "geodist_e3": pa.array(
+                np.floor(f_geo(batch) * 1e3 + 0.5).astype(np.int64)),
+            "manhattan_e3": pa.array(
+                np.floor(f_man(batch) * 1e3 + 0.5).astype(np.int64)),
+        })
+
+    return (cust.map_batches(ev, batch_format="pyarrow")
+            .sort(["geodist_e3", "c_custkey"]).limit(20))
+
+
+def sql_function_geodist() -> str:
+    return """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+         ((c_custkey * 7 + c_nationkey) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+), d AS (
+  SELECT c_custkey,
+         2.0 * 6371.0087714 * asin(sqrt(least(
+             sin(radians(48.8566 - lat) * 0.5) * sin(radians(48.8566 - lat) * 0.5)
+             + cos(radians(lat)) * cos(radians(48.8566))
+               * sin(radians(2.3522 - lon) * 0.5) * sin(radians(2.3522 - lon) * 0.5),
+             1.0))) AS geo,
+         abs(lat - 48.8566) + abs(lon - 2.3522) AS man
+  FROM pts
+)
+SELECT c_custkey,
+       CAST(floor(geo * 1000.0 + 0.5) AS BIGINT) AS geodist_e3,
+       CAST(floor(man * 1000.0 + 0.5) AS BIGINT) AS manhattan_e3
+FROM d ORDER BY geodist_e3, c_custkey LIMIT 20
+"""
 
 
 def q_score_join_customers(sf_dir: str):
@@ -4841,6 +4954,7 @@ QUERIES = {
     "ft_bool_nested_topk": q_ft_bool_nested_topk,
     "ft_parser_topk": q_ft_parser_topk,
     "ft_filter_topk": q_ft_filter_topk,
+    "ft_function_boost_topk": q_ft_function_boost_topk,
     "ft_classic_topk": q_ft_classic_topk,
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
@@ -4955,6 +5069,7 @@ QUERIES = {
     "xml_loader": q_xml_loader,
     "urp_chain": q_urp_chain,
     "function_registry": q_function_registry,
+    "function_geodist": q_function_geodist,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
     "graph_2hop_parts": q_graph_2hop_parts,
@@ -4966,6 +5081,7 @@ ORACLES = {
     "ft_bool_nested_topk": sql_ft_bool_nested_topk(),
     "ft_parser_topk": sql_ft_parser_topk(),
     "ft_filter_topk": sql_ft_filter_topk(),
+    "ft_function_boost_topk": sql_ft_function_boost_topk(),
     "ft_classic_topk": sql_ft_classic_topk(),
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),
@@ -5064,6 +5180,7 @@ ORACLES = {
     "xml_loader": sql_xml_loader(),
     "urp_chain": sql_urp_chain(),
     "function_registry": sql_function_registry(),
+    "function_geodist": sql_function_geodist(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
     "graph_2hop_parts": sql_graph_2hop_parts(),

@@ -225,6 +225,30 @@ def prepare_search_context(
             # and per-actor contribution cache cover nested clauses too
             nq["terms"] = sorted(set(leaf_terms(nq)))
             return nq
+        if q.get("kind") == "func_boost":
+            # boost(q, vs): normalize the wrapped tree; vs termfreq/docfreq/
+            # idf leaves analyze their term like any query term (Solr's
+            # value sources take the INDEXED term)
+            from ..search.searcher import index_vs_terms
+
+            def norm_vs(spec):
+                if isinstance(spec, list) and spec and isinstance(spec[0], str):
+                    if spec[0] in ("termfreq", "docfreq", "ttf",
+                                   "totaltermfreq", "idf"):
+                        nt = norm_term(str(spec[-1]))
+                        return spec[:-1] + [nt if nt is not None else spec[-1]]
+                    return [spec[0]] + [norm_vs(a) for a in spec[1:]]
+                return spec
+
+            of = norm_tree(q["of"])
+            vs = norm_vs(q["vs"])
+            return dict(
+                q, of=of, vs=vs,
+                # scoring terms (tcache/weights) come from the wrapped tree;
+                # vs stat terms resolve through term_stats below
+                terms=sorted(set(leaf_terms(of))),
+                vs_terms=sorted(set(index_vs_terms(vs))),
+            )
         return dict(
             q,
             terms=[nt for nt in (norm_term(t) for t in q["terms"]) if nt is not None]
@@ -240,7 +264,10 @@ def prepare_search_context(
         )
 
     queries = [norm_query(q) for q in queries]
-    all_terms = sorted({t for q in queries for t in q["terms"]})
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("vs_terms", ())}
+    )
     stats = read_query_term_stats(index_root, all_terms)
     weights: Dict[str, np.floating] = {}
     for t in all_terms:
@@ -249,6 +276,11 @@ def prepare_search_context(
     return {
         "queries": queries,
         "weights": weights,
+        # raw global (df, ttf) + corpus scalars for index-backed value
+        # sources (docfreq/ttf/idf/numdocs/sumtotaltermfreq leaves)
+        "term_stats": {t: tuple(stats.get(t, (0, 0))) for t in all_terms},
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
         "avgdl": float(avgdl),
         "k": k,
         "method": method,

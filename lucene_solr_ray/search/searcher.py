@@ -324,6 +324,130 @@ def score_query_bool(
     return topk_select(cand, scores, k)
 
 
+# ---------------------------------------------------------------------------
+# FunctionScoreQuery: index-backed value sources + boost(q, vs)
+# ---------------------------------------------------------------------------
+
+#: value-source leaves resolved against the INDEX rather than a batch column
+#: (reference: solr/core/.../search/ValueSourceParser.java registrations
+#: "termfreq"/"docfreq"/"totaltermfreq"/"idf"/"norm"/"numdocs"/"maxdoc"/
+#: "sumtotaltermfreq", branch_8x). Terms are the ANALYZED index terms.
+INDEX_VS_LEAVES = frozenset(
+    ("termfreq", "docfreq", "ttf", "totaltermfreq", "idf", "norm",
+     "numdocs", "maxdoc", "sumtotaltermfreq")
+)
+
+
+def index_vs_terms(spec) -> List[str]:
+    """Every term referenced by index-stat leaves inside a vs spec tree
+    (so the stats phase can resolve their global df/ttf once)."""
+    out: List[str] = []
+    if isinstance(spec, list) and spec and isinstance(spec[0], str):
+        if spec[0] in ("termfreq", "docfreq", "ttf", "totaltermfreq", "idf"):
+            out.append(str(spec[-1]))
+        else:
+            for a in spec[1:]:
+                out.extend(index_vs_terms(a))
+    return out
+
+
+def _eval_index_vs(reader, spec, docids, gstats, sim) -> np.ndarray:
+    """Evaluate a value-source spec per doc against one segment: index-stat
+    leaves become precomputed float64 columns, the rewritten tree then runs
+    through the scalar registry (functions/scalars.py) — FunctionValues
+    re-expressed as one vectorized pass over the candidate docids.
+
+    Leaf semantics (single indexed text field, so the field arg is
+    accepted and ignored): termfreq = raw within-doc tf (0 if absent);
+    docfreq/ttf = GLOBAL stats from the ExactStatsCache broadcast (not
+    per-segment — distributed parity with the SQL oracle); idf = the
+    active similarity's idf of that global df; norm = the DECODED
+    SmallFloat length byte (the quantized dl BM25 scores against);
+    numdocs/maxdoc = global live doc count; sumtotaltermfreq = global
+    token count."""
+    from ..analysis.smallfloat import byte4_to_int
+    from ..functions.scalars import compile_value_source
+
+    term_stats = gstats.get("term_stats", {})
+    n_docs = float(gstats.get("n_docs", 0))
+    sum_dl = float(gstats.get("sum_dl", 0))
+    leaves: Dict[str, np.ndarray] = {}
+
+    def rewrite(node):
+        if isinstance(node, list) and node and isinstance(node[0], str):
+            name = node[0]
+            if name == "termfreq":
+                term = str(node[-1])
+                col = f"__tf::{term}"
+                if col not in leaves:
+                    arr = np.zeros(len(docids), dtype=np.float64)
+                    o = reader.lookup(term)
+                    if o >= 0 and len(docids):
+                        tp = reader.postings(o)
+                        pos = np.searchsorted(tp.docids, docids)
+                        pos_c = np.minimum(pos, len(tp.docids) - 1)
+                        hit = tp.docids[pos_c] == docids
+                        arr[hit] = tp.freqs[pos_c[hit]].astype(np.float64)
+                    leaves[col] = arr
+                return col
+            if name in ("docfreq", "ttf", "totaltermfreq", "idf"):
+                term = str(node[-1])
+                df, ttf = term_stats.get(term, (0, 0))
+                if name == "docfreq":
+                    return float(df)
+                if name == "idf":
+                    return float(sim.idf(df, int(n_docs))) if df > 0 else 0.0
+                return float(ttf)
+            if name == "norm":
+                col = "__norm"
+                if col not in leaves:
+                    leaves[col] = byte4_to_int(
+                        reader.norms[docids]
+                    ).astype(np.float64) if len(docids) else np.zeros(0)
+                return col
+            if name in ("numdocs", "maxdoc"):
+                return n_docs
+            if name == "sumtotaltermfreq":
+                return sum_dl
+            return [name] + [rewrite(a) for a in node[1:]]
+        return node
+
+    spec = rewrite(spec)
+    if not leaves:  # pure-constant tree still needs a row count
+        leaves["__ones"] = np.ones(len(docids), dtype=np.float64)
+        spec = ["product", spec, "__ones"] if not (
+            isinstance(spec, str)
+        ) else spec
+    fn = compile_value_source(spec)
+    out = fn(pa.table(leaves))
+    return np.broadcast_to(np.asarray(out, dtype=np.float64),
+                           (len(docids),)).astype(np.float64)
+
+
+def score_query_func_boost(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    gstats: dict,
+    tcache: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """boost(q, vs) / FunctionScoreQuery (reference: lucene/queries/.../
+    function/FunctionScoreQuery.java + solr's {!boost} QParser, branch_8x):
+    matching docs of the wrapped query, each score MULTIPLIED by the
+    value source evaluated at that doc. Top-level query kind
+    ``{"kind": "func_boost", "of": <node>, "vs": <scalar spec>}`` — the
+    wrapped node is any _bool_eval_node tree."""
+    cand, scores = _bool_eval_node(reader, q["of"], weights, cache_inv, sim, tcache)
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    vals = _eval_index_vs(reader, q["vs"], cand, gstats, sim)
+    return topk_select(cand, scores.astype(np.float64) * vals, k)
+
+
 def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
     """Sloppy-phrase frequency for ONE doc: the number of MINIMAL windows
     containing at least one occurrence of every term with
@@ -722,6 +846,11 @@ class SearcherStage:
         ctx = ray.get(ctx_ref) if not isinstance(ctx_ref, dict) else ctx_ref
         self.queries: List[dict] = ctx["queries"]
         self.weights: Dict[str, np.float32] = ctx["weights"]
+        self.gstats: dict = {
+            "term_stats": ctx.get("term_stats", {}),
+            "n_docs": ctx.get("n_docs", 0),
+            "sum_dl": ctx.get("sum_dl", 0),
+        }
         self.avgdl = ctx["avgdl"]
         self.k = ctx["k"]
         self.method = ctx.get("method", "auto")
@@ -810,6 +939,11 @@ class SearcherStage:
                     docids, scores = score_query_bool(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, tcache=tcache,
+                    )
+                elif q["kind"] == "func_boost":
+                    docids, scores = score_query_func_boost(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, self.gstats, tcache=tcache,
                     )
                 elif use_wand and plain:
                     docids, scores = score_query_wand(

@@ -83,6 +83,64 @@ def test_ms_timestamp(batch):
     )
 
 
+def test_math_pack(batch):
+    import math
+
+    x = batch["x"].to_numpy()
+    y = batch["y"].to_numpy()
+    np.testing.assert_allclose(compile_value_source(["exp", "y"])(batch), np.exp(y))
+    np.testing.assert_allclose(compile_value_source(["cbrt", "x"])(batch), np.cbrt(x))
+    np.testing.assert_allclose(
+        compile_value_source(["sin", ["rad", "x"]])(batch), np.sin(np.radians(x))
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["atan2", "y", "x"])(batch), np.arctan2(y, x)
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["hypot", "x", "y"])(batch), np.hypot(x, y)
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["tanh", "y"])(batch), np.tanh(y)
+    )
+    assert float(compile_value_source(["pi"])(batch)) == math.pi
+    assert float(compile_value_source(["e"])(batch)) == math.e
+    np.testing.assert_allclose(
+        compile_value_source(["deg", ["pi"]])(batch), 180.0
+    )
+
+
+def test_geodist_haversine(batch):
+    # Paris (48.8566, 2.3522) -> Berlin (52.52, 13.405): ~877.46 km
+    fn = compile_value_source(["geodist", 48.8566, 2.3522, 52.52, 13.405])
+    assert float(fn(batch)) == pytest.approx(877.46, abs=0.5)
+    # zero distance, antipodal cap at pi*R
+    assert float(compile_value_source(["geodist", 10, 20, 10, 20])(batch)) == 0.0
+    anti = float(compile_value_source(["geodist", 0, 0, 0, 180])(batch))
+    assert anti == pytest.approx(np.pi * 6371.0087714, rel=1e-9)
+
+
+def test_sqedist_and_dist(batch):
+    x, y = batch["x"].to_numpy(), batch["y"].to_numpy()
+    np.testing.assert_allclose(
+        compile_value_source(["sqedist", "x", "y", 0, 0])(batch), x * x + y * y
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["dist", 2, "x", "y", 0, 0])(batch), np.hypot(x, y)
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["dist", 1, "x", "y", 1, 1])(batch),
+        np.abs(x - 1) + np.abs(y - 1),
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["dist", 0, "x", "y", 1.0, 0.5])(batch),
+        (x != 1).astype(float) + (y != 0.5).astype(float),
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["dist", 3, "x", "y", 0, 0])(batch),
+        (np.abs(x) ** 3 + np.abs(y) ** 3) ** (1 / 3),
+    )
+
+
 def test_unknown_function_raises(batch):
     with pytest.raises(KeyError, match="unknown function"):
         compile_value_source(["frobnicate", "x"])
