@@ -237,17 +237,22 @@ def prepare_search_context(
                                    "totaltermfreq", "idf"):
                         nt = norm_term(str(spec[-1]))
                         return spec[:-1] + [nt if nt is not None else spec[-1]]
+                    if spec[0] == "query":
+                        # query(subq) analyzes its tree like any query
+                        return ["query", norm_tree(spec[1])] + list(spec[2:])
                     return [spec[0]] + [norm_vs(a) for a in spec[1:]]
                 return spec
 
             of = norm_tree(q["of"])
             vs = norm_vs(q["vs"])
+            vs_terms = sorted(set(index_vs_terms(vs)))
             return dict(
                 q, of=of, vs=vs,
-                # scoring terms (tcache/weights) come from the wrapped tree;
-                # vs stat terms resolve through term_stats below
-                terms=sorted(set(leaf_terms(of))),
-                vs_terms=sorted(set(index_vs_terms(vs))),
+                # "terms" feeds the per-actor term cache + weights: the
+                # wrapped tree's leaves AND every term a vs query()/stat
+                # leaf scores or resolves
+                terms=sorted(set(leaf_terms(of)) | set(vs_terms)),
+                vs_terms=vs_terms,
             )
         return dict(
             q,

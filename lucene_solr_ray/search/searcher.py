@@ -334,24 +334,47 @@ def score_query_bool(
 #: "sumtotaltermfreq", branch_8x). Terms are the ANALYZED index terms.
 INDEX_VS_LEAVES = frozenset(
     ("termfreq", "docfreq", "ttf", "totaltermfreq", "idf", "norm",
-     "numdocs", "maxdoc", "sumtotaltermfreq")
+     "numdocs", "maxdoc", "sumtotaltermfreq", "query")
 )
 
 
+def _query_node_terms(node) -> List[str]:
+    """Leaf terms of a query-tree dict (bool/const/term/or/and; pattern and
+    range kinds need no stats)."""
+    out: List[str] = []
+    if not isinstance(node, dict):
+        return out
+    kind = node.get("kind", "term")
+    if kind == "const":
+        return _query_node_terms(node.get("of"))
+    if kind == "bool":
+        for sec in ("must", "filter", "should", "must_not"):
+            for c in node.get(sec, ()):
+                out.extend(_query_node_terms(c))
+        return out
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy", "term_range"):
+        return out
+    return list(node.get("terms", ()))
+
+
 def index_vs_terms(spec) -> List[str]:
-    """Every term referenced by index-stat leaves inside a vs spec tree
-    (so the stats phase can resolve their global df/ttf once)."""
+    """Every term referenced by index-stat or query() leaves inside a vs
+    spec tree (so the stats phase resolves their global df/idf once and
+    the per-actor term cache covers them)."""
     out: List[str] = []
     if isinstance(spec, list) and spec and isinstance(spec[0], str):
         if spec[0] in ("termfreq", "docfreq", "ttf", "totaltermfreq", "idf"):
             out.append(str(spec[-1]))
+        elif spec[0] == "query":
+            out.extend(_query_node_terms(spec[1]))
         else:
             for a in spec[1:]:
                 out.extend(index_vs_terms(a))
     return out
 
 
-def _eval_index_vs(reader, spec, docids, gstats, sim) -> np.ndarray:
+def _eval_index_vs(reader, spec, docids, gstats, sim,
+                   weights=None, cache_inv=None, tcache=None) -> np.ndarray:
     """Evaluate a value-source spec per doc against one segment: index-stat
     leaves become precomputed float64 columns, the rewritten tree then runs
     through the scalar registry (functions/scalars.py) — FunctionValues
@@ -409,6 +432,24 @@ def _eval_index_vs(reader, spec, docids, gstats, sim) -> np.ndarray:
                 return n_docs
             if name == "sumtotaltermfreq":
                 return sum_dl
+            if name == "query":
+                # QueryValueSource (ValueSourceParser "query": the wrapped
+                # query's SCORE per doc, 0 where it doesn't match — the
+                # bf=/boost= building block)
+                col = f"__q::{node[1]!r}"
+                if col not in leaves:
+                    arr = np.zeros(len(docids), dtype=np.float64)
+                    cid, csc = _bool_eval_node(
+                        reader, node[1], weights or {}, cache_inv, sim, tcache)
+                    if len(cid) and len(docids):
+                        order = np.argsort(cid, kind="stable")
+                        cid, csc = cid[order], csc[order]
+                        pos = np.searchsorted(cid, docids)
+                        pos_c = np.minimum(pos, len(cid) - 1)
+                        hit = cid[pos_c] == docids
+                        arr[hit] = csc[pos_c[hit]].astype(np.float64)
+                    leaves[col] = arr
+                return col
             return [name] + [rewrite(a) for a in node[1:]]
         return node
 
@@ -444,7 +485,8 @@ def score_query_func_boost(
     if reader.deleted is not None and len(cand):
         keep = ~reader.deleted[cand]
         cand, scores = cand[keep], scores[keep]
-    vals = _eval_index_vs(reader, q["vs"], cand, gstats, sim)
+    vals = _eval_index_vs(reader, q["vs"], cand, gstats, sim,
+                          weights=weights, cache_inv=cache_inv, tcache=tcache)
     return topk_select(cand, scores.astype(np.float64) * vals, k)
 
 

@@ -118,6 +118,32 @@ def test_idf_leaf_matches_similarity(ray_session, tmp_path):
     assert res["score"].iloc[0] == np.float32(sim.idf(df, len(TEXTS)))
 
 
+def test_query_value_source(ray_session, tmp_path):
+    """query(subq) leaf: boost(const(match), query(join)) must reproduce
+    the plain BM25 term query's scores exactly (const 1 x score)."""
+    idx = _mk_index(tmp_path)
+    plain = search(idx, [{"query_id": 0, "kind": "term",
+                          "terms": ["join"]}], k=10)
+    boosted = search(idx, [{
+        "query_id": 0,
+        "kind": "func_boost",
+        "of": {"kind": "const", "of": {"kind": "term", "terms": ["join"]}},
+        "vs": ["query", {"kind": "term", "terms": ["join"]}],
+    }], k=10)
+    cols = ["rank", "url", "score"]
+    assert boosted[cols].reset_index(drop=True).equals(
+        plain[cols].reset_index(drop=True))
+    # non-matching subquery -> value 0: sum(query(banana), 5) on join docs
+    mixed = search(idx, [{
+        "query_id": 0,
+        "kind": "func_boost",
+        "of": {"kind": "const", "of": {"kind": "term", "terms": ["join"]}},
+        "vs": ["sum", ["query", {"kind": "term", "terms": ["banana"]}], 5],
+    }], k=10)
+    assert set(mixed["url"]) == set(plain["url"])
+    assert (mixed["score"] == 5.0).all()  # banana matches no join doc
+
+
 def test_missing_term_and_deletes(ray_session, tmp_path):
     idx = _mk_index(tmp_path)
     q = {
