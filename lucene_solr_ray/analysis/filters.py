@@ -359,6 +359,35 @@ def _icu_fold(token: str) -> str:
     return unicodedata.normalize("NFKC", "".join(out)).casefold()
 
 
+# Default_Ignorable_Code_Points commonly seen in web text — NFKC_CF maps
+# these to nothing (the full property set is larger; these are the ones
+# that actually occur in crawled corpora: soft hyphen, zero-width
+# space/joiners, BOM/word-joiner, bidi marks).
+_DEFAULT_IGNORABLES = dict.fromkeys(
+    (0x00AD, 0x200B, 0x200C, 0x200D, 0x200E, 0x200F, 0x2060, 0xFEFF)
+)
+
+
+def _icu_normalize(token: str) -> str:
+    """ICUNormalizer2Filter analog, default mode nfkc_cf (reference:
+    lucene/analysis/icu/.../ICUNormalizer2Filter.java + ICU
+    Normalizer2.getNFKCCasefoldInstance, branch_8x): NFKC_Casefold =
+    NFKC(CaseFold(NFKD(x))) with Default_Ignorable_Code_Points removed.
+    Python's unicodedata has no one-shot nfkc_cf, so this applies the
+    defining composition (NFKC → casefold → NFKC — the second pass
+    re-composes sequences the casefold expansion decomposed) plus the
+    web-text ignorable strip; unlike icu_folding it KEEPS diacritics
+    (normalization, not folding)."""
+    import unicodedata
+
+    if token.isascii():
+        return token.casefold()
+    t = token.translate(_DEFAULT_IGNORABLES)
+    return unicodedata.normalize(
+        "NFKC", unicodedata.normalize("NFKC", t).casefold()
+    )
+
+
 def _build_arabic_normalization(args: dict):
     from .arabic import arabic_normalize
 
@@ -379,6 +408,7 @@ def _build_persian_normalization(args: dict):
 
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "icu_folding": lambda args: _icu_fold,
+    "icu_normalizer": lambda args: _icu_normalize,
     "arabic_normalization": _build_arabic_normalization,
     "arabic_stem": _build_arabic_stem,
     "persian_normalization": _build_persian_normalization,
