@@ -388,6 +388,12 @@ def _icu_normalize(token: str) -> str:
     )
 
 
+def _build_cjk_width(args: dict):
+    from .cjk import cjk_width_fold
+
+    return cjk_width_fold
+
+
 def _build_arabic_normalization(args: dict):
     from .arabic import arabic_normalize
 
@@ -409,6 +415,7 @@ def _build_persian_normalization(args: dict):
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "icu_folding": lambda args: _icu_fold,
     "icu_normalizer": lambda args: _icu_normalize,
+    "cjk_width": _build_cjk_width,
     "arabic_normalization": _build_arabic_normalization,
     "arabic_stem": _build_arabic_stem,
     "persian_normalization": _build_persian_normalization,
@@ -445,9 +452,10 @@ def build_filter_chain(spec_filters: List) -> Optional[Callable[[str], Optional[
             name, args = entry.pop("name"), entry
         if name == "lowercase":
             continue
-        if name == "shingle":
-            # sequence filter, applied at tokenize time (stages/analyzer.py);
-            # at query time a shingle IS the term ("a b"), so identity here
+        if name in ("shingle", "cjk_bigram"):
+            # sequence filters, applied at tokenize time (stages/analyzer.py);
+            # at query time a shingle ("a b") or CJK bigram ("日本") IS the
+            # term, so identity here
             continue
         if name not in FILTER_BUILDERS:
             raise KeyError(f"unknown token filter: {name!r}")

@@ -1559,6 +1559,54 @@ def q_ft_danish_stem_stats(sf_dir: str) -> pd.DataFrame:
     return _q_lang_stem_stats(sf_dir, "danish", DANISH_PLANT, "danish1")
 
 
+# CJK plants: (surface appended per doc_id % 5, expected bigram terms) —
+# han run, katakana run, hangul run, a two-char han pair, a lone char
+# (the CJKBigramFilter loneState unigram). Expected terms pinned by
+# tests/test_cjk.py goldens.
+CJK_PLANT = [
+    ("日本語", ("日本", "本語")),
+    ("テスト", ("テス", "スト")),
+    ("한국어", ("한국", "국어")),
+    ("水火", ("水火",)),
+    ("茶", ("茶",)),
+]
+
+
+def q_ft_cjk_bigram_stats(sf_dir: str) -> pd.DataFrame:
+    """CJK bigram pack (analysis/cjk.py; reference: lucene/analysis/
+    common/.../cjk/CJKBigramFilter.java + CJKAnalyzer.java, branch_8x —
+    SURVEY.md §2.2): documents indexed through lowercase + cjk_bigram;
+    global (df, total_tf) of every planted bigram/lone-unigram term.
+    Matching the per-residue doc counts proves the sequence filter ran
+    vectorized over every document at build time."""
+    from ..index.stats import read_query_term_stats
+
+    idx = _ensure_ft_lang_index(
+        sf_dir, "english", CJK_PLANT, "cjk1",
+        filters=["lowercase", "cjk_bigram"],
+    )
+    terms = [t for _, ts in CJK_PLANT for t in ts]
+    stats = read_query_term_stats(idx, terms)
+    rows = [
+        {"term": t, "df": stats.get(t, (0, 0))[0],
+         "total_tf": stats.get(t, (0, 0))[1]}
+        for t in terms
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def sql_ft_cjk_bigram_stats() -> str:
+    vals = ",".join(
+        f"({k}, '{t}')" for k, (_, ts) in enumerate(CJK_PLANT) for t in ts
+    )
+    return f"""
+WITH c AS (SELECT doc_id % 5 AS k, count(*) AS n FROM documents GROUP BY 1),
+m(k, term) AS (VALUES {vals})
+SELECT m.term AS term, c.n AS df, c.n AS total_tf
+FROM m JOIN c ON m.k = c.k
+"""
+
+
 # multi-script plants exercising the vectorized Unicode tokenize path
 # (fast_tokenizer.tokenize_utf8_buffer): Cyrillic letters, a Han pair
 # (single-codepoint tokens — querying 日 proves the split), a Katakana
@@ -5015,6 +5063,7 @@ QUERIES = {
     "ft_portuguese_stem_stats": q_ft_portuguese_stem_stats,
     "ft_italian_stem_stats": q_ft_italian_stem_stats,
     "ft_russian_stem_stats": q_ft_russian_stem_stats,
+    "ft_cjk_bigram_stats": q_ft_cjk_bigram_stats,
     "ft_dutch_stem_stats": q_ft_dutch_stem_stats,
     "ft_norwegian_stem_stats": q_ft_norwegian_stem_stats,
     "ft_danish_stem_stats": q_ft_danish_stem_stats,
@@ -5129,6 +5178,7 @@ ORACLES = {
     "ft_portuguese_stem_stats": _sql_lang_stem_stats(PORTUGUESE_PLANT),
     "ft_italian_stem_stats": _sql_lang_stem_stats(ITALIAN_PLANT),
     "ft_russian_stem_stats": _sql_lang_stem_stats(RUSSIAN_PLANT),
+    "ft_cjk_bigram_stats": sql_ft_cjk_bigram_stats(),
     "ft_dutch_stem_stats": _sql_lang_stem_stats(DUTCH_PLANT),
     "ft_norwegian_stem_stats": _sql_lang_stem_stats(NORWEGIAN_PLANT),
     "ft_danish_stem_stats": _sql_lang_stem_stats(DANISH_PLANT),

@@ -39,6 +39,7 @@ def analyze(text: str, spec: dict = None) -> list:
     the emitted tokens IN ORDER — filter-dropped tokens omitted, synonym
     expansions emitted in place, shingles after their source unigrams.
     Driver-side convenience; the batch path is AnalyzerStage."""
+    from ..analysis.cjk import CjkBigramConfig, cjk_bigram_token_list
     from ..analysis.filters import build_filter_chain
     from ..analysis.shingle import ShingleConfig, shingle_token_list
 
@@ -53,7 +54,19 @@ def analyze(text: str, spec: dict = None) -> list:
     ]
     if len(sh) > 1:
         raise ValueError("at most one shingle entry per analyzer spec")
+    cj = [
+        f for f in filters
+        if (isinstance(f, dict) and f.get("name") == "cjk_bigram")
+        or f == "cjk_bigram"
+    ]
+    if len(cj) > 1:
+        raise ValueError("at most one cjk_bigram entry per analyzer spec")
     toks = tok.tokenize_lower(text or "")
+    if cj:
+        args = dict(cj[0]) if isinstance(cj[0], dict) else {}
+        args.pop("name", None)
+        toks, _dl = cjk_bigram_token_list(toks, CjkBigramConfig.from_args(args))
+        filters = [f for f in filters if f not in cj]
     if sh:
         args = dict(sh[0]) if isinstance(sh[0], dict) else {}
         args.pop("name", None)
@@ -103,7 +116,7 @@ def _tokenize_rows_regex(texts: list, tokenizer: StandardTokenizer):
 
 def _analyze_rows_regex(
     texts: list, tokenizer: StandardTokenizer, want_positions: bool = False,
-    shingles=None,
+    shingles=None, cjk=None,
 ) -> tuple:
     """Reference regex path for a list of texts → (per-doc term lists,
     per-doc freq arrays, dl array[, per-doc flat position arrays]).
@@ -119,6 +132,17 @@ def _analyze_rows_regex(
     tokenize = tokenizer.tokenize_lower
     for i, text in enumerate(texts):
         toks = tokenize(text) if text else []
+        if cjk is not None:
+            from ..analysis.cjk import cjk_bigram_token_list
+
+            toks, dl_c = cjk_bigram_token_list(toks, cjk)
+            if shingles is None:
+                tf = Counter(toks)
+                dl[i] = dl_c
+                terms_per_doc.append(list(tf.keys()))
+                freqs_per_doc.append(
+                    np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
+                continue
         if shingles is not None:
             toks, dl_i = shingle_token_list(toks, shingles)
             tf = Counter(toks)
@@ -141,12 +165,34 @@ def _analyze_rows_regex(
     return terms_per_doc, freqs_per_doc, dl
 
 
+def _apply_seq_filters(tokens, doc_ids, n_docs, cjk, shingles, cjk_memo=None):
+    """Sequence filters over the flat (tokens, doc_ids) stream, in Lucene
+    chain order: CJK bigrams first (they form the terms), shingles over
+    the result. Returns (tokens, doc_ids, dl_override)."""
+    dl = None
+    if cjk is not None:
+        from ..analysis.cjk import cjk_bigram_token_stream
+
+        tokens, doc_ids, dl = cjk_bigram_token_stream(
+            tokens, doc_ids, n_docs, cjk, memo=cjk_memo
+        )
+    if shingles is not None:
+        from ..analysis.shingle import shingle_token_stream
+
+        tokens, doc_ids, dl = shingle_token_stream(
+            tokens, doc_ids, n_docs, shingles
+        )
+    return tokens, doc_ids, dl
+
+
 def analyze_table(
     table: pa.Table,
     tokenizer: StandardTokenizer,
     num_partitions: int,
     want_positions: bool = False,
     shingles=None,
+    cjk=None,
+    cjk_memo=None,
 ) -> pa.Table:
     """Pure function core (also used by tests without Ray): pages table
     (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl
@@ -187,11 +233,9 @@ def analyze_table(
         data, offs = _string_buffers(text_col)
         starts, lens, doc_ids = tokenize_ascii_buffer(data, offs, m)
         tokens = tokens_to_string_array(data, starts, lens)
-        if shingles is not None:
-            from ..analysis.shingle import shingle_token_stream
-
-            tokens, doc_ids, dl_override = shingle_token_stream(
-                tokens, doc_ids, n, shingles
+        if shingles is not None or cjk is not None:
+            tokens, doc_ids, dl_override = _apply_seq_filters(
+                tokens, doc_ids, n, cjk, shingles, cjk_memo=cjk_memo
             )
             values, list_off, freqs, _ = doc_tf_from_tokens(tokens, doc_ids, n)
             dl = dl_override
@@ -230,15 +274,14 @@ def analyze_table(
             f_starts, f_lens, f_doc_ids = tokenize_utf8_buffer(f_data, f_offs, m)
             f_tokens = pc.utf8_lower(tokens_to_string_array(f_data, f_starts, f_lens))
         a_pos = f_pos = None
-        if shingles is not None:
-            from ..analysis.shingle import shingle_token_stream
-
-            tokens, doc_ids, a_dl = shingle_token_stream(
-                tokens, doc_ids, len(sub), shingles
+        if shingles is not None or cjk is not None:
+            tokens, doc_ids, a_dl = _apply_seq_filters(
+                tokens, doc_ids, len(sub), cjk, shingles, cjk_memo=cjk_memo
             )
             a_values, a_off, a_freqs, _ = doc_tf_from_tokens(tokens, doc_ids, len(sub))
-            f_tokens, f_doc_ids, f_dl = shingle_token_stream(
-                f_tokens, f_doc_ids, len(fb_idx), shingles
+            f_tokens, f_doc_ids, f_dl = _apply_seq_filters(
+                f_tokens, f_doc_ids, len(fb_idx), cjk, shingles,
+                cjk_memo=cjk_memo
             )
             f_values, f_off, f_freqs, _ = doc_tf_from_tokens(
                 f_tokens, f_doc_ids, len(fb_idx)
@@ -433,8 +476,28 @@ class AnalyzerStage:
             args.pop("name", None)
             self.shingles = ShingleConfig.from_args(args)
             filters = [f for f in filters if f not in sh]
+        # cjk_bigram is a SEQUENCE filter too (adjacent-token state)
+        cj = [
+            f for f in filters
+            if (isinstance(f, dict) and f.get("name") == "cjk_bigram")
+            or f == "cjk_bigram"
+        ]
+        if len(cj) > 1:
+            raise ValueError("at most one cjk_bigram entry per analyzer spec")
+        self.cjk = None
+        self._cjk_memo: dict = {}
+        if cj:
+            from ..analysis.cjk import CjkBigramConfig
+
+            args = dict(cj[0]) if isinstance(cj[0], dict) else {}
+            args.pop("name", None)
+            self.cjk = CjkBigramConfig.from_args(args)
+            filters = [f for f in filters if f not in cj]
         self.chain = build_filter_chain(filters)
-        if store_positions and (self.chain is not None or self.shingles is not None):
+        if store_positions and (
+            self.chain is not None or self.shingles is not None
+            or self.cjk is not None
+        ):
             raise ValueError(
                 "store_positions with post-lowercase token filters is "
                 "unsupported (filters drop/merge tokens; position increments "
@@ -447,7 +510,7 @@ class AnalyzerStage:
         out = analyze_table(
             batch, self.tokenizer, self.num_partitions,
             want_positions=self.store_positions,
-            shingles=self.shingles,
+            shingles=self.shingles, cjk=self.cjk, cjk_memo=self._cjk_memo,
         )
         if self.chain is not None:
             out = apply_token_filters(out, self.chain, self._memo)

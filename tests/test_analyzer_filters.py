@@ -955,3 +955,32 @@ def test_norwegian_danish_snowball_goldens():
         assert norwegian_stem(surface.lower()) == stem, (surface, stem)
     for surface, stem in DANISH_PLANT:
         assert danish_stem(surface.lower()) == stem, (surface, stem)
+
+
+def test_icu_normalizer_nfkc_cf():
+    """ICUNormalizer2Filter (nfkc_cf): compatibility normalization + case
+    fold, diacritics KEPT (unlike icu_folding)."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    f = build_filter_chain(["icu_normalizer"])
+    assert f("ＡＢＣ") == "abc"          # fullwidth -> latin, folded
+    assert f("ﬁnale") == "finale"        # ligature decomposed
+    assert f("İstanbul") == "i̇stanbul"   # dotted capital I -> i + dot above
+    assert f("Σίσυφος") == "σίσυφοσ"     # case FOLD maps final sigma ς -> σ
+    assert f("café") == "café"           # diacritics preserved
+    assert f("Straße") == "strasse"      # casefold expansion, recomposed
+    assert f("soft­hyphen") == "softhyphen"  # default ignorable removed
+    assert f("plain") == "plain"
+
+
+def test_cjk_width_chain():
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    f = build_filter_chain(["cjk_width"])
+    assert f("ｔｏｋｙｏ") == "tokyo"
+    assert f("ﾄｳｷｮｳ") == "トウキョウ"
+    assert f("ﾊﾞｲｸ") == "バイク"
+    # width fold then bigram is the CJKAnalyzer chain shape; at the
+    # vocabulary level the bigram entry is identity (sequence filter)
+    g = build_filter_chain(["cjk_width", "cjk_bigram"])
+    assert g("ﾃｽﾄ") == "テスト"
