@@ -127,7 +127,32 @@ def prepare_search_context(
     from ..analysis.filters import build_filter_chain
     from ..analysis.tokenizer import lowercase
 
-    chain = build_filter_chain((root.get("analyzer_spec") or {}).get("filters", []))
+    spec_filters = (root.get("analyzer_spec") or {}).get("filters", [])
+    chain = build_filter_chain(spec_filters)
+
+    # CJK-bigram index: query text must analyze the same way (Lucene's
+    # QueryBuilder runs the field analyzer over query terms, so a CJK
+    # query string becomes its bigrams — ALL of which must match, the
+    # CJKAnalyzer search convention). Applied after the vocab filters.
+    cjk_cfg = None
+    for f in spec_filters:
+        if f == "cjk_bigram" or (
+            isinstance(f, dict) and f.get("name") == "cjk_bigram"
+        ):
+            from ..analysis.cjk import CjkBigramConfig
+
+            args = dict(f) if isinstance(f, dict) else {}
+            args.pop("name", None)
+            cjk_cfg = CjkBigramConfig.from_args(args)
+
+    def cjk_expand(term):
+        """term → list of index terms (bigrams) or [term] unchanged."""
+        if cjk_cfg is None:
+            return [term]
+        from ..analysis.cjk import cjk_bigram_token_list
+
+        out, _ = cjk_bigram_token_list([term], cjk_cfg)
+        return out
 
     def norm_term(t):
         t = lowercase(t)
@@ -269,6 +294,50 @@ def prepare_search_context(
         )
 
     queries = [norm_query(q) for q in queries]
+
+    def cjk_rewrite(q: dict) -> dict:
+        """Flat term/and/or queries against a bigram index: every CJK
+        term becomes the conjunction of its bigrams (one bigram alone
+        must not match). Tree/pattern kinds pass through — patterns
+        address the bigram vocabulary directly."""
+        kind = q.get("kind", "term")
+        if kind not in ("term", "and", "or"):
+            return q
+        groups = [cjk_expand(t) for t in q.get("terms", ())]
+        ex_groups = [cjk_expand(t) for t in q.get("exclude", ())]
+        if all(len(g) == 1 for g in groups + ex_groups):
+            return q
+        flat_ex = sorted({t for g in ex_groups for t in g})
+        if kind in ("term", "and") and all(len(g) == 1 for g in ex_groups):
+            # conjunction absorbs the bigrams directly
+            return dict(q, kind="and",
+                        terms=[t for g in groups for t in g])
+        # disjunction (or a multi-bigram exclusion): bool tree —
+        # should = per-word AND groups, must_not = per-word AND groups
+        nq = {k: v for k, v in q.items()
+              if k not in ("kind", "terms", "exclude", "min_should_match")}
+        nq["kind"] = "bool"
+        if kind in ("term", "and"):
+            nq["must"] = [
+                {"kind": "and", "terms": g} if len(g) > 1
+                else {"kind": "term", "terms": g} for g in groups
+            ]
+        else:
+            nq["should"] = [
+                {"kind": "and", "terms": g} if len(g) > 1
+                else {"kind": "term", "terms": g} for g in groups
+            ]
+            nq["min_should_match"] = int(q.get("min_should_match", 1))
+        if ex_groups:
+            nq["must_not"] = [
+                {"kind": "and", "terms": g} if len(g) > 1
+                else {"kind": "term", "terms": g} for g in ex_groups
+            ]
+        nq["terms"] = sorted({t for g in groups for t in g} | set(flat_ex))
+        return nq
+
+    if cjk_cfg is not None:
+        queries = [cjk_rewrite(q) for q in queries]
     all_terms = sorted(
         {t for q in queries for t in q["terms"]}
         | {t for q in queries for t in q.get("vs_terms", ())}

@@ -146,3 +146,55 @@ def test_analyze_table_end_to_end(ray_session):
         got_freqs = out["freqs"][i].as_py()
         assert dict(zip(got_terms, got_freqs)) == dict(tf), (i, text)
         assert out["dl"][i].as_py() == exp_dl
+
+
+def test_cjk_query_expansion(ray_session, tmp_path):
+    """search() against a bigram index analyzes CJK query terms into
+    bigram conjunctions (the QueryBuilder-through-CJKAnalyzer shape)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    texts = [
+        "this doc mentions 日本語 processing",   # all bigrams adjacent
+        "only 日本 here",                        # one bigram only
+        "nothing relevant",
+        "テスト run テスト run",                  # katakana, tf 2
+        "lone char 茶 appears",
+    ]
+    pages = pa.table({
+        "url": [f"u://{i:03d}" for i in range(len(texts))],
+        "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+        "text": pa.array(texts),
+        "lang": pa.array(["xx"] * len(texts)),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2, lang=None, analyzer_spec={
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", "cjk_bigram"],
+    })
+
+    # term query on a 3-char word -> AND of its two bigrams
+    res = search(idx, [{"query_id": 0, "kind": "term",
+                        "terms": ["日本語"]}], k=10)
+    assert list(res["url"]) == ["u://000"]
+    # prefix of it still matches both docs containing 日本
+    res = search(idx, [{"query_id": 0, "kind": "term", "terms": ["日本"]}],
+                 k=10)
+    assert set(res["url"]) == {"u://000", "u://001"}
+    # or-query mixing latin + CJK word
+    res = search(idx, [{"query_id": 0, "kind": "or",
+                        "terms": ["nothing", "テスト"]}], k=10)
+    assert set(res["url"]) == {"u://002", "u://003"}
+    # lone char unigram is searchable
+    res = search(idx, [{"query_id": 0, "kind": "term", "terms": ["茶"]}],
+                 k=10)
+    assert list(res["url"]) == ["u://004"]
+    # exclusion of a CJK word removes only full-conjunction matches
+    res = search(idx, [{"query_id": 0, "kind": "or",
+                        "terms": ["doc", "here", "char"],
+                        "exclude": ["日本語"]}], k=10)
+    assert set(res["url"]) == {"u://001", "u://004"}
