@@ -1607,6 +1607,79 @@ FROM m JOIN c ON m.k = c.k
 """
 
 
+def q_ft_cjk_bigram_topk(sf_dir: str) -> pd.DataFrame:
+    """Full-depth BM25 search through the CJK bigram index: the query
+    terms are WORDS (日本語, テスト) analyzed into bigram conjunctions at
+    search time (pipelines/query.py#cjk_rewrite — the QueryBuilder-
+    through-CJKAnalyzer shape), scored by distributed BM25 over the
+    bigram vocabulary with plant-shifted doc lengths. Floored-e6 re-rank
+    per the ranked-float contract convention."""
+    idx = _ensure_ft_lang_index(
+        sf_dir, "english", CJK_PLANT, "cjk1",
+        filters=["lowercase", "cjk_bigram"],
+    )
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": ["日本語", "テスト"]}],
+        k=20,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+    df = (
+        df.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df
+
+
+def sql_ft_cjk_bigram_topk() -> str:
+    lt_values = ",".join(f"({int(v)})" for v in np.unique(LENGTH_TABLE))
+    emits = {k: len(ts) for k, (_, ts) in enumerate(CJK_PLANT)}
+    emit_case = " ".join(f"WHEN {k} THEN {n}" for k, n in emits.items())
+    idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    return f"""
+WITH dlb AS (
+  SELECT doc_id, doc_id % 5 AS k,
+         len(string_split(text, ' ')) AS bdl
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, k, bdl + CASE k {emit_case} END AS dl FROM dlb
+),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sdl FROM dl),
+lt(v) AS (VALUES {lt_values}),
+norml AS (
+  SELECT dl.doc_id, dl.k, (SELECT max(v) FROM lt WHERE v <= dl.dl) AS nl
+  FROM dl
+),
+dfs AS (SELECT k, count(*) AS df FROM dl WHERE k IN (0, 1) GROUP BY k),
+scored AS (
+  SELECT norml.doc_id,
+         2 * ({idf}
+              - {idf}
+                / (1 + 1.0 / (1.2 * (1 - 0.75 + 0.75 * norml.nl
+                                     / (stats.sdl / stats.n))))) AS score
+  FROM norml
+  JOIN dfs ON dfs.k = norml.k
+  CROSS JOIN stats
+)
+SELECT row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank,
+       doc_id, score_e6
+FROM (SELECT doc_id, CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+      FROM scored)
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT 15
+"""
+
+
 # multi-script plants exercising the vectorized Unicode tokenize path
 # (fast_tokenizer.tokenize_utf8_buffer): Cyrillic letters, a Han pair
 # (single-codepoint tokens — querying 日 proves the split), a Katakana
@@ -5064,6 +5137,7 @@ QUERIES = {
     "ft_italian_stem_stats": q_ft_italian_stem_stats,
     "ft_russian_stem_stats": q_ft_russian_stem_stats,
     "ft_cjk_bigram_stats": q_ft_cjk_bigram_stats,
+    "ft_cjk_bigram_topk": q_ft_cjk_bigram_topk,
     "ft_dutch_stem_stats": q_ft_dutch_stem_stats,
     "ft_norwegian_stem_stats": q_ft_norwegian_stem_stats,
     "ft_danish_stem_stats": q_ft_danish_stem_stats,
@@ -5179,6 +5253,7 @@ ORACLES = {
     "ft_italian_stem_stats": _sql_lang_stem_stats(ITALIAN_PLANT),
     "ft_russian_stem_stats": _sql_lang_stem_stats(RUSSIAN_PLANT),
     "ft_cjk_bigram_stats": sql_ft_cjk_bigram_stats(),
+    "ft_cjk_bigram_topk": sql_ft_cjk_bigram_topk(),
     "ft_dutch_stem_stats": _sql_lang_stem_stats(DUTCH_PLANT),
     "ft_norwegian_stem_stats": _sql_lang_stem_stats(NORWEGIAN_PLANT),
     "ft_danish_stem_stats": _sql_lang_stem_stats(DANISH_PLANT),
