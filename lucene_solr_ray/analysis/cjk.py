@@ -88,6 +88,36 @@ class CjkBigramConfig:
             output_unigrams=args.get("output_unigrams", False),
         )
 
+    @classmethod
+    def from_spec_filters(cls, filters):
+        """Extract the (at most one) cjk_bigram entry from an analyzer
+        filter list → (config | None, pre_filters, post_filters) where
+        pre/post are the vocabulary filters listed BEFORE/AFTER the
+        entry. The split matters: a Lucene chain folds widths BEFORE
+        bigramming (CJKAnalyzer = CJKWidthFilter → LowerCase →
+        CJKBigramFilter), so pre-filters must run on the token stream
+        before the sequence pass. The single extraction point for
+        analyze(), AnalyzerStage and prepare_search_context."""
+        pre, post, cfg = [], [], None
+        for f in filters:
+            is_cjk = f == "cjk_bigram" or (
+                isinstance(f, dict) and f.get("name") == "cjk_bigram"
+            )
+            if is_cjk:
+                if cfg is not None:
+                    raise ValueError(
+                        "at most one cjk_bigram entry per analyzer spec")
+                args = dict(f) if isinstance(f, dict) else {}
+                args.pop("name", None)
+                cfg = cls.from_args(args)
+            elif cfg is None:
+                pre.append(f)
+            else:
+                post.append(f)
+        if cfg is None:
+            return None, list(filters), []
+        return cfg, pre, post
+
 
 def is_cjk_token(token: str, cfg: CjkBigramConfig) -> bool:
     """True when every codepoint of ``token`` is in an enabled block."""
@@ -178,15 +208,21 @@ def cjk_bigram_token_stream(
     seg_flag = flags[seg_first]
 
     # --- flagged side: concatenated codepoint plane -----------------------
+    # after take() the flagged tokens' bytes are one contiguous UTF-8 run,
+    # so the join is a single buffer slice + decode — no per-token Python
+    # string objects (review finding, 2026-08-19)
+    from .fast_tokenizer import _string_buffers
+
     f_idx = np.nonzero(flags)[0]
     f_toks = tokens.take(pa.array(f_idx))
-    s_all = "".join(f_toks.to_pylist())
+    data, offs = _string_buffers(f_toks)
+    s_all = bytes(data[offs[0]:offs[-1]]).decode("utf-8")
     cps = np.frombuffer(s_all.encode("utf-32-le"), dtype="<u4")
     len8 = np.select([cps < 0x80, cps < 0x800, cps < 0x10000],
                      [1, 2, 3], 4).astype(np.int64)
     cp_off = np.zeros(len(cps) + 1, dtype=np.int64)
     np.cumsum(len8, out=cp_off[1:])
-    utf8_all = np.frombuffer(s_all.encode("utf-8"), dtype=np.uint8)
+    utf8_all = data[offs[0]:offs[-1]]
 
     # run labels over the flagged tokens (contiguous, stream-ordered)
     f_new = new_seg[f_idx]

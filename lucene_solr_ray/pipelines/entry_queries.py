@@ -4081,9 +4081,14 @@ WITH pts AS (
 ), d AS (
   SELECT c_custkey,
          2.0 * 6371.0087714 * asin(sqrt(least(
-             sin(radians(48.8566 - lat) * 0.5) * sin(radians(48.8566 - lat) * 0.5)
+             -- op order mirrors the engine exactly (radians per arg, THEN
+             -- subtract): radians(a-b) differs from radians(a)-radians(b)
+             -- in the last ulp and asin amplifies near the antipode
+             sin((radians(48.8566) - radians(lat)) * 0.5)
+               * sin((radians(48.8566) - radians(lat)) * 0.5)
              + cos(radians(lat)) * cos(radians(48.8566))
-               * sin(radians(2.3522 - lon) * 0.5) * sin(radians(2.3522 - lon) * 0.5),
+               * sin((radians(2.3522) - radians(lon)) * 0.5)
+               * sin((radians(2.3522) - radians(lon)) * 0.5),
              1.0))) AS geo,
          abs(lat - 48.8566) + abs(lon - 2.3522) AS man
   FROM pts

@@ -134,16 +134,13 @@ def prepare_search_context(
     # QueryBuilder runs the field analyzer over query terms, so a CJK
     # query string becomes its bigrams — ALL of which must match, the
     # CJKAnalyzer search convention). Applied after the vocab filters.
-    cjk_cfg = None
-    for f in spec_filters:
-        if f == "cjk_bigram" or (
-            isinstance(f, dict) and f.get("name") == "cjk_bigram"
-        ):
-            from ..analysis.cjk import CjkBigramConfig
+    from ..analysis.cjk import CjkBigramConfig
 
-            args = dict(f) if isinstance(f, dict) else {}
-            args.pop("name", None)
-            cjk_cfg = CjkBigramConfig.from_args(args)
+    cjk_cfg, _, _ = CjkBigramConfig.from_spec_filters(
+        [f for f in spec_filters
+         if f != "shingle" and not (
+             isinstance(f, dict) and f.get("name") == "shingle")]
+    )
 
     def cjk_expand(term):
         """term → list of index terms (bigrams) or [term] unchanged."""
@@ -308,7 +305,11 @@ def prepare_search_context(
         if all(len(g) == 1 for g in groups + ex_groups):
             return q
         flat_ex = sorted({t for g in ex_groups for t in g})
-        if kind in ("term", "and") and all(len(g) == 1 for g in ex_groups):
+        # a multi-term "term" query is a SHOULD disjunction, same as "or"
+        # (score_query_exhaustive semantics) — only a true conjunction
+        # ("and", or a single-word "term") may absorb bigrams directly
+        is_conj = kind == "and" or (kind == "term" and len(groups) <= 1)
+        if is_conj and all(len(g) == 1 for g in ex_groups):
             # conjunction absorbs the bigrams directly
             return dict(q, kind="and",
                         terms=[t for g in groups for t in g])
@@ -317,7 +318,7 @@ def prepare_search_context(
         nq = {k: v for k, v in q.items()
               if k not in ("kind", "terms", "exclude", "min_should_match")}
         nq["kind"] = "bool"
-        if kind in ("term", "and"):
+        if is_conj:
             nq["must"] = [
                 {"kind": "and", "terms": g} if len(g) > 1
                 else {"kind": "term", "terms": g} for g in groups

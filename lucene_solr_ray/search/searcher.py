@@ -684,6 +684,11 @@ def match_query_full(
     output, still-live docs only) — the matching primitive behind
     deleteByQuery. Supports every query kind the searcher does."""
     kind = q.get("kind", "term")
+    if kind == "func_boost":
+        # the value source only rescales scores — MATCHING is the wrapped
+        # query's; falling through would OR over q["terms"] (which also
+        # carries vs stat terms) and silently over-delete
+        return match_query_full(reader, q["of"], weights, cache_inv, sim)
     if kind in ("bool", "const", "term_range", "prefix", "wildcard", "regexp", "fuzzy"):
         # any kind _bool_eval_node supports must route through it —
         # score_query_exhaustive would see q['terms'] == [] for e.g.

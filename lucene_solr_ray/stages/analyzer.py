@@ -54,24 +54,31 @@ def analyze(text: str, spec: dict = None) -> list:
     ]
     if len(sh) > 1:
         raise ValueError("at most one shingle entry per analyzer spec")
-    cj = [
-        f for f in filters
-        if (isinstance(f, dict) and f.get("name") == "cjk_bigram")
-        or f == "cjk_bigram"
-    ]
-    if len(cj) > 1:
-        raise ValueError("at most one cjk_bigram entry per analyzer spec")
+    if sh:
+        filters = [f for f in filters if f not in sh]
+    cjk_cfg, pre, post = CjkBigramConfig.from_spec_filters(filters)
     toks = tok.tokenize_lower(text or "")
-    if cj:
-        args = dict(cj[0]) if isinstance(cj[0], dict) else {}
-        args.pop("name", None)
-        toks, _dl = cjk_bigram_token_list(toks, CjkBigramConfig.from_args(args))
-        filters = [f for f in filters if f not in cj]
+    if cjk_cfg is not None:
+        # vocabulary filters listed BEFORE cjk_bigram fold the stream
+        # first (CJKAnalyzer: width fold precedes bigramming)
+        pre_chain = build_filter_chain(pre)
+        if pre_chain is not None:
+            folded = []
+            for t in toks:
+                r = pre_chain(t)
+                if r is None or r == "":
+                    continue
+                if isinstance(r, list):
+                    raise ValueError(
+                        "expanding filters are unsupported before cjk_bigram")
+                folded.append(r)
+            toks = folded
+        toks, _dl = cjk_bigram_token_list(toks, cjk_cfg)
+        filters = post
     if sh:
         args = dict(sh[0]) if isinstance(sh[0], dict) else {}
         args.pop("name", None)
         toks, _dl = shingle_token_list(toks, ShingleConfig.from_args(args))
-        filters = [f for f in filters if f not in sh]
     chain = build_filter_chain(filters)
     if chain is None:
         return toks
@@ -165,11 +172,53 @@ def _analyze_rows_regex(
     return terms_per_doc, freqs_per_doc, dl
 
 
-def _apply_seq_filters(tokens, doc_ids, n_docs, cjk, shingles, cjk_memo=None):
+def _map_vocab_stream(tokens, doc_ids, chain, memo: dict):
+    """Apply a 1:1 vocabulary filter chain to a flat token stream BEFORE a
+    sequence filter (the CJKAnalyzer shape: CJKWidthFilter → LowerCase →
+    CJKBigramFilter — width variants must fold before bigramming).
+    Dropping filters (stop) remove the token; expanding filters (synonym)
+    are position-sensitive and refused here."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if len(tokens) == 0:
+        return tokens, doc_ids
+    enc = pc.dictionary_encode(tokens)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    mapped = []
+    for t in vocab:
+        m = memo.get(t, False)
+        if m is False:
+            m = chain(t)
+            memo[t] = m
+        if isinstance(m, list):
+            raise ValueError(
+                "expanding filters (synonym) are unsupported before a "
+                "sequence filter — list them after cjk_bigram/shingle")
+        mapped.append(m)
+    if all(m == t for m, t in zip(mapped, vocab)):  # identity fast path
+        return tokens, doc_ids
+    keep_v = np.array([m is not None and m != "" for m in mapped], dtype=bool)
+    vocab_m = pa.array([m if m else "" for m in mapped], type=pa.string())
+    keep = keep_v[codes]
+    codes_k = codes[keep]
+    return vocab_m.take(pa.array(codes_k)), doc_ids[keep]
+
+
+def _apply_seq_filters(tokens, doc_ids, n_docs, cjk, shingles, cjk_memo=None,
+                       pre_chain=None, pre_memo=None):
     """Sequence filters over the flat (tokens, doc_ids) stream, in Lucene
-    chain order: CJK bigrams first (they form the terms), shingles over
-    the result. Returns (tokens, doc_ids, dl_override)."""
+    chain order: pre-sequence vocabulary filters (width folds etc.), CJK
+    bigrams (they form the terms), shingles over the result. Returns
+    (tokens, doc_ids, dl_override)."""
     dl = None
+    if pre_chain is not None:
+        tokens, doc_ids = _map_vocab_stream(
+            tokens, doc_ids, pre_chain,
+            pre_memo if pre_memo is not None else {})
+        dl = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)
     if cjk is not None:
         from ..analysis.cjk import cjk_bigram_token_stream
 
@@ -193,6 +242,8 @@ def analyze_table(
     shingles=None,
     cjk=None,
     cjk_memo=None,
+    cjk_pre=None,
+    cjk_pre_memo=None,
 ) -> pa.Table:
     """Pure function core (also used by tests without Ray): pages table
     (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl
@@ -235,7 +286,8 @@ def analyze_table(
         tokens = tokens_to_string_array(data, starts, lens)
         if shingles is not None or cjk is not None:
             tokens, doc_ids, dl_override = _apply_seq_filters(
-                tokens, doc_ids, n, cjk, shingles, cjk_memo=cjk_memo
+                tokens, doc_ids, n, cjk, shingles, cjk_memo=cjk_memo,
+                pre_chain=cjk_pre, pre_memo=cjk_pre_memo,
             )
             values, list_off, freqs, _ = doc_tf_from_tokens(tokens, doc_ids, n)
             dl = dl_override
@@ -276,12 +328,14 @@ def analyze_table(
         a_pos = f_pos = None
         if shingles is not None or cjk is not None:
             tokens, doc_ids, a_dl = _apply_seq_filters(
-                tokens, doc_ids, len(sub), cjk, shingles, cjk_memo=cjk_memo
+                tokens, doc_ids, len(sub), cjk, shingles, cjk_memo=cjk_memo,
+                pre_chain=cjk_pre, pre_memo=cjk_pre_memo,
             )
             a_values, a_off, a_freqs, _ = doc_tf_from_tokens(tokens, doc_ids, len(sub))
             f_tokens, f_doc_ids, f_dl = _apply_seq_filters(
                 f_tokens, f_doc_ids, len(fb_idx), cjk, shingles,
-                cjk_memo=cjk_memo
+                cjk_memo=cjk_memo,
+                pre_chain=cjk_pre, pre_memo=cjk_pre_memo,
             )
             f_values, f_off, f_freqs, _ = doc_tf_from_tokens(
                 f_tokens, f_doc_ids, len(fb_idx)
@@ -476,24 +530,18 @@ class AnalyzerStage:
             args.pop("name", None)
             self.shingles = ShingleConfig.from_args(args)
             filters = [f for f in filters if f not in sh]
-        # cjk_bigram is a SEQUENCE filter too (adjacent-token state)
-        cj = [
-            f for f in filters
-            if (isinstance(f, dict) and f.get("name") == "cjk_bigram")
-            or f == "cjk_bigram"
-        ]
-        if len(cj) > 1:
-            raise ValueError("at most one cjk_bigram entry per analyzer spec")
-        self.cjk = None
-        self._cjk_memo: dict = {}
-        if cj:
-            from ..analysis.cjk import CjkBigramConfig
+        # cjk_bigram is a SEQUENCE filter too (adjacent-token state);
+        # vocabulary filters listed BEFORE it fold the token stream first
+        # (CJKAnalyzer: width fold precedes bigramming), filters AFTER it
+        # see bigram terms
+        from ..analysis.cjk import CjkBigramConfig
 
-            args = dict(cj[0]) if isinstance(cj[0], dict) else {}
-            args.pop("name", None)
-            self.cjk = CjkBigramConfig.from_args(args)
-            filters = [f for f in filters if f not in cj]
-        self.chain = build_filter_chain(filters)
+        self.cjk, pre, post = CjkBigramConfig.from_spec_filters(filters)
+        self._cjk_memo: dict = {}
+        self._cjk_pre_memo: dict = {}
+        self.cjk_pre = build_filter_chain(pre) if self.cjk is not None else None
+        self.chain = build_filter_chain(
+            post if self.cjk is not None else filters)
         if store_positions and (
             self.chain is not None or self.shingles is not None
             or self.cjk is not None
@@ -511,6 +559,7 @@ class AnalyzerStage:
             batch, self.tokenizer, self.num_partitions,
             want_positions=self.store_positions,
             shingles=self.shingles, cjk=self.cjk, cjk_memo=self._cjk_memo,
+            cjk_pre=self.cjk_pre, cjk_pre_memo=self._cjk_pre_memo,
         )
         if self.chain is not None:
             out = apply_token_filters(out, self.chain, self._memo)

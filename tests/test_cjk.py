@@ -198,3 +198,69 @@ def test_cjk_query_expansion(ray_session, tmp_path):
                         "terms": ["doc", "here", "char"],
                         "exclude": ["日本語"]}], k=10)
     assert set(res["url"]) == {"u://001", "u://004"}
+
+
+def test_multiterm_term_kind_stays_disjunction(ray_session, tmp_path):
+    """Review regression: a multi-term 'term' query is a SHOULD
+    disjunction — CJK expansion must not collapse it to one AND."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    texts = ["alpha 日本語 beta", "gamma 寿司 delta", "both 日本語 寿司"]
+    pages = pa.table({
+        "url": [f"u://{i:03d}" for i in range(len(texts))],
+        "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+        "text": pa.array(texts),
+        "lang": pa.array(["xx"] * len(texts)),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2, lang=None, analyzer_spec={
+        "tokenizer": "standard_uax29", "max_token_length": 255,
+        "filters": ["lowercase", "cjk_bigram"],
+    })
+    res = search(idx, [{"query_id": 0, "kind": "term",
+                        "terms": ["日本語", "寿司"]}], k=10)
+    assert set(res["url"]) == {"u://000", "u://001", "u://002"}
+    # single-word multi-bigram term query is still the conjunction
+    res = search(idx, [{"query_id": 0, "kind": "term",
+                        "terms": ["日本語"]}], k=10)
+    assert set(res["url"]) == {"u://000", "u://002"}
+
+
+def test_width_fold_before_bigram(ray_session, tmp_path):
+    """Review regression: cjk_width listed BEFORE cjk_bigram must fold the
+    token stream before bigramming (CJKAnalyzer order) — halfwidth
+    katakana docs must be findable by fullwidth word queries."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+    from lucene_solr_ray.stages.analyzer import analyze
+
+    spec = {"tokenizer": "standard_uax29", "max_token_length": 255,
+            "filters": ["cjk_width", "lowercase", "cjk_bigram"]}
+    # debug path: fold first, then bigram
+    assert analyze("ﾃｽﾄ run", spec) == ["テス", "スト", "run"]
+
+    texts = ["halfwidth ﾃｽﾄ doc", "fullwidth テスト doc", "neither one"]
+    pages = pa.table({
+        "url": [f"u://{i:03d}" for i in range(len(texts))],
+        "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+        "text": pa.array(texts),
+        "lang": pa.array(["xx"] * len(texts)),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2, lang=None, analyzer_spec=spec)
+    res = search(idx, [{"query_id": 0, "kind": "term",
+                        "terms": ["テスト"]}], k=10)
+    assert set(res["url"]) == {"u://000", "u://001"}
+    # halfwidth query folds too
+    res = search(idx, [{"query_id": 0, "kind": "term", "terms": ["ﾃｽﾄ"]}],
+                 k=10)
+    assert set(res["url"]) == {"u://000", "u://001"}

@@ -154,3 +154,29 @@ def test_missing_term_and_deletes(ray_session, tmp_path):
     }
     res = search(idx, [q], k=5)
     assert len(res) == 1 and int(res["score"].iloc[0]) == 7
+
+
+def test_delete_by_query_func_boost_matches_wrapped_only(ray_session, tmp_path):
+    """Review regression: deleteByQuery with a func_boost query must match
+    the WRAPPED query's docs only — never the value source's stat terms."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.update import delete_by_query
+
+    idx = _mk_index(tmp_path)
+    copy = str(tmp_path / "idx_copy")
+    shutil.copytree(idx, copy)
+    q = {
+        "kind": "func_boost",
+        "of": {"kind": "term", "terms": ["banana"]},
+        "vs": ["sum", ["termfreq", "text", "query"], 1],
+    }
+    out = delete_by_query(copy, q)
+    matched = out["matched"] if isinstance(out, dict) else out
+    # exactly the one banana doc; the vs term 'query' (3 docs) untouched
+    res = search(copy, [{"query_id": 0, "kind": "term",
+                         "terms": ["query"]}], k=10)
+    assert len(res) == 3
+    res = search(copy, [{"query_id": 0, "kind": "term",
+                         "terms": ["banana"]}], k=10)
+    assert len(res) == 0
