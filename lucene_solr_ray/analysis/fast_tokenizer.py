@@ -233,6 +233,10 @@ def _alnum_runs(
 # --- vectorized Unicode path ------------------------------------------------
 # class flags for non-ASCII codepoints extend the byte table's bit layout
 _HAN_F, _HIRA_F, _KATA_F = 32, 64, 128
+_CJK_F = _HAN_F | _HIRA_F | _KATA_F
+# kana voiced/semi-voiced sound marks (WB:Extend) — mirrors tokenizer._KMARK;
+# only 4 codepoints, so the mask is a direct compare instead of a table bit
+_KMARK_CPS = np.array([0x3099, 0x309A, 0xFF9E, 0xFF9F], dtype=np.uint32)
 _UCLS: np.ndarray | None = None
 
 
@@ -344,19 +348,64 @@ def tokenize_utf8_buffer(
     # doc boundaries in codepoint space (doc offsets are valid UTF-8
     # boundaries, so they coincide with codepoint starts)
     offs_cp = np.searchsorted(cp_pos, offs_b, side="left")
+    doc_starts = offs_cp[:-1][offs_cp[:-1] < len(cp)]
+
+    # kana voiced-mark attachment (WB4 Extend, kana slice — see
+    # tokenizer._KMARK): a maximal mark run attaches to the preceding
+    # codepoint iff that codepoint is Han/Hiragana/Katakana in the same
+    # doc; attached marks inherit the base char's class so the kata-run
+    # and han/hira-single logic below absorbs them. Unattached marks
+    # keep class 0 and are dropped, matching the regex path.
+    kmark = np.isin(cp, _KMARK_CPS)
+    rs = run_len = att_run = None
+    if kmark.any():
+        mpos = np.nonzero(kmark)[0]
+        is_rs = np.ones(len(mpos), dtype=bool)
+        is_rs[1:] = np.diff(mpos) != 1
+        is_rs |= np.isin(mpos, doc_starts)  # doc boundary splits a run
+        rs_idx = np.nonzero(is_rs)[0]
+        rs = mpos[rs_idx]
+        run_len = np.diff(np.append(rs_idx, len(mpos)))
+        att_run = (rs > 0) & ~np.isin(rs, doc_starts) & (
+            (cls[np.maximum(rs - 1, 0)] & _CJK_F) > 0
+        )
+        ridx = np.searchsorted(rs, mpos, side="right") - 1
+        att_mark = att_run[ridx]
+        cls[mpos[att_mark]] = cls[rs[ridx[att_mark]] - 1]
+
     starts, lens = _alnum_runs(
         cls, offs_cp, np.nonzero(cp == 0x5F)[0], max_token_length
     )
-    # CJK: Han/Hiragana emit single-codepoint tokens, Katakana emits runs
+    # CJK: Han/Hiragana emit single-codepoint tokens (plus any attached
+    # mark run), Katakana emits runs
     cjk = cls & (_HAN_F | _HIRA_F)
     if cjk.any() or (cls & _KATA_F).any():
-        doc_starts = offs_cp[:-1][offs_cp[:-1] < len(cp)]
-        singles = np.nonzero(cjk)[0]
+        if rs is not None:
+            singles = np.nonzero((cjk > 0) & ~kmark)[0]
+            s_lens = np.ones(len(singles), dtype=np.int64)
+            j = np.searchsorted(rs, singles + 1)
+            hit = j < len(rs)
+            hit[hit] = (rs[j[hit]] == singles[hit] + 1) & att_run[j[hit]]
+            s_lens[hit] = 1 + run_len[j[hit]]
+            long = s_lens > max_token_length
+            if long.any():
+                # chunk-split like the regex path's buffer behavior
+                ps, pl = [singles[~long]], [s_lens[~long]]
+                for s0, ln in zip(singles[long], s_lens[long]):
+                    ks = np.arange(s0, s0 + ln, max_token_length,
+                                   dtype=np.int64)
+                    ps.append(ks)
+                    pl.append(np.minimum(max_token_length, s0 + ln - ks))
+                singles = np.concatenate(ps)
+                s_lens = np.concatenate(pl)
+        else:
+            singles = np.nonzero(cjk)[0]
+            s_lens = np.ones(len(singles), dtype=np.int64)
         k_starts, k_lens = _mask_runs(
             (cls & _KATA_F) > 0, doc_starts, max_token_length
         )
         starts = np.concatenate([starts, singles, k_starts])
-        lens = np.concatenate([lens, np.ones(len(singles), dtype=np.int64), k_lens])
+        lens = np.concatenate([lens, s_lens, k_lens])
         order = np.argsort(starts, kind="stable")
         starts, lens = starts[order], lens[order]
     doc_ids = np.searchsorted(offs_cp, starts, side="right") - 1

@@ -44,7 +44,15 @@ __all__ = ["StandardTokenizer", "lowercase", "tokenize_lower"]
 _HAN = "⺀-⻿々〇㐀-䶿一-鿿豈-﫿"
 _HIRA = "ぁ-ゖゝ-ゟ"
 _KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
-_CJK = _HAN + _HIRA + _KATA
+# kana voiced/semi-voiced sound marks (WB:Extend) — the common-member
+# slice of WB4's Extend set for CJK text: U+3099/309A combining (NFD
+# kana) and U+FF9E/FF9F halfwidth (ﾊﾟ). They attach to the preceding
+# kana/Han token (KatakanaEx/HiraganaEx/HanEx = X [Format Extend]* in
+# the reference JFlex grammar) so CJKWidthFilter can compose ｺ+ﾞ→ゴ
+# within one token. General Latin combining marks (Mn) remain a
+# documented deviation (web text is overwhelmingly NFC).
+_KMARK = "\u3099\u309a\uff9e\uff9f"
+_CJK = _HAN + _HIRA + _KATA + _KMARK
 
 # letters+digits excluding underscore and the CJK ranges handled separately
 _ALNUM = rf"[^\W_{_CJK}]"
@@ -58,7 +66,7 @@ _MIDNUM = "['’.,;٫٬︐︓︔]"
 _TOKEN_RE = (
     rf"(?:_+)?{_ALNUM}"
     rf"(?:{_ALNUM}|_|{_MIDLETTER}(?<={_LETTER}.)(?={_LETTER})|{_MIDNUM}(?<=\d.)(?=\d))*"
-    rf"|[{_HAN}]|[{_HIRA}]|[{_KATA}]+"
+    rf"|[{_HAN}][{_KMARK}]*|[{_HIRA}][{_KMARK}]*|[{_KATA}][{_KATA}{_KMARK}]*"
 )
 
 # Codepoints where Python's str.lower() disagrees with Java's codepoint-wise

@@ -24,6 +24,15 @@ GOLDEN = [
     ("   \t\n ", []),
     ("'quoted' words", ["quoted", "words"]),  # leading/trailing ' drop
     ("O'Neill's", ["O'Neill's"]),
+    # kana voiced marks are WB:Extend — they attach to the preceding
+    # kana/Han token (halfwidth ﾞﾟ and combining U+3099/309A)
+    ("ﾆﾎﾝｺﾞ", ["ﾆﾎﾝｺﾞ"]),
+    ("ﾊﾟﾝﾁ", ["ﾊﾟﾝﾁ"]),
+    ("がき", ["が", "き"]),       # NFD hiragana
+    ("ガナ", ["ガナ"]),           # NFD katakana run
+    ("一ﾞ二", ["一ﾞ", "二"]),                 # Han + mark
+    ("abcﾞ def", ["abc", "def"]),             # unattached mark drops
+    ("ﾞｶ", ["ｶ"]),                            # leading mark drops
 ]
 
 
@@ -116,6 +125,8 @@ def test_utf8_buffer_matches_regex_fuzz():
         "٣٤٥०१२",
         "\U0001f600\U0001f44d\U0001f3fd\U0001f389",
         "́̈",
+        # kana voiced marks (WB:Extend) + halfwidth katakana + NFD kana
+        "゙゚ﾞﾟｦｱﾝﾊｺかカ",
     ]
     flat = list("".join(pools))
     for trial in range(120):
