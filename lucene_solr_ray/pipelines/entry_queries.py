@@ -2078,6 +2078,178 @@ SELECT doc_id, regexp_replace(url, '([^/])/$', '\1') AS url_norm FROM s4
 """
 
 
+# --- HTML strip (HTMLStripCharFilter analog; SURVEY.md §2.1) -----------------
+
+def q_html_strip_docs(sf_dir: str):
+    """HTML → text extraction (reference: lucene/analysis/common/.../
+    charfilter/HTMLStripCharFilter.java, branch_8x; SURVEY.md §2.1 — the
+    webtext corpus's html:binary column is exactly this operator's
+    input). HTML pages are synthesized deterministically from doc_id +
+    text (script/style/comment bodies, inline vs block tags, named +
+    numeric entities), stripped by the RE2-kernel chain in
+    analysis/html.py, and whitespace-collapsed; the SQL oracle mirrors
+    the construction AND runs the SAME pattern chain (both RE2)."""
+    from ..analysis.html import html_strip_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        sid = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            "<!DOCTYPE html><html><head><title>Doc ", sid,
+            '</title><script type="text/javascript">if (1 &lt; 2) { x(); }'
+            "</script><style>p { color: red; }</style></head>"
+            "<body><h1>Title &amp; ", sid,
+            "</h1><p>", batch["text"],
+            ' s&#97;mple &quot;quoted&quot; A&amp;B</p><div>tail', sid,
+            "</div><!-- hidden --></body></html>", "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "html": html})
+
+    def strip(batch: pa.Table) -> pa.Table:
+        clean = html_strip_array(batch["html"])
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(clean, pattern=r"\s+", replacement=" ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_chars": pc.cast(pc.utf8_length(clean), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        strip, batch_format="pyarrow"
+    )
+
+
+def sql_html_strip_docs() -> str:
+    from ..analysis.html import REPLACEMENTS
+
+    expr = "html"
+    for pat, repl in REPLACEMENTS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script type="text/javascript">if (1 &lt; 2) {{ x(); }}'
+         || '</script><style>p {{ color: red; }}</style></head>'
+         || '<body><h1>Title &amp; ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || ' s&#97;mple &quot;quoted&quot; A&amp;B</p><div>tail'
+         || CAST(doc_id AS VARCHAR)
+         || '</div><!-- hidden --></body></html>' AS html
+  FROM documents
+),
+s AS (SELECT doc_id, {expr} AS t FROM h),
+-- planted entities only (text has none); &amp; decodes LAST so
+-- '&amp;lt;'-style double decodes cannot happen, same as the engine
+e AS (
+  SELECT doc_id,
+         replace(replace(replace(t, '&#97;', 'a'), '&quot;', '"'),
+                 '&amp;', '&') AS t2
+  FROM s
+),
+w AS (SELECT doc_id, trim(regexp_replace(t2, '\\s+', ' ', 'g')) AS clean_text FROM e)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+FROM w
+"""
+
+
+# (markup snippet appended to the doc, token that must exist after
+# html_strip + tokenize, slot). zqscriptgone must NOT exist (df 0): its
+# only occurrence is inside a removed <script> body.
+HTML_PLANT = [
+    ("<b>zqinline</b><i>glue</i>", "zqinlineglue"),   # inline tags glue
+    ("<p>zqblock</p>", "zqblock"),                    # block tag separates
+    ("zq&#101;ntity", "zqentity"),                    # numeric entity
+    ("<script>zqscriptgone()</script> zqkept", "zqkept"),
+    ("&quot;zqquoted&quot;", "zqquoted"),             # named entity
+]
+
+
+def ensure_ft_html_index(sf_dir: str) -> str:
+    """documents index through the html_strip char filter (SURVEY.md §2.1
+    HTMLStripCharFilter): each doc gets ONE planted markup snippet
+    appended (by doc_id % 5) so the char-filter slot has real work to do;
+    cached separately from the unigram ft index."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:html1"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+
+    base = _docs_as_pages(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(u.rsplit("/", 1)[-1]) for u in batch["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        toks = [HTML_PLANT[int(i) % 5][0] for i in ids]
+        text = pc.binary_join_element_wise(
+            batch["text"], pa.array(toks, type=pa.string()), " "
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=base.map_batches(plant, batch_format="pyarrow"),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "char_filters": ["html_strip"],
+            "filters": ["lowercase"],
+        },
+    )
+    return index_root
+
+
+def q_ft_html_strip_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of each planted post-strip token in the
+    char-filtered index — matching proves the html_strip char filter ran
+    over every document at build time (inline-tag gluing, entity decode,
+    script-body removal all exercised; zqscriptgone must be ABSENT)."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_html_index(sf_dir)
+    toks = sorted({t for _, t in HTML_PLANT} | {"zqscriptgone"})
+    stats = read_query_term_stats(idx, toks)
+    rows = [
+        {"tok": t, "df": stats.get(t, (0, 0))[0],
+         "total_tf": stats.get(t, (0, 0))[1]}
+        for t in toks
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def sql_ft_html_strip_stats() -> str:
+    vals = ", ".join(
+        f"('{tok}', {slot})" for slot, (_, tok) in enumerate(HTML_PLANT)
+    ) + ", ('zqscriptgone', -1)"
+    return f"""
+WITH plant(tok, slot) AS (VALUES {vals}),
+c AS (SELECT doc_id % 5 AS slot, count(*) AS n FROM documents GROUP BY 1)
+SELECT tok, COALESCE(n, 0) AS df, COALESCE(n, 0) AS total_tf
+FROM plant LEFT JOIN c USING (slot)
+"""
+
+
 def sql_quality_scores() -> str:
     from ..functions.textstats import STOPWORDS
 
@@ -5114,6 +5286,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "ngram_repetition": q_ngram_repetition,
     "url_normalize": q_url_normalize,
+    "html_strip_docs": q_html_strip_docs,
+    "ft_html_strip_stats": q_ft_html_strip_stats,
     "langid_eval": q_langid_eval,
     # dedup (§2.7 SignatureUpdateProcessor + extensions)
     "dedup_exact": q_dedup_exact,
@@ -5240,6 +5414,8 @@ ORACLES = {
     "quality_scores": sql_quality_scores(),
     "ngram_repetition": sql_ngram_repetition(),
     "url_normalize": sql_url_normalize(),
+    "html_strip_docs": sql_html_strip_docs(),
+    "ft_html_strip_stats": sql_ft_html_strip_stats(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),

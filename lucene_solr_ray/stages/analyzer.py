@@ -44,6 +44,12 @@ def analyze(text: str, spec: dict = None) -> list:
     from ..analysis.shingle import ShingleConfig, shingle_token_list
 
     spec = spec or DEFAULT_SPEC
+    cf = spec.get("char_filters")
+    if cf:
+        from ..analysis.html import build_char_filter_chain
+
+        chain = build_char_filter_chain(cf)
+        text = chain(pa.array([text or ""], type=pa.string()))[0].as_py()
     tok = StandardTokenizer(
         max_token_length=int(spec.get("max_token_length", 255))
     )
@@ -244,6 +250,7 @@ def analyze_table(
     cjk_memo=None,
     cjk_pre=None,
     cjk_pre_memo=None,
+    char_filter=None,
 ) -> pa.Table:
     """Pure function core (also used by tests without Ray): pages table
     (url, warc_ts, text) → (url, warc_ts, part_key, terms, freqs, dl
@@ -269,6 +276,11 @@ def analyze_table(
             if text_col.num_chunks
             else pa.array([], type=pa.string())
         )
+    if char_filter is not None and len(text_col):
+        # CharFilter slot: raw text → text, whole column, before tokenize
+        text_col = char_filter(text_col)
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
     n = len(text_col)
     ascii_mask = ascii_doc_mask(text_col) if n else np.zeros(0, dtype=bool)
     m = tokenizer.max_token_length
@@ -535,7 +547,9 @@ class AnalyzerStage:
         # (CJKAnalyzer: width fold precedes bigramming), filters AFTER it
         # see bigram terms
         from ..analysis.cjk import CjkBigramConfig
+        from ..analysis.html import build_char_filter_chain
 
+        self.char_filter = build_char_filter_chain(spec.get("char_filters"))
         self.cjk, pre, post = CjkBigramConfig.from_spec_filters(filters)
         self._cjk_memo: dict = {}
         self._cjk_pre_memo: dict = {}
@@ -560,6 +574,7 @@ class AnalyzerStage:
             want_positions=self.store_positions,
             shingles=self.shingles, cjk=self.cjk, cjk_memo=self._cjk_memo,
             cjk_pre=self.cjk_pre, cjk_pre_memo=self._cjk_pre_memo,
+            char_filter=self.char_filter,
         )
         if self.chain is not None:
             out = apply_token_filters(out, self.chain, self._memo)
