@@ -194,7 +194,7 @@ def run_bench() -> dict:
             "hopping_window_events",
             "lm_rare_bigrams", "topk_tokens_sketch",
             "decontaminate_docs", "json_facet_query", "sort_by_function",
-            "timeseries_orders", "facet_interval_price",
+            "timeseries_orders", "facet_interval_price", "html_strip_docs",
         ]:
             # best-of-2 with both numbers recorded (round-5 bench
             # discipline: single-shot per-pipeline timings conflated the

@@ -59,16 +59,14 @@ _HANGUL = ((0x1100, 0x11FF), (0x3130, 0x318F), (0xA960, 0xA97F),
 class CjkBigramConfig:
     """Validated config (part of the analyzer-spec lineage hash). Flags
     mirror CJKBigramFilterFactory's han/hiragana/katakana/hangul args;
-    outputUnigrams=true (bigrams AND unigrams overlaid) is not
-    implemented — the filter refuses rather than approximating."""
+    output_unigrams=True emits every CJK char's unigram (posInc 1) with
+    the bigrams overlaid (posInc 0 — excluded from dl, matching
+    discountOverlaps=true norms)."""
 
     def __init__(self, han: bool = True, hiragana: bool = True,
                  katakana: bool = True, hangul: bool = True,
                  output_unigrams: bool = False):
-        if output_unigrams:
-            raise NotImplementedError(
-                "cjk_bigram outputUnigrams=true (posIncr-0 unigram overlay) "
-                "is not implemented")
+        self.output_unigrams = bool(output_unigrams)
         ranges = []
         for flag, rs in ((han, _HAN), (hiragana, _HIRAGANA),
                          (katakana, _KATAKANA), (hangul, _HANGUL)):
@@ -137,18 +135,30 @@ def cjk_bigram_token_list(
     toks: List[str], cfg: CjkBigramConfig
 ) -> Tuple[List[str], int]:
     """Reference implementation over one doc's token list (the analyze()
-    debug path and the property-test brute force). Returns (tokens, dl)."""
+    debug path and the property-test brute force). Returns (tokens, dl);
+    with output_unigrams the emit order per run is unigram, overlaid
+    bigram, unigram, … (CJKBigramFilter's stream order) and dl counts
+    only the position-incrementing tokens (unigrams + passthrough)."""
     out: List[str] = []
     buf = ""
+    dl = 0
 
     def flush():
-        nonlocal buf
+        nonlocal buf, dl
         if not buf:
             return
-        if len(buf) == 1:
+        if cfg.output_unigrams:
+            for i in range(len(buf)):
+                out.append(buf[i])
+                if i + 1 < len(buf):
+                    out.append(buf[i:i + 2])
+            dl += len(buf)
+        elif len(buf) == 1:
             out.append(buf)
+            dl += 1
         else:
             out.extend(buf[i:i + 2] for i in range(len(buf) - 1))
+            dl += len(buf) - 1
         buf = ""
 
     for t in toks:
@@ -157,8 +167,9 @@ def cjk_bigram_token_list(
         else:
             flush()
             out.append(t)
+            dl += 1
     flush()
-    return out, len(out)
+    return out, dl
 
 
 def cjk_bigram_token_stream(
@@ -233,11 +244,24 @@ def cjk_bigram_token_stream(
     run_cp_start = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(run_chars, out=run_cp_start[1:])
 
-    # per run: L>=2 -> L-1 bigrams of width 2; L==1 -> one unigram
-    lone = run_chars == 1
-    run_emit = np.where(lone, 1, run_chars - 1)
-    emit_cp, _ = concat_ranges(run_cp_start[:-1], run_emit)
-    emit_w = np.repeat(np.where(lone, 1, 2), run_emit)
+    if cfg.output_unigrams:
+        # per run of L chars: L unigrams interleaved with L-1 overlaid
+        # bigrams — emission j covers cp (start + j//2) with width
+        # 1 (even j) / 2 (odd j); a lone char is just its unigram
+        run_emit = np.where(run_chars == 1, 1, 2 * run_chars - 1)
+        emit_start = np.zeros(R, dtype=np.int64)
+        np.cumsum(run_emit[:-1], out=emit_start[1:])
+        total = int(run_emit.sum())
+        j_within = np.arange(total, dtype=np.int64) - np.repeat(
+            emit_start, run_emit)
+        emit_cp = np.repeat(run_cp_start[:-1], run_emit) + (j_within >> 1)
+        emit_w = np.where(j_within & 1, 2, 1).astype(np.int64)
+    else:
+        # per run: L>=2 -> L-1 bigrams of width 2; L==1 -> one unigram
+        lone = run_chars == 1
+        run_emit = np.where(lone, 1, run_chars - 1)
+        emit_cp, _ = concat_ranges(run_cp_start[:-1], run_emit)
+        emit_w = np.repeat(np.where(lone, 1, 2), run_emit)
     byte_start = cp_off[emit_cp]
     byte_len = cp_off[emit_cp + emit_w] - byte_start
     cjk_values = tokens_to_string_array(utf8_all, byte_start, byte_len)
@@ -263,7 +287,15 @@ def cjk_bigram_token_stream(
     ])
     out_tokens = combined.take(pa.array(take_idx))
     out_doc_ids = np.repeat(seg_doc, seg_count)
-    dl = np.bincount(out_doc_ids, minlength=n_docs).astype(np.int32)
+    if cfg.output_unigrams:
+        # overlaid bigrams are posInc-0: dl counts unigrams + passthrough
+        seg_dl = np.empty(S, dtype=np.int64)
+        seg_dl[~seg_flag] = 1
+        seg_dl[seg_flag] = run_chars
+        dl = np.bincount(
+            seg_doc, weights=seg_dl, minlength=n_docs).astype(np.int32)
+    else:
+        dl = np.bincount(out_doc_ids, minlength=n_docs).astype(np.int32)
     return out_tokens, out_doc_ids, dl
 
 

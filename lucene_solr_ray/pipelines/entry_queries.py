@@ -1607,6 +1607,52 @@ FROM m JOIN c ON m.k = c.k
 """
 
 
+# outputUnigrams=true plants: every unigram AND overlaid bigram of each
+# run must be indexed (order/dl semantics pinned by tests/test_cjk.py)
+CJK_UNI_PLANT = [
+    ("日本語", ("日", "日本", "本", "本語", "語")),
+    ("テスト", ("テ", "テス", "ス", "スト", "ト")),
+    ("한국어", ("한", "한국", "국", "국어", "어")),
+    ("水火", ("水", "水火", "火")),
+    ("茶", ("茶",)),
+]
+
+
+def q_ft_cjk_unigram_stats(sf_dir: str) -> pd.DataFrame:
+    """CJKBigramFilter outputUnigrams=true (reference: lucene/analysis/
+    common/.../cjk/CJKBigramFilterFactory.java `outputUnigrams` arg,
+    branch_8x): unigrams are primary, bigrams overlay at posInc 0 —
+    BOTH must be searchable. Global (df, total_tf) of every planted
+    unigram and bigram through a real build."""
+    from ..index.stats import read_query_term_stats
+
+    idx = _ensure_ft_lang_index(
+        sf_dir, "english", CJK_UNI_PLANT, "cjkuni1",
+        filters=["lowercase",
+                 {"name": "cjk_bigram", "output_unigrams": True}],
+    )
+    terms = [t for _, ts in CJK_UNI_PLANT for t in ts]
+    stats = read_query_term_stats(idx, terms)
+    rows = [
+        {"term": t, "df": stats.get(t, (0, 0))[0],
+         "total_tf": stats.get(t, (0, 0))[1]}
+        for t in terms
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def sql_ft_cjk_unigram_stats() -> str:
+    vals = ",".join(
+        f"({k}, '{t}')" for k, (_, ts) in enumerate(CJK_UNI_PLANT) for t in ts
+    )
+    return f"""
+WITH c AS (SELECT doc_id % 5 AS k, count(*) AS n FROM documents GROUP BY 1),
+m(k, term) AS (VALUES {vals})
+SELECT m.term AS term, c.n AS df, c.n AS total_tf
+FROM m JOIN c ON m.k = c.k
+"""
+
+
 def q_ft_cjk_bigram_topk(sf_dir: str) -> pd.DataFrame:
     """Full-depth BM25 search through the CJK bigram index: the query
     terms are WORDS (日本語, テスト) analyzed into bigram conjunctions at
@@ -5316,6 +5362,7 @@ QUERIES = {
     "ft_italian_stem_stats": q_ft_italian_stem_stats,
     "ft_russian_stem_stats": q_ft_russian_stem_stats,
     "ft_cjk_bigram_stats": q_ft_cjk_bigram_stats,
+    "ft_cjk_unigram_stats": q_ft_cjk_unigram_stats,
     "ft_cjk_bigram_topk": q_ft_cjk_bigram_topk,
     "ft_dutch_stem_stats": q_ft_dutch_stem_stats,
     "ft_norwegian_stem_stats": q_ft_norwegian_stem_stats,
@@ -5434,6 +5481,7 @@ ORACLES = {
     "ft_italian_stem_stats": _sql_lang_stem_stats(ITALIAN_PLANT),
     "ft_russian_stem_stats": _sql_lang_stem_stats(RUSSIAN_PLANT),
     "ft_cjk_bigram_stats": sql_ft_cjk_bigram_stats(),
+    "ft_cjk_unigram_stats": sql_ft_cjk_unigram_stats(),
     "ft_cjk_bigram_topk": sql_ft_cjk_bigram_topk(),
     "ft_dutch_stem_stats": _sql_lang_stem_stats(DUTCH_PLANT),
     "ft_norwegian_stem_stats": _sql_lang_stem_stats(NORWEGIAN_PLANT),

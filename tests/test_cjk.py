@@ -48,14 +48,30 @@ def test_bigram_flags():
     toks, _ = cjk_bigram_token_list(_tok("これは日本"), only_han)
     # hiragana chars pass through as single tokens; han pair bigrams
     assert toks == ["こ", "れ", "は", "日本"]
-    with pytest.raises(NotImplementedError):
-        CjkBigramConfig(output_unigrams=True)
     with pytest.raises(ValueError):
         CjkBigramConfig(han=False, hiragana=False, katakana=False,
                         hangul=False)
 
 
-def test_stream_matches_list_property():
+def test_output_unigrams_goldens():
+    """CJKBigramFilter outputUnigrams=true: unigrams (posInc 1) with
+    bigrams overlaid (posInc 0, excluded from dl)."""
+    uni = CjkBigramConfig(output_unigrams=True)
+    toks, dl = cjk_bigram_token_list(_tok("一二三"), uni)
+    assert toks == ["一", "一二", "二", "二三", "三"]
+    assert dl == 3
+    toks, dl = cjk_bigram_token_list(["ray", "日", "本", "data"], uni)
+    assert toks == ["ray", "日", "日本", "本", "data"]
+    assert dl == 4  # the overlaid bigram does not count
+    toks, dl = cjk_bigram_token_list(["水"], uni)
+    assert toks == ["水"] and dl == 1
+
+
+@pytest.mark.parametrize(
+    "cfg", [CFG, CjkBigramConfig(output_unigrams=True)],
+    ids=["bigrams", "unigrams+bigrams"])
+def test_stream_matches_list_property(cfg):
+    CFG = cfg
     rng = np.random.default_rng(7)
     pool = (["hello", "world", "the", "x1"]
             + list("日本語中国字水火") + ["テスト", "カタカナ", "한국", "어절",
