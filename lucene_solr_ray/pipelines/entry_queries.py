@@ -4318,6 +4318,81 @@ FROM d ORDER BY geodist_e3, c_custkey LIMIT 20
 """
 
 
+def q_geofilt_customers(sf_dir: str):
+    """{!geofilt} spatial filter (reference: solr/core/.../search/
+    SpatialFilterQParserPlugin.java + LatLonType#createSpatialQuery,
+    branch_8x; SURVEY.md §2.9 spatial value sources): customers within
+    d=3000 km of Paris — lat/lon derived from a Knuth-scrambled key so
+    points cover the globe at EVERY scale (the raw-key derivation
+    collapses small tables onto one latitude band), filtered ON THE E3
+    INTEGER GRID (both sides — a raw float cutoff could flake in the
+    last ulp), then count + nearest per nation."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.scalars import compile_value_source
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    f_geo = compile_value_source(["geodist", "lat", "lon", 48.8566, 2.3522])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy().astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy().astype(np.int64)
+        k2 = (ck * 2654435761) % 4294967296
+        ll = pa.table({
+            "lat": (k2 % 17000) / 100.0 - 85.0,
+            "lon": ((k2 // 7 + nk) % 36000) / 100.0 - 180.0,
+        })
+        e3 = np.floor(f_geo(ll) * 1e3 + 0.5).astype(np.int64)
+        keep = e3 <= 3_000_000
+        return pa.table({
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()).filter(
+                pa.array(keep)),
+            "geodist_e3": pa.array(e3[keep]),
+        })
+
+    agg = (
+        cust.map_batches(ev, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count("geodist_e3", ignore_nulls=False), Min("geodist_e3"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": batch["c_nationkey"],
+            "n_within": pc.cast(batch["count(geodist_e3)"], pa.int64()),
+            "nearest_e3": batch["min(geodist_e3)"],
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_geofilt_customers() -> str:
+    return """
+WITH k AS (
+  SELECT c_nationkey, ((c_custkey * 2654435761) % 4294967296) AS k2
+  FROM customer
+), pts AS (
+  SELECT c_nationkey,
+         (k2 % 17000) / 100.0 - 85.0 AS lat,
+         ((k2 // 7 + c_nationkey) % 36000) / 100.0 - 180.0 AS lon
+  FROM k
+), d AS (
+  SELECT c_nationkey,
+         CAST(floor(2.0 * 6371.0087714 * asin(sqrt(least(
+             sin((radians(48.8566) - radians(lat)) * 0.5)
+               * sin((radians(48.8566) - radians(lat)) * 0.5)
+             + cos(radians(lat)) * cos(radians(48.8566))
+               * sin((radians(2.3522) - radians(lon)) * 0.5)
+               * sin((radians(2.3522) - radians(lon)) * 0.5),
+             1.0))) * 1000.0 + 0.5) AS BIGINT) AS geodist_e3
+  FROM pts
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS n_within, min(geodist_e3) AS nearest_e3
+FROM d WHERE geodist_e3 <= 3000000 GROUP BY 1
+"""
+
+
 def q_score_join_customers(sf_dir: str):
     """Score join (SURVEY.md §2.5 JoinUtil, ScoreMode.Max): customers
     joined to the MAX totalprice (cents) of their orders — per-key score
@@ -5419,6 +5494,7 @@ QUERIES = {
     "urp_chain": q_urp_chain,
     "function_registry": q_function_registry,
     "function_geodist": q_function_geodist,
+    "geofilt_customers": q_geofilt_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
     "graph_2hop_parts": q_graph_2hop_parts,
@@ -5535,6 +5611,7 @@ ORACLES = {
     "urp_chain": sql_urp_chain(),
     "function_registry": sql_function_registry(),
     "function_geodist": sql_function_geodist(),
+    "geofilt_customers": sql_geofilt_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
     "graph_2hop_parts": sql_graph_2hop_parts(),
