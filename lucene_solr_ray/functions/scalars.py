@@ -25,7 +25,10 @@ scaling     scale(x, lo, hi) [two-pass: needs precomputed stats]
 conditional if(test, a, b)  exists(field)  not(x)  and(...)  or(...)
             def(field, fallback)
 comparison  gt gte lt lte eq
-string      strdist(a, b, "levenshtein"|"ngram")  [on string fields]
+string      strdist(a, b, "levenshtein"|"jarowinkler"|"ngram")
+            concat(a, b, ...)  [string-valued source]
+field       field(name)  ord(field)  rord(field)  [ord/rord need the
+            global sorted value list in stats — two-pass like scale]
 date        ms(field)  (epoch millis of a timestamp field)
 
 ``compile_value_source(spec, stats=None)`` → ``fn(batch: pa.Table) ->
@@ -160,21 +163,73 @@ def _build_def(stats, field, fallback):
     return fn
 
 
+def _string_arg(arg, what="string function"):
+    """Field-or-literal string accessor (the strdist convention: a name
+    that matches a batch column reads the column, anything else is the
+    literal itself). Nulls read as ''."""
+    if not isinstance(arg, str):
+        raise TypeError(f"{what} args must be field names or string literals")
+
+    def g(batch, c=arg):
+        if c in batch.column_names:
+            return ["" if v is None else str(v) for v in batch[c].to_pylist()]
+        return [c] * batch.num_rows
+
+    return g
+
+
+def _jaro_winkler(x: str, y: str) -> float:
+    """Jaro-Winkler similarity with Lucene JaroWinklerDistance's
+    parameters (reference: lucene/suggest/.../JaroWinklerDistance.java,
+    branch_8x — published Winkler 1990 algorithm): prefix scaling 0.1
+    over at most 4 chars, applied only when jaro > threshold 0.7."""
+    if x == y:
+        return 1.0
+    lx, ly = len(x), len(y)
+    if not lx or not ly:
+        return 0.0
+    window = max(max(lx, ly) // 2 - 1, 0)
+    ym = [False] * ly
+    xm = [False] * lx
+    matches = 0
+    for i, cx in enumerate(x):
+        lo, hi = max(0, i - window), min(ly, i + window + 1)
+        for j in range(lo, hi):
+            if not ym[j] and y[j] == cx:
+                xm[i] = ym[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    tr = 0
+    j = 0
+    for i in range(lx):
+        if xm[i]:
+            while not ym[j]:
+                j += 1
+            if x[i] != y[j]:
+                tr += 1
+            j += 1
+    half_tr = tr // 2
+    m = float(matches)
+    jaro = (m / lx + m / ly + (m - half_tr) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for cx, cy in zip(x[:4], y[:4]):
+        if cx != cy:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
 def _build_strdist(stats, a, b, measure="levenshtein"):
     """strdist(field_or_literal, field_or_literal, measure): similarity in
     [0,1] like Solr's StringDistanceFunction (levenshtein: 1 − dist/maxlen;
-    ngram: bigram overlap)."""
+    jarowinkler: Lucene JaroWinklerDistance; ngram: bigram overlap)."""
 
-    def getter(arg):
-        if isinstance(arg, str):
-            def g(batch, c=arg):
-                if c in batch.column_names:
-                    return batch[c].to_pylist()
-                return [c] * batch.num_rows
-            return g
-        raise TypeError("strdist args must be field names or string literals")
-
-    ga, gb = getter(a), getter(b)
+    ga = _string_arg(a, "strdist")
+    gb = _string_arg(b, "strdist")
 
     def fn(batch):
         from ..search.multiterm import levenshtein_batch
@@ -186,12 +241,79 @@ def _build_strdist(stats, a, b, measure="levenshtein"):
                 mx = max(len(x), len(y)) or 1
                 d = int(levenshtein_batch(np.array([x], dtype=object), y)[0])
                 out[i] = 1.0 - d / mx
+        elif measure == "jarowinkler":
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                out[i] = _jaro_winkler(x, y)
         else:  # ngram (bigram Dice-style overlap, public measure)
             for i, (x, y) in enumerate(zip(xs, ys)):
                 sa = {x[j : j + 2] for j in range(max(len(x) - 1, 1))}
                 sb = {y[j : j + 2] for j in range(max(len(y) - 1, 1))}
                 out[i] = 2 * len(sa & sb) / max(len(sa) + len(sb), 1)
         return out
+
+    return fn
+
+
+def _build_concat(stats, *args):
+    """concat(a, b, ...): string concatenation of fields and literals
+    (ValueSourceParser "concat" → ConcatStringFunction, branch_8x;
+    SURVEY.md §2.9). STRING-valued source: returns an object ndarray of
+    str — composes with strdist/eq/ord, not with numeric arithmetic."""
+    gs = [_string_arg(a, "concat") for a in args]
+
+    def fn(batch):
+        parts = [g(batch) for g in gs]
+        return np.array(["".join(row) for row in zip(*parts)], dtype=object)
+
+    return fn
+
+
+def _build_field(stats, name):
+    """field(name): explicit field-access value source (ValueSourceParser
+    "field"; bare strings already compile to field reads — this is the
+    spelled-out registry name for spec generators)."""
+    return _compile_arg(str(name), stats)
+
+
+def _ord_lookup(stats, field, what):
+    vals = stats.get(f"ord_{field}")
+    if vals is None:
+        raise ValueError(
+            f"{what}() needs the field's global sorted unique values in "
+            f"stats['ord_{field}'] (two-pass, like scale(); Solr reads "
+            "them from the field cache at request time)"
+        )
+    return np.array([str(v) for v in vals], dtype=object)
+
+
+def _build_ord(stats, field):
+    """ord(field): 1-based ordinal of the doc's value within the sorted
+    unique values of the field (OrdFieldSource behind ValueSourceParser
+    "ord", branch_8x; Solr ref guide counts from 1). Needs the global
+    sorted value list in ``stats['ord_<field>']`` — the two-pass shape;
+    distributed engines aggregate the dictionary first."""
+    vals = _ord_lookup(stats, field, "ord")
+
+    def fn(batch):
+        raw = batch[field].to_pylist()
+        xs = np.array(["" if v is None else str(v) for v in raw], dtype=object)
+        ords = (np.searchsorted(vals, xs) + 1).astype(np.float64)
+        missing = np.array([v is None for v in raw], dtype=bool)
+        return np.where(missing, 0.0, ords)
+
+    return fn
+
+
+def _build_rord(stats, field):
+    """rord(field): reverse ordinal — (#uniques − ord + 1), Solr's
+    ReverseOrdFieldSource."""
+    vals = _ord_lookup(stats, field, "rord")
+    f = _build_ord(stats, field)
+    n = float(len(vals))
+
+    def fn(batch):
+        o = f(batch)
+        return np.where(o == 0.0, 0.0, n - o + 1.0)
 
     return fn
 
@@ -406,6 +528,10 @@ FUNCTIONS: Dict[str, Callable] = {
     "map": _build_map,
     "linear": _build_linear,
     "strdist": _build_strdist,
+    "concat": _build_concat,
+    "field": _build_field,
+    "ord": _build_ord,
+    "rord": _build_rord,
     "ms": _build_ms,
     "datemath": _build_datemath,
     # math pack (ValueSourceParser registers each of these as a

@@ -4261,6 +4261,58 @@ FROM orders ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_function_string_pack(sf_dir: str):
+    """String/ordinal value sources (SURVEY.md §2.9: ValueSourceParser
+    "concat" → ConcatStringFunction, "ord"/"rord" → OrdFieldSource/
+    ReverseOrdFieldSource, strdist levenshtein — branch_8x): concat is a
+    string-valued source; ord/rord need the field's global sorted value
+    dictionary (two-pass, the field-cache analog — gathered here with one
+    tiny distinct aggregate and passed via stats, never reshuffled)."""
+    from ..functions.scalars import compile_value_source
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    segs = sorted(cust.unique("c_mktsegment"))
+    stats = {"ord_c_mktsegment": segs}
+    f_cat = compile_value_source(["concat", "seg:", "c_mktsegment"])
+    f_ord = compile_value_source(["ord", "c_mktsegment"], stats)
+    f_rord = compile_value_source(["rord", "c_mktsegment"], stats)
+    f_sim = compile_value_source(
+        ["strdist", "c_mktsegment", "AUTOMOBILE", "levenshtein"])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(pc.cast(batch["c_custkey"], pa.int64()), 40)
+        batch = batch.filter(keep)
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "cat": pa.array(list(f_cat(batch)), type=pa.string()),
+            "ord_seg": pa.array(f_ord(batch).astype(np.int64)),
+            "rord_seg": pa.array(f_rord(batch).astype(np.int64)),
+            "sim_e6": pa.array(
+                np.floor(f_sim(batch) * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return cust.map_batches(ev, batch_format="pyarrow").sort("c_custkey")
+
+
+def sql_function_string_pack() -> str:
+    return """
+WITH u AS (SELECT DISTINCT c_mktsegment FROM customer),
+o AS (SELECT c_mktsegment,
+             CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS ord_seg,
+             CAST(count(*) OVER ()
+                  - dense_rank() OVER (ORDER BY c_mktsegment) + 1 AS BIGINT) AS rord_seg
+      FROM u)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       'seg:' || c.c_mktsegment AS cat,
+       o.ord_seg, o.rord_seg,
+       CAST(floor((1.0 - CAST(levenshtein(c.c_mktsegment, 'AUTOMOBILE') AS DOUBLE)
+                         / greatest(length(c.c_mktsegment), 10)) * 1000000 + 0.5) AS BIGINT)
+         AS sim_e6
+FROM customer c JOIN o USING (c_mktsegment)
+WHERE c.c_custkey <= 40 ORDER BY c_custkey
+"""
+
+
 def q_function_geodist(sf_dir: str):
     """geodist()/dist() value sources (SURVEY.md §2.9; ValueSourceParser
     "geodist" → HaversineFunction, "dist" → VectorDistanceFunction):
@@ -5494,6 +5546,7 @@ QUERIES = {
     "urp_chain": q_urp_chain,
     "function_registry": q_function_registry,
     "function_geodist": q_function_geodist,
+    "function_string_pack": q_function_string_pack,
     "geofilt_customers": q_geofilt_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
@@ -5611,6 +5664,7 @@ ORACLES = {
     "urp_chain": sql_urp_chain(),
     "function_registry": sql_function_registry(),
     "function_geodist": sql_function_geodist(),
+    "function_string_pack": sql_function_string_pack(),
     "geofilt_customers": sql_geofilt_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),

@@ -153,3 +153,44 @@ def test_register_function_spi(batch):
     np.testing.assert_allclose(
         compile_value_source(["double", "x"])(batch), 2 * batch["x"].to_numpy()
     )
+
+
+def test_jarowinkler_published_goldens():
+    """Winkler 1990 published pairs (Lucene JaroWinklerDistance params:
+    threshold 0.7, prefix scale 0.1 over <=4 chars)."""
+    from lucene_solr_ray.functions.scalars import _jaro_winkler
+
+    assert _jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611111, abs=1e-6)
+    assert _jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133333, abs=1e-6)
+    assert _jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-6)
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("", "x") == 0.0
+    # below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert _jaro_winkler("abcdxxxxxx", "abcdyyyyyyzzzz") <= 0.7
+    b = pa.table({"s": ["MARTHA", "DWAYNE"]})
+    np.testing.assert_allclose(
+        compile_value_source(["strdist", "s", "MARHTA", "jarowinkler"])(b)[:1],
+        [0.9611111], atol=1e-6,
+    )
+
+
+def test_concat_field_ord_rord():
+    b = pa.table({
+        "seg": ["BUILDING", "AUTOMOBILE", "HOUSEHOLD", None],
+        "k": [1.0, 2.0, 3.0, 4.0],
+    })
+    cat = compile_value_source(["concat", "seg:", "seg"])(b)
+    assert list(cat) == ["seg:BUILDING", "seg:AUTOMOBILE", "seg:HOUSEHOLD", "seg:"]
+    np.testing.assert_allclose(
+        compile_value_source(["field", "k"])(b), [1, 2, 3, 4]
+    )
+    st = {"ord_seg": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                      "MACHINERY"]}
+    np.testing.assert_allclose(
+        compile_value_source(["ord", "seg"], st)(b), [2, 1, 4, 0]
+    )
+    np.testing.assert_allclose(
+        compile_value_source(["rord", "seg"], st)(b), [4, 5, 2, 0]
+    )
+    with pytest.raises(ValueError, match="ord"):
+        compile_value_source(["ord", "seg"])(b)
