@@ -4261,6 +4261,79 @@ FROM orders ORDER BY o_orderkey LIMIT 15
 """
 
 
+def q_executor_stream_orders(sf_dir: str):
+    """executor() stream analog (SURVEY.md §2.8; [8x] solr/solrj/.../io/
+    stream/ExecutorStream.java): five stored JSON table expressions — one
+    per order priority, each a pushdown count+sum-cents job — executed in
+    parallel by an actor pool (one worker slot per stored expression, the
+    Solr thread-pool shape); results stream back tagged expr_id. Solr
+    discards inner results; streaming them back is the documented
+    extension that makes the operator oracle-checkable."""
+    import json as _json
+
+    import ray.data
+
+    from ..functions.streams import executor_stream
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    meta = ray.data.from_items([
+        {"id": i, "expr_s": _json.dumps({
+            "table": "orders",
+            "where": [["o_orderpriority", "==", p]],
+            "aggs": {"n": ["count"],
+                     "sum_price_c": ["sum_cents", "o_totalprice"],
+                     "max_price_c": ["max_cents", "o_totalprice"]},
+        })} for i, p in enumerate(prios)
+    ])
+    return executor_stream(meta, sf_dir, concurrency=4).sort("expr_id")
+
+
+def sql_executor_stream_orders() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    parts = [
+        f"""SELECT CAST({i} AS BIGINT) AS expr_id, count(*) AS n,
+       CAST(sum({c}) AS BIGINT) AS sum_price_c,
+       max({c}) AS max_price_c
+FROM orders WHERE o_orderpriority = '{p}'"""
+        for i, p in enumerate(prios)
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY expr_id"
+
+
+def q_eval_stream_orders(sf_dir: str):
+    """eval() stream analog (SURVEY.md §2.8; [8x] .../io/stream/
+    EvalStream.java): the FIRST tuple of the underlying stream carries a
+    JSON table expression in expr_s; eval compiles it and emits ITS
+    tuples through the full Dataset engine (streaming groupby over
+    integer cents, map-side filter, pruned read)."""
+    import json as _json
+
+    import ray.data
+
+    from ..functions.streams import eval_stream
+
+    meta = ray.data.from_items([{"expr_s": _json.dumps({
+        "table": "orders",
+        "where": [["o_totalprice", ">", 150000.0]],
+        "groupby": ["o_orderstatus", "o_orderpriority"],
+        "aggs": {"n": ["count"],
+                 "sum_price_c": ["sum_cents", "o_totalprice"]},
+        "sort": [["o_orderstatus", "asc"], ["o_orderpriority", "asc"]],
+    })}])
+    return eval_stream(meta, sf_dir)
+
+
+def sql_eval_stream_orders() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum({c}) AS BIGINT) AS sum_price_c
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_function_string_pack(sf_dir: str):
     """String/ordinal value sources (SURVEY.md §2.9: ValueSourceParser
     "concat" → ConcatStringFunction, "ord"/"rord" → OrdFieldSource/
@@ -5547,6 +5620,8 @@ QUERIES = {
     "function_registry": q_function_registry,
     "function_geodist": q_function_geodist,
     "function_string_pack": q_function_string_pack,
+    "executor_stream_orders": q_executor_stream_orders,
+    "eval_stream_orders": q_eval_stream_orders,
     "geofilt_customers": q_geofilt_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
@@ -5665,6 +5740,8 @@ ORACLES = {
     "function_registry": sql_function_registry(),
     "function_geodist": sql_function_geodist(),
     "function_string_pack": sql_function_string_pack(),
+    "executor_stream_orders": sql_executor_stream_orders(),
+    "eval_stream_orders": sql_eval_stream_orders(),
     "geofilt_customers": sql_geofilt_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
