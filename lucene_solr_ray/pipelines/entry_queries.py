@@ -4334,6 +4334,42 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_evaluators_docs(sf_dir: str):
+    """Stream evaluators (SURVEY.md §2.9 registry 2; [8x] solr/solrj/...
+    /io/eval/ — Analyze/Length/ValueAt/Asc/Desc/Rev evaluators): one
+    vectorized select() computing evaluator trees per tuple — analyze()
+    runs the real analyzer chain (once per unique token), asc/desc sort
+    each list with ONE global lexsort, valueAt is an offsets gather."""
+    from ..functions.evaluators import select_with_evaluators
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ["analyze", "text", {"filters": ["lowercase"]}]
+    out = select_with_evaluators(docs, {
+        "n_tokens": ["length", toks],
+        "first_tok": ["valueAt", ["asc", toks], 0],
+        "last_tok": ["valueAt", ["desc", toks], 0],
+        "rev_first": ["valueAt", ["rev", toks], 0],
+    }, keep=["doc_id"])
+    return out.sort("doc_id")
+
+
+def sql_stream_evaluators_docs() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS raw,
+         list_sort(string_split(lower(text), ' ')) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       toks[1] AS first_tok,
+       toks[len(toks)] AS last_tok,
+       raw[len(raw)] AS rev_first
+FROM t ORDER BY doc_id
+"""
+
+
 def q_function_string_pack(sf_dir: str):
     """String/ordinal value sources (SURVEY.md §2.9: ValueSourceParser
     "concat" → ConcatStringFunction, "ord"/"rord" → OrdFieldSource/
@@ -5622,6 +5658,7 @@ QUERIES = {
     "function_string_pack": q_function_string_pack,
     "executor_stream_orders": q_executor_stream_orders,
     "eval_stream_orders": q_eval_stream_orders,
+    "stream_evaluators_docs": q_stream_evaluators_docs,
     "geofilt_customers": q_geofilt_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
@@ -5742,6 +5779,7 @@ ORACLES = {
     "function_string_pack": sql_function_string_pack(),
     "executor_stream_orders": sql_executor_stream_orders(),
     "eval_stream_orders": sql_eval_stream_orders(),
+    "stream_evaluators_docs": sql_stream_evaluators_docs(),
     "geofilt_customers": sql_geofilt_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
