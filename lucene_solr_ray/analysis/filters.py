@@ -412,6 +412,52 @@ def _build_persian_normalization(args: dict):
     return persian_normalize
 
 
+# GreekLowerCaseFilter analog (reference: lucene/analysis/common/src/java/
+# org/apache/lucene/analysis/el/GreekLowerCaseFilter.java, branch_8x):
+# lowercase + strip tonos/dialytika on vowels + fold final sigma, per the
+# published switch table; everything else is plain toLowerCase.
+_GREEK_FOLD = {}
+for _tgt, _srcs in (
+    ("α", "Άά"), ("ε", "Έέ"), ("η", "Ήή"), ("ι", "ΊίΪϊΐ"),
+    ("ο", "Όό"), ("υ", "ΎύΫϋΰ"), ("ω", "Ώώ"), ("σ", "ς"),
+):
+    for _c in _srcs:
+        _GREEK_FOLD[_c] = _tgt
+
+
+def _greek_lower(token: str) -> str:
+    out = []
+    for ch in token.lower():
+        out.append(_GREEK_FOLD.get(ch, ch))
+    return "".join(out)
+
+
+# TurkishLowerCaseFilter analog (reference: lucene/analysis/common/src/
+# java/org/apache/lucene/analysis/tr/TurkishLowerCaseFilter.java,
+# branch_8x): İ→i, I→ı unless followed by combining dot above (which is
+# consumed: I+U+0307→i); other chars plain toLowerCase.
+_COMBINING_DOT_ABOVE = "̇"
+
+
+def _turkish_lower(token: str) -> str:
+    out = []
+    i, n = 0, len(token)
+    while i < n:
+        ch = token[i]
+        if ch == "İ":  # LATIN CAPITAL LETTER I WITH DOT ABOVE
+            out.append("i")
+        elif ch == "I":
+            if i + 1 < n and token[i + 1] == _COMBINING_DOT_ABOVE:
+                out.append("i")
+                i += 1  # consume the dot
+            else:
+                out.append("ı")  # dotless ı
+        else:
+            out.append(ch.lower())
+        i += 1
+    return "".join(out)
+
+
 FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "icu_folding": lambda args: _icu_fold,
     "icu_normalizer": lambda args: _icu_normalize,
@@ -419,6 +465,8 @@ FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "arabic_normalization": _build_arabic_normalization,
     "arabic_stem": _build_arabic_stem,
     "persian_normalization": _build_persian_normalization,
+    "greek_lowercase": lambda args: _greek_lower,
+    "turkish_lowercase": lambda args: _turkish_lower,
     "phonetic": _build_phonetic,
     "stop": _build_stop,
     "porter_stem": _build_porter,

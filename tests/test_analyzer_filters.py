@@ -984,3 +984,30 @@ def test_cjk_width_chain():
     # vocabulary level the bigram entry is identity (sequence filter)
     g = build_filter_chain(["cjk_width", "cjk_bigram"])
     assert g("ﾃｽﾄ") == "テスト"
+
+
+def test_greek_lowercase_filter():
+    """GreekLowerCaseFilter analog goldens (published switch table:
+    lowercase + tonos/dialytika strip + final-sigma fold)."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    f = build_filter_chain(["greek_lowercase"])
+    assert f("ΜΆΪΟΣ") == "μαιοσ"          # tonos + dialytika stripped
+    assert f("ΟΛΥΜΠΙΑΚΌΣ") == "ολυμπιακοσ"
+    assert f("καλός") == "καλοσ"           # final sigma folds
+    assert f("ΐΰ") == "ιυ"                # dialytika+tonos combos
+    assert f("Athens") == "athens"         # non-Greek: plain lowercase
+
+
+def test_turkish_lowercase_filter():
+    """TurkishLowerCaseFilter analog goldens: İ→i, I→ı, I+combining dot
+    above → i (dot consumed)."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    f = build_filter_chain(["turkish_lowercase"])
+    assert f("İSTANBUL") == "istanbul"
+    assert f("DİYARBAKIR") == "diyarbakır"
+    assert f("I") == "ı"
+    assert f("İ") == "i"             # dotted capital I decomposed
+    assert f("AĞACI") == "ağacı"
+    assert f("LILI") == "lılı"             # plain I is dotless in Turkish
