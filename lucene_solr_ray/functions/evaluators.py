@@ -177,6 +177,8 @@ def _build_value_at(ctx, x, i):
     def fn(batch):
         off, flat = _list_parts(f(batch))
         lens = np.diff(off)
+        if len(flat) == 0:  # every list empty: nothing to gather
+            return pa.nulls(len(lens), flat.type)
         pos = off[:-1] + (i if i >= 0 else lens + i)
         ok = (i >= 0) & (i < lens) if i >= 0 else (-i <= lens)
         safe = np.where(ok, pos, 0)

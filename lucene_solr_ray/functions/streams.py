@@ -304,7 +304,16 @@ def executor_stream(meta_ds, sf_dir: str, expr_col: str = "expr_s",
     """ExecutorStream analog: run EVERY tuple's expression in parallel
     (actor pool, small batches so jobs spread), streaming results back
     tagged ``expr_id``. All expressions in one run must share an output
-    schema (documented extension — Solr discards inner results)."""
+    schema (documented extension — Solr discards inner results). The
+    pool is capped at cluster CPUs − 1 so the read/sort task pool never
+    starves at tiny CPU budgets (BASELINE §7.2 actor-floor deadlock)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    concurrency = max(1, min(int(concurrency), ncpu - 1))
     return meta_ds.map_batches(
         _ExecutorWorker,
         fn_constructor_args=(sf_dir, expr_col, id_col),
