@@ -90,19 +90,82 @@ def rare_bigram_stats(ds, id_col: str, text_col: str, rare_max: int = 2,
                       num_partitions=None):
     """Integer-exact curation signal: per doc, total bigrams and how many
     are corpus-rare (bigram count ≤ ``rare_max``). High rare fraction =
-    atypical/noisy text."""
-    from .relational import bucketed_agg
+    atypical/noisy text.
 
-    j = _joined(ds, id_col, text_col, num_partitions)
+    Shape (vs the shared ``_joined`` helper, which this deliberately does
+    NOT use): the context (w1) counts are never needed here, so the w1
+    aggregation and the second full-corpus shuffle join are skipped
+    entirely; the one remaining join probes only the RARE slice of the
+    bigram-count table (the instance-volume minority), and per-doc totals
+    come straight off the exploded bigrams with an id-keyed bucketed
+    count. Docs whose every bigram is non-rare re-enter via a doc-level
+    left join with n_rare filled to 0 — doc cardinality, not bigram
+    cardinality."""
+    from .relational import bucketed_agg, default_shuffle_partitions
 
-    def flag(batch: pa.Table) -> pa.Table:
-        rare = pc.cast(pc.less_equal(batch["c12"], rare_max), pa.int64())
-        return pa.table({id_col: batch[id_col], "rare": rare})
+    import ray.data
 
-    flagged = j.map_batches(flag, batch_format="pyarrow")
+    P = default_shuffle_partitions(num_partitions)
+    bg = explode_bigrams(ds, id_col, text_col).materialize()
+    sch = bg.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    if bg.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "n_rare": pa.array([], type=pa.int64()),
+        }))
+    bgc = bucketed_agg(bg.select_columns(["key"]), "key",
+                       [("key", "count")], ["c12"])
+
+    def only_rare(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["c12"], rare_max)).select(["key"])
+
+    # materialized so the emptiness branch below doesn't re-run the count
+    # lineage; a distributed materialize of the distinct-rare key list
+    # (object-store blocks, spillable), never a driver collect
+    rare_keys = (bgc.map_batches(only_rare, batch_format="pyarrow")
+                 .repartition(P).materialize())
+
+    _empty_out = pa.table({
+        id_col: pa.array([], type=id_type),
+        "n_bigrams": pa.array([], type=pa.int64()),
+        "n_rare": pa.array([], type=pa.int64()),
+    })
+
+    def _tag(count_col: str):
+        # bucketed-agg merge lineage ships schema-less empty bundles —
+        # return a TYPED empty so downstream stages see a schema
+        def tag(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_out
+            zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            cols = {id_col: t[id_col],
+                    "n_bigrams": t[count_col] if count_col == "n_bigrams" else zeros,
+                    "n_rare": t[count_col] if count_col == "n_rare" else zeros}
+            return pa.table(cols)
+
+        return tag
+
+    n_big = bucketed_agg(bg.select_columns([id_col]), id_col,
+                         [(id_col, "count")], ["n_bigrams"])
+    big_rows = n_big.map_batches(_tag("n_bigrams"),
+                                 batch_format="pyarrow")
+    if rare_keys.count() == 0:
+        # every bigram is corpus-common (small-vocab corpora); skip the
+        # probe join entirely — n_rare is identically 0
+        return big_rows
+    matched = bg.select_columns([id_col, "key"]).join(
+        rare_keys, join_type="inner", num_partitions=P, on=("key",))
+    n_rare = bucketed_agg(matched.select_columns([id_col]), id_col,
+                          [(id_col, "count")], ["n_rare"])
+    rare_rows = n_rare.map_batches(_tag("n_rare"),
+                                   batch_format="pyarrow")
+    # docs with zero rare bigrams appear only on the n_big side; one
+    # doc-cardinality bucketed sum-merge replaces a doc-level hash join
     return bucketed_agg(
-        flagged, id_col,
-        [(id_col, "count"), ("rare", "sum")], ["n_bigrams", "n_rare"],
+        big_rows.union(rare_rows), id_col,
+        [("n_bigrams", "sum"), ("n_rare", "sum")], ["n_bigrams", "n_rare"],
     )
 
 
