@@ -187,6 +187,10 @@ def _alnum_runs(
         run_ends = np.concatenate((run_ends, [L - 1]))
     splits = starts_of_docs[starts_of_docs > 0]
     if len(splits):
+        # EMPTY docs duplicate boundary offsets (doc d and d+1 share one
+        # start); a duplicated split would insert a ZERO-LENGTH run — an
+        # empty token credited to the next doc (corrupt terms + dl)
+        splits = np.unique(splits)
         splits = splits[in_tok[splits] & in_tok[splits - 1]]
     if len(splits):
         # both inputs are sorted and splits fall strictly inside runs:

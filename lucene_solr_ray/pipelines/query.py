@@ -163,6 +163,23 @@ def prepare_search_context(
             return t if t in r else r[0]
         return r
 
+    def norm_slot(t):
+        """Full expansion of one phrase position → list of index terms
+        (Lucene's QueryBuilder keeps EVERY token the analyzer emits at a
+        position — posInc-0 synonym expansions become MultiPhraseQuery
+        slots; reference: lucene/core/.../util/QueryBuilder.java
+        #analyzeMultiPhrase, branch_8x). None when the position
+        normalizes away (stopword)."""
+        t = lowercase(t)
+        if chain is None:
+            return [t]
+        r = chain(t)
+        if r is None:
+            return None
+        if isinstance(r, list):
+            return list(dict.fromkeys(r)) or None
+        return [r]
+
     # multi-term kinds carry PATTERNS, not terms: they bypass the filter
     # chain (prefix/wildcard/fuzzy are lowercased like the index terms;
     # regexp is taken verbatim — lowercasing would mangle \W-style classes)
@@ -180,6 +197,10 @@ def prepare_search_context(
                 node.get(s) for s in ("must", "filter", "should", "must_not"))
         if k == "const":
             return _is_null(node["of"])
+        if k == "dis_max":
+            return not node.get("clauses")
+        if k == "multi_phrase":
+            return not node.get("positions")
         if k in ("term_range", "prefix", "wildcard", "regexp", "fuzzy"):
             return False
         return not node.get("terms")
@@ -200,6 +221,33 @@ def prepare_search_context(
             return out
         if node.get("kind") == "const":
             return dict(node, of=norm_tree(node["of"]))
+        if node.get("kind") == "dis_max":
+            kept = [c for c in (norm_tree(c) for c in node.get("clauses", ()))
+                    if not _is_null(c)]
+            return dict(node, clauses=kept)
+        if node.get("kind") == "phrase":
+            # analyze each position with the FULL expansion: a slot the
+            # analyzer expands into several terms upgrades the query to
+            # MultiPhraseQuery, mirroring QueryBuilder#analyzeMultiPhrase
+            slots = [s for s in (norm_slot(t) for t in node["terms"]) if s]
+            if any(len(s) > 1 for s in slots):
+                nn = {k: v for k, v in node.items()
+                      if k not in ("kind", "terms")}
+                nn["kind"] = "multi_phrase"
+                nn["positions"] = slots
+                return nn
+            return dict(node, terms=[s[0] for s in slots])
+        if node.get("kind") == "multi_phrase":
+            slots = []
+            for variants in node["positions"]:
+                merged: list = []
+                for t in variants:
+                    s = norm_slot(t)
+                    if s:
+                        merged.extend(x for x in s if x not in merged)
+                if merged:
+                    slots.append(merged)
+            return dict(node, positions=slots)
         if node.get("kind") == "term_range":
             # bounds are lowercased like index terms; open bounds pass through
             return dict(
@@ -231,6 +279,10 @@ def prepare_search_context(
             ]
         if node.get("kind") == "const":
             return leaf_terms(node["of"])
+        if node.get("kind") == "dis_max":
+            return [t for c in node.get("clauses", ()) for t in leaf_terms(c)]
+        if node.get("kind") == "multi_phrase":
+            return [t for slot in node.get("positions", ()) for t in slot]
         if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy",
                                 "term_range"):
             return []  # constant-score: patterns need no idf stats
@@ -241,11 +293,23 @@ def prepare_search_context(
             nq = norm_tree(q)
             nq["terms"] = []
             return nq
-        if q.get("kind") in ("bool", "const"):
+        if q.get("kind") in ("bool", "const", "dis_max"):
             nq = norm_tree(q)
             # "terms" = every leaf term in the tree, so the stats broadcast
             # and per-actor contribution cache cover nested clauses too
             nq["terms"] = sorted(set(leaf_terms(nq)))
+            return nq
+        if q.get("kind") in ("phrase", "multi_phrase"):
+            nq = norm_tree(q)
+            if nq.get("kind") == "multi_phrase":
+                # scorer reads "positions"; "terms" only feeds the stats
+                # broadcast (weight = Σ idf over every slot variant)
+                nq["terms"] = sorted(set(leaf_terms(nq)))
+            if q.get("exclude"):
+                nq["exclude"] = [
+                    nt for nt in (norm_term(t) for t in q["exclude"])
+                    if nt is not None
+                ]
             return nq
         if q.get("kind") == "func_boost":
             # boost(q, vs): normalize the wrapped tree; vs termfreq/docfreq/

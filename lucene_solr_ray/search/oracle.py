@@ -187,12 +187,70 @@ class OracleIndex:
         ranked = sorted(cands, key=lambda d: (-float(doc_scores[d]), self.urls[d]))[:k]
         return [(self.urls[d], float(doc_scores[d])) for d in ranked]
 
+    def query_multi_phrase(
+        self, positions: List[List[str]], k: int, slop: int = 0,
+    ) -> List[Tuple[str, float]]:
+        """MultiPhraseQuery twin (reference: lucene/core/.../search/
+        MultiPhraseQuery.java + UnionPostingsEnum, branch_8x): slot i
+        matches ANY of its variant terms, slot positions are the variant
+        UNION, freq/score follow PhraseQuery with w = Σ idf over every
+        variant with df > 0."""
+        docsets = []
+        for variants in positions:
+            ds = set()
+            for t in variants:
+                ds.update(self.positions.get(t, {}))
+            if not ds:
+                return []
+            docsets.append(ds)
+        common = set.intersection(*docsets) if docsets else set()
+        w = F32(0)
+        for variants in positions:
+            for t in variants:
+                w = F32(w + self.idf(t))
+        doc_scores, cands = {}, []
+        for d in sorted(common):
+            plists = []
+            for variants in positions:
+                merged = sorted({
+                    p for t in variants
+                    for p in self.positions.get(t, {}).get(d, ())
+                })
+                plists.append(merged)
+            if slop > 0:
+                import numpy as _np
+
+                from .searcher import sloppy_phrase_freq
+
+                freq = sloppy_phrase_freq(
+                    [_np.asarray(pl, dtype=_np.int64) for pl in plists], slop)
+            else:
+                match = set(plists[0])
+                for i, pl in enumerate(plists[1:], start=1):
+                    match &= {p - i for p in pl}
+                    if not match:
+                        break
+                freq = len(match)
+            if freq:
+                ni = self.cache[self.norm_bytes[d]]
+                doc_scores[d] = F32(w - F32(w / F32(F32(1) + F32(F32(freq) * ni))))
+                cands.append(d)
+        ranked = sorted(
+            cands, key=lambda d: (-float(doc_scores[d]), self.urls[d]))[:k]
+        return [(self.urls[d], float(doc_scores[d])) for d in ranked]
+
     def search(self, queries: List[dict], k: int = 10):
         """Engine-shaped result frame: (query_id, rank, url, score), rank 1..k."""
         import pandas as pd
 
         out = []
         for q in queries:
+            if q.get("kind") == "multi_phrase":
+                res = self.query_multi_phrase(
+                    q["positions"], k, slop=int(q.get("slop", 0)))
+                for rank, (url, score) in enumerate(res, start=1):
+                    out.append((q["query_id"], rank, url, score))
+                continue
             res = self.query(
                 q["terms"],
                 q["kind"],

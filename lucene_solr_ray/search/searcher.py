@@ -171,6 +171,30 @@ def _bool_eval_node(
         # wrapped query score exactly ``boost`` — the filter-context wrapper
         cid, _ = _bool_eval_node(reader, node["of"], weights, cache_inv, sim, tcache)
         return cid, np.full(len(cid), boost, dtype=sim.dtype)
+    if kind == "dis_max":
+        # DisjunctionMaxQuery (reference: lucene/core/src/java/org/apache/
+        # lucene/search/DisjunctionMaxQuery.java + DisjunctionMaxScorer,
+        # branch_8x; the dismax/edismax combiner): a doc matches if ANY
+        # clause matches; score = max(clause scores) + tie_breaker *
+        # (sum(clause scores) - max) — DisjunctionMaxScorer computes
+        # scoreMax + (scoreSum - scoreMax) * tieBreakerMultiplier, mirrored
+        # here in sim.dtype so float32/float64 parity holds.
+        tb = sim.dtype(node.get("tie_breaker", 0.0))
+        best = np.zeros(n, dtype=sim.dtype)
+        ssum = np.zeros(n, dtype=sim.dtype)
+        mask = np.zeros(n, dtype=bool)
+        for c in node["clauses"]:
+            cid, csc = _bool_eval_node(reader, c, weights, cache_inv, sim, tcache)
+            if not len(cid):
+                continue
+            best[cid] = np.maximum(best[cid], csc)
+            ssum[cid] += csc
+            mask[cid] = True
+        cand = np.nonzero(mask)[0].astype(np.int64)
+        out = best[cand]
+        if tb != sim.dtype(0.0):
+            out = out + tb * (ssum[cand] - out)
+        return (cand, out * boost) if boost != sim.dtype(1.0) else (cand, out)
     if kind == "bool":
         must = node.get("must", ())
         filt = node.get("filter", ())
@@ -219,6 +243,12 @@ def _bool_eval_node(
         # ``+"ray data" fast``): full evaluation, boost multiplies
         cid, csc = _phrase_full(
             reader, node["terms"], weights, cache_inv, sim,
+            slop=int(node.get("slop", 0)),
+        )
+        return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
+    if kind == "multi_phrase":
+        cid, csc = _multi_phrase_full(
+            reader, node["positions"], weights, cache_inv, sim,
             slop=int(node.get("slop", 0)),
         )
         return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
@@ -352,6 +382,12 @@ def _query_node_terms(node) -> List[str]:
             for c in node.get(sec, ()):
                 out.extend(_query_node_terms(c))
         return out
+    if kind == "dis_max":
+        for c in node.get("clauses", ()):
+            out.extend(_query_node_terms(c))
+        return out
+    if kind == "multi_phrase":
+        return [t for slot in node.get("positions", ()) for t in slot]
     if kind in ("prefix", "wildcard", "regexp", "fuzzy", "term_range"):
         return out
     return list(node.get("terms", ()))
@@ -689,11 +725,17 @@ def match_query_full(
         # query's; falling through would OR over q["terms"] (which also
         # carries vs stat terms) and silently over-delete
         return match_query_full(reader, q["of"], weights, cache_inv, sim)
-    if kind in ("bool", "const", "term_range", "prefix", "wildcard", "regexp", "fuzzy"):
+    if kind in ("bool", "const", "dis_max", "term_range", "prefix",
+                "wildcard", "regexp", "fuzzy"):
         # any kind _bool_eval_node supports must route through it —
         # score_query_exhaustive would see q['terms'] == [] for e.g.
         # term_range and silently match nothing (deleteByQuery bug)
         cand, _ = _bool_eval_node(reader, q, weights, cache_inv, sim)
+    elif kind == "multi_phrase":
+        cand, _ = _multi_phrase_full(
+            reader, q["positions"], weights, cache_inv, sim,
+            slop=int(q.get("slop", 0)),
+        )
     elif kind == "phrase":
         cand, _ = _phrase_full(
             reader, q["terms"], weights, cache_inv, sim,
@@ -786,6 +828,129 @@ def _phrase_full(
         w = np.float32(w + weights[term])
     scores = sim.score_freqs(w, phrase_freq.astype(np.uint32), reader.norms[cand], cache_inv)
     return cand.astype(np.int64), scores
+
+
+def _multi_phrase_full(
+    reader: SegmentReader,
+    positions: Sequence[Sequence[str]],
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    slop: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery (reference: lucene/core/src/java/org/apache/
+    lucene/search/MultiPhraseQuery.java + UnionPostingsEnum, branch_8x;
+    the query the classic parser emits when the analyzer expands a quoted
+    phrase position into several terms — posInc-0 synonyms): ``positions``
+    is one term LIST per phrase slot; slot i matches where ANY of its
+    terms occurs, and the doc's positions for the slot are the UNION of
+    the variants' positions. freq/scoring then follow PhraseQuery exactly:
+    weight = Σ idf over every term with df>0 (MultiPhraseWeight collects
+    allTermStats for all terms, IndexSearcher.termStatistics drops df=0),
+    score = one pseudo-term BM25 at the phrase freq. Vocab-missing
+    variants are skipped; a slot with NO present variant matches nothing
+    in this segment. FULL evaluation (no liveDocs / top-k) so it can also
+    serve as a bool-tree sub-clause."""
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            f"multi_phrase query requires an index built with "
+            f"store_positions=True ({reader.seg_dir} has no positions.bin)"
+        )
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=sim.dtype))
+    # per slot: list of (docids, pos_starts, flat_positions) for each
+    # PRESENT variant; candidate docs = ∩_slots (∪_variants docids)
+    slots = []
+    cand = None
+    for variants in positions:
+        vlists = []
+        docs_any = None
+        for term in variants:
+            o = reader.lookup(term)
+            if o < 0:
+                continue
+            tp = reader.postings(o)
+            starts = np.concatenate(([0], np.cumsum(tp.freqs.astype(np.int64))))
+            vlists.append((tp.docids, starts, reader.positions(o)))
+            docs_any = (
+                tp.docids if docs_any is None
+                else np.union1d(docs_any, tp.docids)
+            )
+        if docs_any is None:
+            return empty
+        slots.append(vlists)
+        cand = docs_any if cand is None else np.intersect1d(
+            cand, docs_any, assume_unique=True)
+        if not len(cand):
+            return empty
+
+    freq = np.zeros(len(cand), dtype=np.int64)
+    for ci, d in enumerate(cand):
+        plists = []
+        for vlists in slots:
+            parts = []
+            for docids, starts, flat in vlists:
+                j = int(np.searchsorted(docids, d))
+                if j < len(docids) and docids[j] == d:
+                    parts.append(flat[starts[j]:starts[j + 1]].astype(np.int64))
+            if not parts:
+                plists = None
+                break
+            merged = parts[0] if len(parts) == 1 else np.unique(
+                np.concatenate(parts))
+            plists.append(merged)
+        if plists is None:
+            continue
+        if slop > 0:
+            freq[ci] = sloppy_phrase_freq(plists, slop)
+        else:
+            inter = plists[0]
+            for off in range(1, len(plists)):
+                inter = np.intersect1d(
+                    inter, plists[off] - off, assume_unique=True)
+                if not len(inter):
+                    break
+            freq[ci] = len(inter)
+    hit = freq > 0
+    cand, freq = cand[hit], freq[hit]
+    if not len(cand):
+        return empty
+    w = sim.dtype(0.0)
+    for variants in positions:
+        for term in variants:
+            w = sim.dtype(w + weights.get(term, sim.dtype(0.0)))
+    scores = sim.score_freqs(
+        w, freq.astype(np.uint32), reader.norms[cand], cache_inv)
+    return cand.astype(np.int64), scores
+
+
+def score_query_multi_phrase(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    exclude: Sequence[str] = (),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k MultiPhraseQuery over one segment: full evaluation, MUST_NOT
+    exclusion, liveDocs filter, then the standard (score desc, docid asc)
+    top-k selection."""
+    cand, scores = _multi_phrase_full(
+        reader, q["positions"], weights, cache_inv, sim,
+        slop=int(q.get("slop", 0)),
+    )
+    if len(exclude) and len(cand):
+        banned = np.zeros(reader.num_docs, dtype=bool)
+        for term in exclude:
+            o = reader.lookup(term)
+            if o >= 0:
+                banned[reader.postings(o).docids] = True
+        keep = ~banned[cand]
+        cand, scores = cand[keep], scores[keep]
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    return topk_select(cand, scores, k)
 
 
 def score_query_phrase(
@@ -977,12 +1142,17 @@ class SearcherStage:
                         self.sim, self.k, exclude=exclude,
                         slop=int(q.get("slop", 0)),
                     )
+                elif q["kind"] == "multi_phrase":
+                    docids, scores = score_query_multi_phrase(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, exclude=exclude,
+                    )
                 elif q["kind"] in ("span_near", "span_first"):
                     docids, scores = score_query_span(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
                     )
-                elif q["kind"] in ("bool", "const", "term_range"):
+                elif q["kind"] in ("bool", "const", "dis_max", "term_range"):
                     docids, scores = score_query_bool(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, tcache=tcache,

@@ -431,12 +431,26 @@ def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
     """Apply a post-lowercase filter chain to the analyzer output table,
     VOCABULARY-wise: each unique term maps through the chain once (memoized
     across batches in ``memo``); dropped terms shrink dl, collapsed terms
-    (stemming) merge their freqs."""
+    (stemming) merge their freqs.
+
+    Positions-aware: when the table carries a ``positions`` column, each
+    surviving occurrence keeps its ORIGINAL within-doc position — dropped
+    terms (stopwords) leave holes, exactly Lucene's StopFilter with
+    enablePositionIncrements=true; collapsed terms merge + re-sort their
+    position lists; expansions (synonyms) copy the source positions
+    (posInc-0 overlay). Output stays in the writer's invariant: per doc,
+    positions flattened in term-list order, inner lengths == freqs."""
     terms_col = table["terms"].combine_chunks()
     values = pc.list_flatten(terms_col)
     offsets = np.asarray(pc.list_value_length(terms_col).to_numpy(), dtype=np.int64)
     doc_ids = np.repeat(np.arange(len(table), dtype=np.int64), offsets)
     freqs = pc.list_flatten(table["freqs"].combine_chunks()).to_numpy()
+    has_pos = "positions" in table.column_names
+    if has_pos:
+        flat_pos_src = pc.list_flatten(
+            table["positions"].combine_chunks()).to_numpy().astype(np.int32)
+        ent_off = np.zeros(len(freqs) + 1, dtype=np.int64)
+        np.cumsum(freqs.astype(np.int64), out=ent_off[1:])
 
     enc = pc.dictionary_encode(values)
     if isinstance(enc, pa.ChunkedArray):
@@ -475,6 +489,19 @@ def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
     entry_codes = flat_codes[np.repeat(code_start[codes], rep) + within]
 
     key = (doc_ids_k << 32) | entry_codes
+    if has_pos:
+        # occurrence-level positions: expanded entry e inherits its source
+        # entry's position slice; lexsort groups by (doc, out-term) in the
+        # same ascending-key order as the entry argsort below, with merged
+        # position lists re-sorted ascending
+        from ..analysis.fast_tokenizer import concat_ranges
+
+        src_entry = np.repeat(np.arange(len(codes), dtype=np.int64), rep)
+        gat, _ = concat_ranges(ent_off[src_entry], freqs_k.astype(np.int64))
+        occ_pos = flat_pos_src[gat]
+        occ_key = np.repeat(key, freqs_k)
+        occ_ord = np.lexsort((occ_pos, occ_key))
+        occ_pos_s = occ_pos[occ_ord]
     order = np.argsort(key, kind="stable")
     key_s, freqs_s = key[order], freqs_k[order]
     boundary = np.ones(len(key_s), dtype=bool)
@@ -502,6 +529,21 @@ def apply_token_filters(table: pa.Table, chain, memo: dict) -> pa.Table:
     freqs_arr = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), pa.array(sum_freq))
     out = table.set_column(table.schema.get_field_index("terms"), "terms", terms_arr)
     out = out.set_column(out.schema.get_field_index("freqs"), "freqs", freqs_arr)
+    if has_pos:
+        doc_occ = (
+            np.bincount(u_docs, weights=sum_freq.astype(np.float64),
+                        minlength=n).astype(np.int64)
+            if len(grp) else np.zeros(n, dtype=np.int64)
+        )
+        pos_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(doc_occ, out=pos_off[1:])
+        pos_arr = pa.ListArray.from_arrays(
+            pa.array(pos_off, type=pa.int32()),
+            pa.array(occ_pos_s if len(grp) else
+                     np.empty(0, dtype=np.int32)),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("positions"), "positions", pos_arr)
     return out.set_column(out.schema.get_field_index("dl"), "dl", pa.array(dl))
 
 
@@ -557,13 +599,16 @@ class AnalyzerStage:
         self.chain = build_filter_chain(
             post if self.cjk is not None else filters)
         if store_positions and (
-            self.chain is not None or self.shingles is not None
-            or self.cjk is not None
+            self.shingles is not None or self.cjk is not None
         ):
+            # vocabulary-wise filters (stop/stem/synonym) ARE supported
+            # with positions (apply_token_filters keeps original positions
+            # — Lucene enablePositionIncrements=true hole semantics);
+            # sequence filters re-tokenize the stream and would need their
+            # own position algebra
             raise ValueError(
-                "store_positions with post-lowercase token filters is "
-                "unsupported (filters drop/merge tokens; position increments "
-                "over holes are not tracked yet)"
+                "store_positions with sequence filters (shingle/cjk_bigram) "
+                "is unsupported"
             )
         self.store_positions = store_positions
         self._memo: dict = {}

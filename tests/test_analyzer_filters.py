@@ -62,6 +62,94 @@ def test_filter_chain_vocab_equals_tokenwise():
         assert out["dl"][i].as_py() == sum(expect.values())
 
 
+def test_filter_chain_positions_equals_tokenwise():
+    """Positions-aware apply_token_filters: surviving occurrences keep
+    their ORIGINAL token positions (StopFilter enablePositionIncrements=
+    true hole semantics), stem-collapsed terms merge + sort positions,
+    synonym expansions copy the source positions (posInc-0) — all pinned
+    against a per-token Python reference, including fuzz docs."""
+    rng = np.random.default_rng(11)
+    vocab = ["the", "running", "runs", "cats", "cat", "ties", "quick",
+             "and", "hills", "data"]
+    texts = [
+        "the running runner runs quickly over the hills",
+        "the the the only stopwords here the",
+        "",
+        "caresses ponies ties caress cats",
+    ] + [
+        " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), size=int(m)))
+        for m in rng.integers(0, 14, size=30)
+    ]
+    spec_filters = [
+        {"name": "stop", "words": ["the", "and"]},
+        {"name": "synonym", "groups": [["data", "dataset"]]},
+        "porter_stem",
+    ]
+    chain = build_filter_chain(spec_filters)
+    tok = StandardTokenizer()
+    t = pa.table({
+        "url": [f"u{i}" for i in range(len(texts))],
+        "warc_ts": pa.array([0] * len(texts), type=pa.timestamp("us")),
+        "text": pa.array(texts),
+    })
+    base = analyze_table(t, tok, 4, want_positions=True)
+    out = apply_token_filters(base, chain, {})
+    for i, text in enumerate(texts):
+        expect: dict = {}
+        for p, raw in enumerate(tok.tokenize_lower(text)):
+            m = chain(raw)
+            outs = [] if m is None else ([m] if isinstance(m, str) else m)
+            for term in outs:
+                expect.setdefault(term, []).append(p)
+        terms = out["terms"][i].as_py()
+        freqs = out["freqs"][i].as_py()
+        flat = out["positions"][i].as_py()
+        got, off = {}, 0
+        for term, f in zip(terms, freqs):
+            got[term] = flat[off:off + f]
+            off += f
+        assert off == len(flat), i
+        assert got == {k: sorted(v) for k, v in expect.items()}, (i, got, expect)
+
+
+def test_positions_index_with_filters_phrase_holes(ray_session, tmp_path):
+    """End-to-end: a positions index built WITH stop+stem filters gives
+    Lucene's hole semantics — an exact phrase does not match across a
+    dropped stopword, slop 1 does; stemmed surface forms phrase-match."""
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.query import search
+
+    pages = pa.table({
+        "url": [f"u://{i:03d}" for i in range(3)],
+        "warc_ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+        "text": pa.array([
+            "ray the data engine",        # hole between ray and data
+            "ray data engine adjacent",   # true adjacency
+            "running fast today",         # stem merge: running → run
+        ]),
+        "lang": pa.array(["en"] * 3),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_partitions=2, store_positions=True,
+                analyzer_spec={
+                    "tokenizer": "standard_uax29", "max_token_length": 255,
+                    "filters": ["lowercase",
+                                {"name": "stop", "words": ["the"]},
+                                "porter_stem"],
+                })
+    exact = search(idx, [{"query_id": 0, "kind": "phrase",
+                          "terms": ["ray", "data"]}], k=10)
+    assert set(exact["url"]) == {"u://001"}
+    sloppy = search(idx, [{"query_id": 0, "kind": "phrase",
+                           "terms": ["ray", "data"], "slop": 1}], k=10)
+    assert set(sloppy["url"]) == {"u://000", "u://001"}
+    stemmed = search(idx, [{"query_id": 0, "kind": "phrase",
+                            "terms": ["runs", "fast"]}], k=10)
+    assert set(stemmed["url"]) == {"u://002"}
+
+
 def test_stemmed_index_search(ray_session, tmp_path):
     """Build with porter+stop spec: morphological variants match; the spec
     hash invalidates resume; query terms are analyzed."""

@@ -174,3 +174,36 @@ def test_analyze_table_mixed_batch_matches_bruteforce():
         assert got["freqs"][i].as_py() == list(freqs[i]), i
         assert got["dl"][i].as_py() == int(dl[i]), i
         assert got["positions"][i].as_py() == list(pos[i]), i
+
+
+def test_empty_doc_mid_batch_no_phantom_token():
+    """Regression: an EMPTY doc between two docs whose boundary chars are
+    both in-token used to insert a duplicated run split in _alnum_runs —
+    a zero-length (empty-string) token credited to the NEXT doc,
+    corrupting its terms, dl, and positions. Pure-ASCII and Unicode
+    fallback paths both share the fixed core."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages.analyzer import _analyze_rows_regex, analyze_table
+
+    cases = [
+        ["x y", "", "z"],                    # ascii, single empty
+        ["x y", "", "", "z"],                # ascii, run of empties
+        ["tail", "", "héad next", "", "m"],  # mixed ascii/unicode
+        ["русский", "", "текст"],            # unicode fallback path
+        ["", "lead"], ["trail", ""],         # edges
+    ]
+    tok = StandardTokenizer()
+    for texts in cases:
+        t = pa.table({
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa.array([0] * len(texts), type=pa.timestamp("us")),
+            "text": pa.array(texts),
+        })
+        got = analyze_table(t, tok, 4, want_positions=True)
+        terms, freqs, dl, pos = _analyze_rows_regex(texts, tok, want_positions=True)
+        for i in range(len(texts)):
+            assert got["terms"][i].as_py() == terms[i], (texts, i)
+            assert got["freqs"][i].as_py() == list(freqs[i]), (texts, i)
+            assert got["dl"][i].as_py() == int(dl[i]), (texts, i)
+            assert got["positions"][i].as_py() == list(pos[i]), (texts, i)
