@@ -1094,6 +1094,157 @@ WHERE ' ' || text || ' ' LIKE '% {phrase} %'
 """
 
 
+FT_DISMAX_TIE = 0.25  # exactly representable → float64 SQL parity holds
+FT_MP_SLOT0 = "query"
+FT_MP_VARIANTS = ["filter", "join"]
+
+
+def q_ft_dismax_topk(sf_dir: str) -> pd.DataFrame:
+    """DisjunctionMaxQuery top-10 (reference: lucene/core/.../search/
+    DisjunctionMaxQuery.java + DisjunctionMaxScorer, branch_8x; SURVEY.md
+    §2.3): three heterogeneous clauses (disjunction, single term,
+    conjunction); per doc score = max(clause scores) + tie_breaker *
+    (sum - max) over the clauses that match."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0, "kind": "dis_max", "tie_breaker": FT_DISMAX_TIE,
+            "clauses": [
+                {"kind": "or", "terms": ["query", "fast"]},
+                {"kind": "term", "terms": ["join"]},
+                {"kind": "and", "terms": ["data", "window"]},
+            ],
+        }],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_dismax_topk() -> str:
+    all_terms = ",".join(
+        f"'{t}'" for t in ("query", "fast", "join", "data", "window"))
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({all_terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         AS s
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+c1 AS (SELECT doc_id, sum(s) AS sc FROM ts
+       WHERE term IN ('query','fast') GROUP BY doc_id),
+c2 AS (SELECT doc_id, sum(s) AS sc FROM ts WHERE term = 'join' GROUP BY doc_id),
+c3 AS (SELECT doc_id, sum(s) AS sc FROM ts
+       WHERE term IN ('data','window') GROUP BY doc_id HAVING count(*) = 2),
+allc AS (
+  SELECT doc_id, sc FROM c1
+  UNION ALL SELECT doc_id, sc FROM c2
+  UNION ALL SELECT doc_id, sc FROM c3
+),
+dmx AS (
+  SELECT doc_id, max(sc) + {FT_DISMAX_TIE} * (sum(sc) - max(sc)) AS score
+  FROM allc GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM dmx
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+def q_ft_multiphrase_topk(sf_dir: str) -> pd.DataFrame:
+    """MultiPhraseQuery top-10 (reference: lucene/core/.../search/
+    MultiPhraseQuery.java + UnionPostingsEnum, branch_8x; SURVEY.md
+    §2.3): slot 0 is a single term, slot 1 matches ANY of its variants
+    (union-of-positions); phrase freq = count of distinct match start
+    positions, weight = Σ idf over every variant, BM25 lossy-norm tf
+    saturation — through the positions-enabled distributed index."""
+    idx = ensure_ft_pos_index(sf_dir)
+    res = search(
+        idx,
+        [{"query_id": 0, "kind": "multi_phrase",
+          "positions": [[FT_MP_SLOT0], list(FT_MP_VARIANTS)]}],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_multiphrase_topk() -> str:
+    variants = ",".join(f"'{v}'" for v in FT_MP_VARIANTS)
+    wterms = ",".join(f"'{t}'" for t in [FT_MP_SLOT0] + list(FT_MP_VARIANTS))
+    return (
+        _ft_sql_common()
+        + f"""
+, docs_l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+postoks AS (
+  SELECT doc_id, i AS pos, l[i] AS term
+  FROM docs_l, UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+mfreq AS (
+  SELECT a.doc_id, count(DISTINCT a.pos) AS freq
+  FROM postoks a
+  JOIN postoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{FT_MP_SLOT0}' AND b.term IN ({variants})
+  GROUP BY a.doc_id
+),
+vdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({wterms}) GROUP BY term
+),
+w AS (
+  SELECT sum(ln(1 + (stats.n - vdf.df + 0.5) / (vdf.df + 0.5))) AS w
+  FROM vdf CROSS JOIN stats
+),
+scored AS (
+  SELECT mfreq.doc_id,
+         w.w - w.w / (1 + mfreq.freq
+           / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         AS score
+  FROM mfreq
+  JOIN norml ON norml.doc_id = mfreq.doc_id
+  CROSS JOIN stats CROSS JOIN w
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def q_ft_term_range_counts(sf_dir: str) -> pd.DataFrame:
     """TermRangeQuery (reference: lucene/core/.../search/TermRangeQuery
     .java, branch_8x; SURVEY.md §2.3 automaton∩dictionary family):
@@ -5555,6 +5706,8 @@ QUERIES = {
     "ft_msm_topk": q_ft_msm_topk,
     "ft_prefix_count": q_ft_prefix_count,
     "ft_phrase_count": q_ft_phrase_count,
+    "ft_dismax_topk": q_ft_dismax_topk,
+    "ft_multiphrase_topk": q_ft_multiphrase_topk,
     "ft_incremental_stats": q_ft_incremental_stats,
     "ft_wildcard_count": q_ft_wildcard_count,
     "ft_regexp_count": q_ft_regexp_count,
@@ -5690,6 +5843,8 @@ ORACLES = {
     "ft_msm_topk": sql_ft_msm_topk(),
     "ft_prefix_count": sql_ft_prefix_count(),
     "ft_phrase_count": sql_ft_phrase_count(),
+    "ft_dismax_topk": sql_ft_dismax_topk(),
+    "ft_multiphrase_topk": sql_ft_multiphrase_topk(),
     "ft_incremental_stats": sql_ft_incremental_stats(),
     "ft_wildcard_count": sql_ft_wildcard_count(),
     "ft_regexp_count": sql_ft_regexp_count(),
