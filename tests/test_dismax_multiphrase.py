@@ -227,6 +227,120 @@ def test_multi_phrase_in_bool_tree(mp_index):
     assert set(r["url"]) == {"u://000", "u://001"}
 
 
+@pytest.fixture(scope="module")
+def fuzz_corpus(ray_session, tmp_path_factory):
+    """Collision-heavy random corpus (8-word vocab, 80 docs) + P1/P3
+    positions indexes — tiny vocabulary so random 2-3-slot phrases hit
+    many docs with freq > 1 and union-variant overlaps."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    rng = np.random.default_rng(73)
+    vocab = ["ray", "data", "set", "block", "stream", "merge", "sort", "scan"]
+    texts = [
+        " ".join(vocab[int(j)]
+                 for j in rng.integers(0, len(vocab), size=int(m)))
+        for m in rng.integers(3, 13, size=80)
+    ]
+    pages = pa.table({
+        "url": [f"u://{i:03d}" for i in range(len(texts))],
+        "warc_ts": pa.array(range(len(texts)), type=pa.timestamp("us")),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    base = tmp_path_factory.mktemp("mp_fuzz")
+    p = str(base / "pages.parquet")
+    pq.write_table(pages, p)
+    idx1, idx3 = str(base / "p1"), str(base / "p3")
+    build_index([p], idx1, num_partitions=1, store_positions=True)
+    build_index([p], idx3, num_partitions=3, store_positions=True)
+    return p, vocab, idx1, idx3
+
+
+def test_multi_phrase_fuzz_vs_oracle(fuzz_corpus):
+    """40 random multi_phrase queries (2-3 slots, 1-2 variants + ghosts,
+    slop 0-2): P1 frame == P3 frame exactly, and doc set + per-url scores
+    match OracleIndex (UnionPostingsEnum twin)."""
+    from lucene_solr_ray.search.oracle import OracleIndex
+
+    p, vocab, idx1, idx3 = fuzz_corpus
+    rng = np.random.default_rng(8191)
+    queries = []
+    for qid in range(40):
+        slots = []
+        for _ in range(int(rng.integers(2, 4))):
+            nv = int(rng.integers(1, 3))
+            variants = list(rng.choice(vocab, size=nv, replace=False))
+            if rng.random() < 0.15:
+                variants.append("zz_ghost")
+            slots.append(variants)
+        q = {"query_id": qid, "kind": "multi_phrase", "positions": slots}
+        s = int(rng.integers(0, 3))
+        if s:
+            q["slop"] = s
+        queries.append(q)
+
+    r1 = search(idx1, queries, k=10**9, method="exhaustive")
+    r3 = search(idx3, queries, k=10**9, method="exhaustive")
+    assert _frame(r1).equals(_frame(r3))
+
+    exp = OracleIndex([p]).search(queries, k=10**9)
+    n_hits = 0
+    for qid in range(40):
+        g = r1[r1.query_id == qid]
+        e = exp[exp.query_id == qid]
+        assert set(g["url"]) == set(e["url"]), qid
+        gm = dict(zip(g["url"], g["score"]))
+        em = dict(zip(e["url"], e["score"]))
+        for u in gm:
+            assert gm[u] == pytest.approx(em[u], rel=1e-6), (qid, u)
+        n_hits += len(g)
+    assert n_hits > 100  # the corpus actually exercises the matcher
+
+
+def test_dismax_fuzz_partition_and_combiner(fuzz_corpus):
+    """30 random dis_max trees (or/and/term clauses, random tie_breaker):
+    P1 == P3 exactly; score == max + tb*(sum-max) recomposed from
+    per-clause full searches."""
+    p, vocab, idx1, idx3 = fuzz_corpus
+    rng = np.random.default_rng(4099)
+    cases = []
+    for qid in range(30):
+        clauses = []
+        for _ in range(int(rng.integers(1, 4))):
+            kind = ("term", "or", "and")[int(rng.integers(0, 3))]
+            nt = 1 if kind == "term" else int(rng.integers(1, 3))
+            clauses.append({"kind": kind,
+                            "terms": list(rng.choice(vocab, size=nt,
+                                                     replace=False))})
+        tb = float(rng.choice([0.0, 0.1, 0.5, 1.0]))
+        cases.append((qid, clauses, tb))
+
+    queries = [{"query_id": qid, "kind": "dis_max", "clauses": cl,
+                "tie_breaker": tb} for qid, cl, tb in cases]
+    r1 = search(idx1, queries, k=10**9, method="exhaustive")
+    r3 = search(idx3, queries, k=10**9, method="exhaustive")
+    assert _frame(r1).equals(_frame(r3))
+
+    for qid, clauses, tb in cases:
+        sub = search(idx1, [{"query_id": i, **c}
+                            for i, c in enumerate(clauses)],
+                     k=10**9, method="exhaustive")
+        maps = [dict(zip(sub[sub.query_id == i]["url"],
+                         sub[sub.query_id == i]["score"].astype(np.float32)))
+                for i in range(len(clauses))]
+        g = r1[r1.query_id == qid]
+        assert set(g["url"]) == set().union(*maps), qid
+        gm = dict(zip(g["url"], g["score"]))
+        for u, s in gm.items():
+            vals = [m[u] for m in maps if u in m]
+            best = np.float32(max(vals))
+            ssum = np.float32(0.0)
+            for v in vals:
+                ssum = np.float32(ssum + v)
+            e = float(best + np.float32(tb) * (ssum - best))
+            assert s == pytest.approx(e, rel=1e-6), (qid, u)
+
+
 def test_phrase_synonym_upgrade(ray_session, mp_pages, tmp_path):
     """A quoted phrase whose slot the analyzer expands (posInc-0 synonyms)
     upgrades to multi_phrase — QueryBuilder#analyzeMultiPhrase: the query
