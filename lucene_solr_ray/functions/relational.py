@@ -49,16 +49,18 @@ def default_shuffle_partitions(num_partitions: Optional[int] = None) -> int:
     return max(8, cpus)
 
 
-def _first_per_key(t: pa.Table, keyl: List[str], sort_keys) -> pa.Table:
+def _topn_per_key(t: pa.Table, keyl: List[str], sort_keys, n: int) -> pa.Table:
     """Sort ``t`` by ``sort_keys`` (Arrow C++ stable sort — any dtype) and
-    keep the FIRST row of every distinct key combination, fully vectorized
-    (dictionary-encoded key codes + one boundary diff; no per-group
-    Python). Nulls count as a distinct key value."""
+    keep the FIRST ``n`` rows of every distinct key combination, fully
+    vectorized (dictionary-encoded key codes, one boundary diff, one
+    cumulative-max rank; no per-group Python). Nulls count as a distinct
+    key value."""
     if t.num_rows == 0:
         return t
     t = t.sort_by(sort_keys)
-    mask = np.zeros(t.num_rows, dtype=bool)
-    mask[0] = True
+    m = t.num_rows
+    boundary = np.zeros(m, dtype=bool)
+    boundary[0] = True
     for k in keyl:
         col = t[k]
         if isinstance(col, pa.ChunkedArray):
@@ -67,24 +69,33 @@ def _first_per_key(t: pa.Table, keyl: List[str], sort_keys) -> pa.Table:
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
-        mask[1:] |= codes[1:] != codes[:-1]
-    return t.filter(pa.array(mask))
+        boundary[1:] |= codes[1:] != codes[:-1]
+    if n == 1:
+        return t.filter(pa.array(boundary))
+    idx = np.arange(m, dtype=np.int64)
+    group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+    return t.filter(pa.array(idx - group_start < n))
 
 
-def bucketed_top1(ds, keys, order_cols: Sequence[str],
-                  descending: Sequence[bool],
+def _first_per_key(t: pa.Table, keyl: List[str], sort_keys) -> pa.Table:
+    """:func:`_topn_per_key` with n=1 (first row per distinct key)."""
+    return _topn_per_key(t, keyl, sort_keys, 1)
+
+
+def bucketed_topn(ds, keys, order_cols: Sequence[str],
+                  descending: Sequence[bool], n: int,
                   num_partitions: Optional[int] = None):
-    """Best-row-per-key for HIGH-CARDINALITY keys, row-preserving: the
-    bucketed combiner+merge pattern (see bucketed_agg) applied to top-1
-    selection. Map side: each block keeps only its local best row per key
-    (Arrow sort + vectorized first-per-key) and tags a key-hash bucket, so
-    the shuffle moves ≤ one row per (block, key); merge side: one
+    """Top-``n``-rows-per-key for HIGH-CARDINALITY keys, row-preserving:
+    the bucketed combiner+merge pattern (see bucketed_agg) applied to
+    top-n selection. Map side: each block keeps only its local top-n per
+    key (Arrow sort + vectorized rank mask) and tags a key-hash bucket,
+    so the shuffle moves ≤ n rows per (block, key); merge side: one
     ``groupby(bucket)`` over ``P`` buckets re-sorts each bucket table in
-    C++ and keeps the global first per key. Replaces the per-key
-    ``map_groups(head(1)/sort.head(1))`` pandas callables — at 1e8 groups
-    that is an Arrow kernel per bucket instead of 1e8 Python calls.
-    With no ``order_cols`` the winner is an arbitrary-but-single row per
-    key (UniqueStream first-wins semantics under hash partitioning)."""
+    C++ and keeps the global top-n per key (a key lands entirely in one
+    bucket, so the per-bucket merge is exact). Replaces the per-key
+    ``map_groups(sort.head(n))`` pandas callables — at 1e8 groups that is
+    an Arrow kernel per bucket instead of 1e8 Python calls. With no
+    ``order_cols`` the winners are arbitrary-but-n rows per key."""
     keyl = [keys] if isinstance(keys, str) else list(keys)
     P = default_shuffle_partitions(num_partitions)
     sort_keys = [(k, "ascending") for k in keyl] + [
@@ -93,7 +104,7 @@ def bucketed_top1(ds, keys, order_cols: Sequence[str],
     ]
 
     def part(t: pa.Table) -> pa.Table:
-        t = _first_per_key(t, keyl, sort_keys)
+        t = _topn_per_key(t, keyl, sort_keys, n)
         h = np.zeros(t.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for k in keyl:
@@ -105,13 +116,22 @@ def bucketed_top1(ds, keys, order_cols: Sequence[str],
     def merge(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return g
-        return _first_per_key(g.drop_columns(["_bucket"]), keyl, sort_keys)
+        return _topn_per_key(g.drop_columns(["_bucket"]), keyl, sort_keys, n)
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def bucketed_top1(ds, keys, order_cols: Sequence[str],
+                  descending: Sequence[bool],
+                  num_partitions: Optional[int] = None):
+    """Best-row-per-key (:func:`bucketed_topn` with n=1) — UniqueStream /
+    collapse first-wins semantics; with no ``order_cols`` the winner is an
+    arbitrary-but-single row per key under hash partitioning."""
+    return bucketed_topn(ds, keys, order_cols, descending, 1, num_partitions)
 
 
 def bucketed_agg(ds, keys, aggs, out_names, num_partitions: Optional[int] = None):
@@ -1124,21 +1144,10 @@ def group_topk(ds, key: str, order_cols: Sequence[str],
     """Result grouping, group.limit=n (reference: solr/core/src/java/org/
     apache/solr/search/Grouping.java ~1,000 LoC + lucene/grouping, branch
     _8x): top-``n`` rows per ``key`` group by sort order — collapse() is
-    the n=1 case. Map-side prune first: each block keeps only its local
-    top-n per key (vectorized pandas sort + groupby.head — C kernels), so
-    the shuffle moves ≤ n × (keys-per-block) rows; the per-group Python
-    callable then runs on ≤ n × blocks tiny groups."""
-    asc = [not d for d in descending]
-
-    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(list(order_cols), ascending=asc, kind="mergesort")
-            .groupby(key, sort=False)
-            .head(n)
-        )
-
-    pruned = ds.map_batches(local_prune, batch_format="pandas")
-    return pruned.groupby(key).map_groups(
-        lambda g: g.sort_values(list(order_cols), ascending=asc, kind="mergesort").head(n),
-        batch_format="pandas",
-    )
+    the n=1 case. The bucketed combiner+merge top-n (see bucketed_topn):
+    each block keeps its local top-n per key, the shuffle moves ≤ n rows
+    per (block, key) into P key-hash buckets, and one Arrow sort + rank
+    mask per bucket finishes — no per-key Python callable (the old
+    ``groupby(key).map_groups(head(n))`` ran one pandas call per key,
+    the 1e8-group scale trap)."""
+    return bucketed_topn(ds, [key], list(order_cols), list(descending), n)
