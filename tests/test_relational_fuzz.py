@@ -310,3 +310,31 @@ def test_bucketed_agg_matches_pandas(ray_session):
         b = exp[col].astype("float64").to_numpy()
         assert np.array_equal(a, b, equal_nan=True), col
     assert got["c"].astype("int64").tolist() == exp["c"].astype("int64").tolist()
+
+
+@given(rows=rows_st, n=st.integers(min_value=1, max_value=4),
+       blocks=st.integers(min_value=1, max_value=5))
+@FUZZ
+def test_bucketed_topn_multikey_matches_pandas(ray_session, rows, n, blocks):
+    """bucketed_topn with a TWO-column key and n>1 must agree with the
+    pandas sort+groupby.head reference (ties broken by the unique id
+    column, so any stable top-n implementation agrees) at every block
+    split."""
+    from lucene_solr_ray.functions.relational import bucketed_topn
+
+    df = _df(rows)
+    ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+    got = (
+        bucketed_topn(ds, ["k", "p"], ["v", "id"], [True, False], n)
+        .to_pandas()
+        .sort_values(["k", "p", "v", "id"], ascending=[True, True, False, True])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby(["k", "p"], sort=False)
+        .head(n)
+        .sort_values(["k", "p", "v", "id"], ascending=[True, True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "p", "id"]], ref[["k", "v", "p", "id"]])
