@@ -378,6 +378,125 @@ def _build_analyze(ctx, field, spec=None):
     return fn
 
 
+def _moving_starts(off: np.ndarray, w: int):
+    """Valid window starts (flat index space) for per-list sliding windows
+    of width ``w``: windows never cross a list boundary. Returns
+    (new_off int64[n+1], starts int64[total])."""
+    lens = np.diff(off)
+    out_lens = np.maximum(lens - w + 1, 0).astype(np.int64)
+    new_off = np.concatenate([[0], np.cumsum(out_lens)])
+    total = int(new_off[-1])
+    if total == 0:
+        return new_off, np.empty(0, dtype=np.int64)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        new_off[:-1], out_lens)
+    starts = np.repeat(off[:-1], out_lens) + intra
+    return new_off, starts
+
+
+def _build_moving(stat: str):
+    """movingAvg / movingMedian (reference: [8x] solr/solrj/.../io/eval/
+    MovingAverageEvaluator.java, MovingMedianEvaluator.java, branch_8x):
+    width-w sliding window per list, output length max(len-w+1, 0) —
+    Solr throws on len < w; we emit an empty list (documented deviation,
+    keeps the operator total). Vectorized: one cumsum (avg) or one
+    sliding_window_view + axis-median (median) over the flat buffer."""
+
+    def build(ctx, x, w):
+        f = _compile_arg(x, ctx)
+        w = int(w)
+        if w < 1:
+            raise ValueError("moving window must be >= 1")
+
+        def fn(batch):
+            off, flat = _list_parts(f(batch))
+            v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            new_off, starts = _moving_starts(off, w)
+            if not len(starts):
+                return _rebuild(new_off, pa.array(
+                    np.empty(0, dtype=np.float64)))
+            if stat == "avg":
+                cs = np.concatenate([[0.0], np.cumsum(v)])
+                out = (cs[starts + w] - cs[starts]) / float(w)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(v, w)
+                out = np.median(win[starts], axis=1)
+            return _rebuild(new_off, pa.array(out))
+
+        return fn
+
+    return build
+
+
+def _build_zscores(ctx, x):
+    """zscores (reference: [8x] solr/solrj/.../io/eval/
+    NormalizeEvaluator.java registered as "zscores", branch_8x):
+    (v - mean) / sample-stddev per list (commons-math sample semantics,
+    ddof=1; lists with < 2 values emit NaN z-scores)."""
+    f = _compile_arg(x, ctx)
+
+    def fn(batch):
+        off, flat = _list_parts(f(batch))
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(off).astype(np.float64)
+        sx = _reduce_each(off, v, "sum")
+        sxx = _reduce_each(off, v * v, "sum")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sx / lens
+            std = np.sqrt((sxx - sx * sx / lens) / (lens - 1.0))
+            std = np.where(lens >= 2, std, np.nan)
+        rep = np.diff(off)
+        out = (v - np.repeat(mean, rep)) / np.repeat(std, rep)
+        return _rebuild(off, pa.array(out))
+
+    return fn
+
+
+def _build_pair(kind: str):
+    """Two-array scalar evaluators (reference: [8x] solr/solrj/.../io/eval/
+    CovarianceEvaluator ("cov"), DotProductEvaluator ("dotProduct"),
+    CosineSimilarityEvaluator ("cosineSimilarity"),
+    EuclideanDistanceEvaluator ("distance"), branch_8x). cov is the
+    commons-math SAMPLE covariance (n-1 denominator); cosine is
+    dot / (sqrt(Σx²) · sqrt(Σy²)) — formulas spelled out so an integer
+    input yields bit-reproducible float64 (exact sums → one correctly
+    rounded sqrt/divide), the oracle-parity convention."""
+
+    def build(ctx, xs, ys):
+        fx, fy = _compile_arg(xs, ctx), _compile_arg(ys, ctx)
+
+        def fn(batch):
+            offx, flatx = _list_parts(fx(batch))
+            offy, flaty = _list_parts(fy(batch))
+            if not np.array_equal(offx, offy):
+                raise ValueError(f"{kind} needs equal-length arrays per row")
+            x = flatx.to_numpy(zero_copy_only=False).astype(np.float64)
+            y = flaty.to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = np.diff(offx).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if kind == "dot":
+                    out = _reduce_each(offx, x * y, "sum")
+                elif kind == "cov":
+                    sx = _reduce_each(offx, x, "sum")
+                    sy = _reduce_each(offx, y, "sum")
+                    sxy = _reduce_each(offx, x * y, "sum")
+                    out = (sxy - sx * sy / lens) / (lens - 1.0)
+                    out = np.where(lens >= 2, out, np.nan)
+                elif kind == "cos":
+                    dot = _reduce_each(offx, x * y, "sum")
+                    nx = np.sqrt(_reduce_each(offx, x * x, "sum"))
+                    ny = np.sqrt(_reduce_each(offx, y * y, "sum"))
+                    out = dot / (nx * ny)
+                else:  # euclidean distance
+                    d = x - y
+                    out = np.sqrt(_reduce_each(offx, d * d, "sum"))
+            return pa.array(out)
+
+        return fn
+
+    return build
+
+
 EVALUATORS = {
     "array": _build_array,
     "length": _build_length,
@@ -394,6 +513,14 @@ EVALUATORS = {
     "predict": _build_predict,
     "corr": _build_corr,
     "analyze": _build_analyze,
+    "movingAvg": _build_moving("avg"),
+    "movingMedian": _build_moving("median"),
+    "zscores": _build_zscores,
+    "cov": _build_pair("cov"),
+    "covariance": _build_pair("cov"),  # alias
+    "dotProduct": _build_pair("dot"),
+    "cosineSimilarity": _build_pair("cos"),
+    "distance": _build_pair("dist"),
 }
 
 

@@ -4521,6 +4521,96 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_stream_evaluators_ts(sf_dir: str):
+    """Time-series / vector stream evaluators (SURVEY.md §2.9 registry 2;
+    [8x] solr/solrj/.../io/eval/ MovingAverage / MovingMedian / Normalize
+    ("zscores") / Covariance ("cov") / DotProduct / CosineSimilarity /
+    EuclideanDistance ("distance") evaluators, branch_8x): per-order
+    4-element INTEGER vectors (distinct offsets keep variance > 0, the
+    oracle-parity float convention — exact sums → one correctly rounded
+    sqrt/divide, then floor-e6 on both sides)."""
+    from ..functions.evaluators import select_with_evaluators
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = pc.cast(batch["o_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(k),
+            "va": pa.array((k % 97).astype(np.float64)),
+            "vb": pa.array((c % 89 + 100).astype(np.float64)),
+            "vc": pa.array((k % 7 + 200).astype(np.float64)),
+            "vd": pa.array(((k + c) % 83 + 300).astype(np.float64)),
+        })
+
+    x = ["array", "va", "vb", "vc", "vd"]
+    y = ["array", "vd", "vc", "vb", "va"]
+    out = select_with_evaluators(orders.map_batches(
+        prep, batch_format="pyarrow"), {
+        "mavg2": ["valueAt", ["movingAvg", x, 2], 1],
+        "mmed3": ["valueAt", ["movingMedian", x, 3], 0],
+        "z0": ["valueAt", ["zscores", x], 0],
+        "cov_xy": ["cov", x, y],
+        "dot_xy": ["dotProduct", x, y],
+        "cos_xy": ["cosineSimilarity", x, y],
+        "dist_xy": ["distance", x, y],
+    }, keep=["o_orderkey"])
+
+    def e6(batch: pa.Table) -> pa.Table:
+        cols = {"o_orderkey": batch["o_orderkey"]}
+        for name in ("mavg2", "mmed3", "z0", "cov_xy", "dot_xy",
+                     "cos_xy", "dist_xy"):
+            v = batch[name].to_numpy(zero_copy_only=False)
+            cols[f"{name}_e6"] = pa.array(
+                np.floor(v * 1e6).astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(e6, batch_format="pyarrow").sort("o_orderkey")
+
+
+def sql_stream_evaluators_ts() -> str:
+    # identical float64 op ORDER as the evaluator kernels: integer sums
+    # are exact, so mean/var/sqrt/divide round identically bit-for-bit
+    return """
+WITH v AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 97 AS DOUBLE)                 AS a,
+         CAST(o_custkey % 89 + 100 AS DOUBLE)            AS b,
+         CAST(o_orderkey % 7 + 200 AS DOUBLE)            AS c,
+         CAST((o_orderkey + o_custkey) % 83 + 300 AS DOUBLE) AS d
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, a, b, c, d,
+         a + b + c + d                                   AS sx,
+         a*a + b*b + c*c + d*d                           AS sxx,
+         d + c + b + a                                   AS sy,
+         d*d + c*c + b*b + a*a                           AS syy,
+         a*d + b*c + c*b + d*a                           AS sxy
+  FROM v
+)
+SELECT o_orderkey,
+       CAST(floor(((b + c) / 2.0) * 1000000) AS BIGINT)  AS mavg2_e6,
+       CAST(floor((a + b + c - greatest(a, b, c) - least(a, b, c))
+                  * 1000000) AS BIGINT)                  AS mmed3_e6,
+       CAST(floor(((a - sx / 4.0)
+                   / sqrt((sxx - sx * sx / 4.0) / 3.0)) * 1000000)
+            AS BIGINT)                                   AS z0_e6,
+       CAST(floor(((sxy - sx * sy / 4.0) / 3.0) * 1000000)
+            AS BIGINT)                                   AS cov_xy_e6,
+       CAST(floor(sxy * 1000000) AS BIGINT)              AS dot_xy_e6,
+       CAST(floor((sxy / (sqrt(sxx) * sqrt(syy))) * 1000000)
+            AS BIGINT)                                   AS cos_xy_e6,
+       CAST(floor(sqrt((a-d)*(a-d) + (b-c)*(b-c) + (c-b)*(c-b)
+                       + (d-a)*(d-a)) * 1000000) AS BIGINT)
+                                                         AS dist_xy_e6
+FROM s ORDER BY o_orderkey
+"""
+
+
 def q_function_string_pack(sf_dir: str):
     """String/ordinal value sources (SURVEY.md §2.9: ValueSourceParser
     "concat" → ConcatStringFunction, "ord"/"rord" → OrdFieldSource/
@@ -5812,6 +5902,7 @@ QUERIES = {
     "executor_stream_orders": q_executor_stream_orders,
     "eval_stream_orders": q_eval_stream_orders,
     "stream_evaluators_docs": q_stream_evaluators_docs,
+    "stream_evaluators_ts": q_stream_evaluators_ts,
     "geofilt_customers": q_geofilt_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
@@ -5935,6 +6026,7 @@ ORACLES = {
     "executor_stream_orders": sql_executor_stream_orders(),
     "eval_stream_orders": sql_eval_stream_orders(),
     "stream_evaluators_docs": sql_stream_evaluators_docs(),
+    "stream_evaluators_ts": sql_stream_evaluators_ts(),
     "geofilt_customers": sql_geofilt_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
