@@ -114,8 +114,8 @@ def bucketed_topn(ds, keys, order_cols: Sequence[str],
         )
 
     def merge(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g
+        # empty groups still drop _bucket so every block shares one schema
+        # (a bare `return g` here emits schema-mismatch RefBundle warnings)
         return _topn_per_key(g.drop_columns(["_bucket"]), keyl, sort_keys, n)
 
     return (
@@ -172,8 +172,8 @@ def bucketed_agg(ds, keys, aggs, out_names, num_partitions: Optional[int] = None
     merge_fn = ["sum" if f in ("sum", "count") else f for _, f in aggs]
 
     def merge(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g
+        # empty groups run the same (cheap) path so every block shares the
+        # post-aggregate schema — no schema-mismatch RefBundle warnings
         agg = g.drop_columns(["_bucket"]).group_by(keyl).aggregate(
             list(zip(merge_in, merge_fn))
         )
@@ -267,8 +267,7 @@ def rollup(ds, keys: Sequence[str], aggs: Dict[str, Sequence[str]]):
         )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g
+        # empty groups run the same path: uniform post-aggregate schema
         agg = g.drop_columns(["_bucket"]).group_by(keyl).aggregate(
             list(zip(merge_names, merge_fns))
         )

@@ -109,6 +109,36 @@ def main(argv=None):
     r.add_argument("--src", required=True)
     r.add_argument("--dst", required=True)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="training-data dedup over a parquet corpus: exact writes the "
+             "SURVIVING rows (min-id per content hash), minhash/simhash "
+             "write verified candidate PAIRS (a, b, ...) for the curation "
+             "policy to act on — both as partitioned parquet",
+    )
+    dd.add_argument("--input", nargs="+", required=True)
+    dd.add_argument("--out", required=True, help="output parquet directory")
+    dd.add_argument("--algo", choices=["exact", "minhash", "simhash"],
+                    default="exact")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash: exact-Jaccard verify threshold")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash: max Hamming distance")
+
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation signals over a parquet corpus "
+             "(vectorized map_batches; langid is an actor-pool stage); "
+             "writes the corpus + signal columns as partitioned parquet",
+    )
+    cu.add_argument("--input", nargs="+", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--ops", default="tokens,quality",
+                    help="comma list of tokens|quality|stats|repetition|langid")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "analyze":  # pure driver-side; no Ray session needed
@@ -222,6 +252,79 @@ def main(argv=None):
                 q = json.loads(args.query)
             res = delete_by_query(args.index_root, q)
         print(json.dumps(res))
+    elif args.cmd == "dedup":
+        import ray.data
+
+        ds = ray.data.read_parquet(_expand(args.input))
+        if args.algo == "exact":
+            from .functions.dedup import exact_dedup
+
+            out = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
+        elif args.algo == "minhash":
+            from .functions.dedup import minhash_near_dup_pairs
+
+            src = args.input[0] if len(args.input) == 1 else None
+            out = minhash_near_dup_pairs(
+                ds, threshold=args.threshold,
+                id_col=args.id_col, text_col=args.text_col,
+                fetch_texts_from=src,
+            )
+        else:
+            from .functions.dedup import simhash_near_dup_pairs
+
+            out = simhash_near_dup_pairs(
+                ds, max_hamming=args.max_hamming,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+        out.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out).count_rows()
+        print(json.dumps({"algo": args.algo, "rows": n, "out": args.out}))
+    elif args.cmd == "curate":
+        import ray.data
+
+        from .functions import textstats as ts
+
+        ops = [o.strip() for o in args.ops.split(",") if o.strip()]
+        batch_fns = {"tokens": ts.token_count_batch,
+                     "quality": ts.quality_score_batch,
+                     "stats": ts.doc_stats_batch,
+                     "repetition": ts.ngram_repetition_batch}
+        bad = [o for o in ops if o not in (*batch_fns, "langid")]
+        if bad:
+            raise SystemExit(f"curate: unknown ops {bad}")
+        def _dedup_cols(t):
+            # ops share signal names (tokens and stats both emit n_tokens):
+            # first op wins, duplicates are dropped so the chain composes
+            seen, keep = set(), []
+            for i, nm in enumerate(t.column_names):
+                if nm not in seen:
+                    seen.add(nm)
+                    keep.append(i)
+            return t.select(keep) if len(keep) != t.num_columns else t
+
+        ds = ray.data.read_parquet(_expand(args.input))
+        for op in ops:
+            if op == "langid":
+                from .functions.dedup import default_actor_concurrency
+
+                ds = ds.map_batches(
+                    ts.LangIdStage,
+                    fn_constructor_kwargs={"text_col": args.text_col},
+                    batch_format="pyarrow",
+                    concurrency=default_actor_concurrency(None),
+                )
+            else:
+                ds = ds.map_batches(
+                    lambda b, fn=batch_fns[op]: _dedup_cols(fn(b, args.text_col)),
+                    batch_format="pyarrow",
+                )
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out).count_rows()
+        print(json.dumps({"ops": ops, "rows": n, "out": args.out}))
     elif args.cmd == "check":
         from .index.checkindex import check_index
 
