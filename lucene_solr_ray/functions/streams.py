@@ -22,6 +22,8 @@ StreamExpressionParser analog — ours is data, not a grammar):
      "aggs":    {"n": ["count"],
                  "sum_price_c": ["sum_cents", "o_totalprice"],
                  "max_price_c": ["max_cents", "o_totalprice"]},
+     "having":  [["n", ">=", 100]],  # optional; post-aggregate filter on
+                                     # agg OUTPUT columns (HavingStream)
      "sort":    [["o_orderstatus", "asc"]],           # optional
      "limit":   20}                                   # optional
 
@@ -72,6 +74,13 @@ def _validate(spec: dict) -> dict:
     for out, a in spec.get("aggs", {}).items():
         if a[0] not in _AGG_NAMES:
             raise ValueError(f"unknown agg {a[0]!r} for {out!r}")
+    having = spec.get("having", [])
+    if having and not spec.get("aggs"):
+        raise ValueError("having requires aggs (it filters aggregate "
+                         "outputs; use where for row predicates)")
+    for h in having:
+        if len(h) != 3 or h[1] not in _WHERE_OPS:
+            raise ValueError(f"bad having clause: {h!r}")
     return spec
 
 
@@ -184,6 +193,9 @@ def run_expr_arrow(sf_dir: str, spec: dict) -> pa.Table:
     tab = dset.to_table(columns=_needed_columns(spec, sf_dir), filter=filt)
     if spec.get("aggs"):
         tab = _agg_arrow(tab, spec)
+        for col, op, val in spec.get("having", []):
+            # HavingStream analog: filter on aggregate OUTPUT columns
+            tab = tab.filter(_WHERE_OPS[op](tab[col], val))
     return _sort_limit_arrow(tab, spec)
 
 
@@ -251,6 +263,15 @@ def run_expr_dataset(sf_dir: str, spec: dict):
                 return pa.table(cols)
 
             ds = agg_ds.map_batches(rename, batch_format="pyarrow")
+
+        having = spec.get("having", [])
+        if having:
+            def post(batch: pa.Table) -> pa.Table:
+                for col, op, val in having:
+                    batch = batch.filter(_WHERE_OPS[op](batch[col], val))
+                return batch
+
+            ds = ds.map_batches(post, batch_format="pyarrow")
 
     srt = spec.get("sort")
     if srt:

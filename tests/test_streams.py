@@ -63,6 +63,41 @@ def test_runner_parity_grouped(ray_session):
     assert a.equals(d)
 
 
+def test_runner_parity_having(ray_session):
+    # HavingStream analog: post-aggregate filter on agg OUTPUT columns,
+    # bit-identical across both runners and verified against duckdb
+    spec = {
+        "table": "orders",
+        "groupby": ["o_orderstatus"],
+        "aggs": {"n": ["count"], "sum_price_c": ["sum_cents", "o_totalprice"]},
+        "having": [["n", ">=", 100]],
+        "sort": [["o_orderstatus", "asc"]],
+    }
+    a = run_expr_arrow(SF, spec).to_pandas()
+    d = run_expr_dataset(SF, spec).to_pandas()
+    assert a.equals(d)
+    import duckdb
+
+    ref = duckdb.sql(f"""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM read_parquet('{SF}/orders.parquet')
+        GROUP BY o_orderstatus HAVING count(*) >= 100
+        ORDER BY o_orderstatus
+    """).df()
+    assert a.equals(ref)
+    assert len(a) > 0
+
+
+def test_having_requires_aggs():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        run_expr_arrow(SF, {"table": "orders", "having": [["n", ">", 1]]})
+
+
 def test_count_counts_null_rows(ray_session, fixture_dir):
     """count = row count (Ray Count ignore_nulls=False parity), even when
     the anchor column holds nulls."""
