@@ -5053,6 +5053,49 @@ WHERE rank <= 5 ORDER BY prefix, rank
 """
 
 
+INFIX_LOOKUPS = ["oin", "dow", "ue"]
+
+
+def q_suggest_infix_terms(sf_dir: str) -> pd.DataFrame:
+    """Infix suggester (AnalyzingInfixSuggester analog, reference:
+    lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java, branch_8x):
+    the lookup matches ANYWHERE in the dictionary term. No range pushdown
+    exists for a substring, so the distributed stats table is scanned
+    once with the match_substring C kernel; per-block top-k then a tiny
+    driver merge, exactly like the prefix path."""
+    from ..search.suggest import suggest
+
+    idx = ensure_ft_index(sf_dir)
+    res = suggest(idx, INFIX_LOOKUPS, k=5, weight="total_tf", match="infix")
+    return res.astype(
+        {"rank": np.int64, "df": np.int64, "total_tf": np.int64}
+    )
+
+
+def sql_suggest_infix_terms() -> str:
+    pfx = ",".join(f"('{p}')" for p in INFIX_LOOKUPS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+  FROM toks GROUP BY term
+),
+pfx(prefix) AS (VALUES {pfx}),
+ranked AS (
+  SELECT pfx.prefix, ts.term, ts.df, ts.total_tf,
+         row_number() OVER (
+           PARTITION BY pfx.prefix
+           ORDER BY ts.total_tf DESC, ts.term ASC
+         ) AS rank
+  FROM pfx JOIN ts ON instr(ts.term, pfx.prefix) > 0
+)
+SELECT prefix, rank, term, df, total_tf FROM ranked
+WHERE rank <= 5 ORDER BY prefix, rank
+"""
+
+
 SPELL_INPUTS = ["quary", "joyn", "windoe"]
 
 
@@ -5849,6 +5892,7 @@ QUERIES = {
     "ft_unicode_token_stats": q_ft_unicode_token_stats,
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
+    "suggest_infix_terms": q_suggest_infix_terms,
     "spellcheck_terms": q_spellcheck_terms,
     "ltr_rerank_topk": q_ltr_rerank_topk,
     "highlight_snippets": q_highlight_snippets,
@@ -5976,6 +6020,7 @@ ORACLES = {
     "ft_unicode_token_stats": _sql_lang_stem_stats(UNICODE_PLANT),
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
+    "suggest_infix_terms": sql_suggest_infix_terms(),
     "spellcheck_terms": sql_spellcheck_terms(),
     "ltr_rerank_topk": sql_ltr_rerank_topk(),
     "highlight_snippets": sql_highlight_snippets(),

@@ -50,31 +50,49 @@ def suggest(
     k: int = 10,
     weight: str = "total_tf",
     min_df: int = 1,
+    match: str = "prefix",
 ) -> pd.DataFrame:
-    """Top-``k`` completions per prefix, ordered by ``weight`` desc then
-    term asc (deterministic across partitionings). Returns a DataFrame of
-    (prefix, rank, term, df, total_tf)."""
+    """Top-``k`` completions per lookup string, ordered by ``weight`` desc
+    then term asc (deterministic across partitionings). Returns a
+    DataFrame of (prefix, rank, term, df, total_tf).
+
+    ``match="prefix"`` is the TermsComponent/FST shape (the lookup range
+    is pushed into read_parquet so row-group stats prune at the storage
+    layer). ``match="infix"`` is the AnalyzingInfixSuggester analog
+    (reference: lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java,
+    branch_8x — matches anywhere in the suggestion): no range pushdown
+    exists for a substring, so every dictionary block is scanned with the
+    ``match_substring`` C kernel — still one streaming pass over the
+    stats table, never a driver-side dictionary."""
     import ray.data
 
     if weight not in ("total_tf", "df"):
         raise ValueError("weight must be 'total_tf' or 'df'")
+    if match not in ("prefix", "infix"):
+        raise ValueError("match must be 'prefix' or 'infix'")
     stats_dir = os.path.join(index_root, "stats", "global_stats")
-    lo = min(prefixes)
-    hi = _prefix_upper(max(prefixes))
-    flt = pc.field("term") >= lo
-    if hi:
-        flt = flt & (pc.field("term") < hi)
-    ds = ray.data.read_parquet(stats_dir, filter=flt)
+    if match == "prefix":
+        lo = min(prefixes)
+        hi = _prefix_upper(max(prefixes))
+        flt = pc.field("term") >= lo
+        if hi:
+            flt = flt & (pc.field("term") < hi)
+        ds = ray.data.read_parquet(stats_dir, filter=flt)
+    else:
+        ds = ray.data.read_parquet(stats_dir)
 
     plist = list(prefixes)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         outs = []
         for pid, p in enumerate(plist):
-            up = _prefix_upper(p)
-            m = pc.greater_equal(batch["term"], p)
-            if up:
-                m = pc.and_(m, pc.less(batch["term"], up))
+            if match == "infix":
+                m = pc.match_substring(batch["term"], p)
+            else:
+                up = _prefix_upper(p)
+                m = pc.greater_equal(batch["term"], p)
+                if up:
+                    m = pc.and_(m, pc.less(batch["term"], up))
             if min_df > 1:
                 m = pc.and_(m, pc.greater_equal(batch["df"], min_df))
             sub = batch.filter(m)
