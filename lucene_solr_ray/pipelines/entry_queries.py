@@ -5233,6 +5233,58 @@ def q_highlight_snippets(sf_dir: str) -> pd.DataFrame:
     return res.astype({"doc_id": np.int64, "pos": np.int64})
 
 
+def q_highlight_phrase_snippets(sf_dir: str) -> pd.DataFrame:
+    """Phrase highlighting (UnifiedHighlighter phrase passages, reference:
+    lucene/highlighter/.../uhighlight/PhraseHelper.java, branch_8x): every
+    doc matching the exact phrase gets a ±2-token snippet anchored at the
+    phrase's FIRST start position, the whole span marked. Hits come from
+    the positions-enabled distributed index (the same path ft_phrase_count
+    scores); the doc bodies are filtered distributed by hit key."""
+    from ..search.highlight import highlight
+
+    idx = ensure_ft_pos_index(sf_dir)
+    hits = search(
+        idx, [{"query_id": 0, "kind": "phrase", "terms": FT_PHRASE}],
+        k=10 ** 9, method="exhaustive",
+    )
+    keys = _url_to_doc_id(hits["url"]).tolist()
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    res = highlight(
+        docs, keys, [list(FT_PHRASE)], window=2,
+        key_col="doc_id", text_col="text", mark=None,
+    )
+    return (res.astype({"doc_id": np.int64, "pos": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def sql_highlight_phrase_snippets() -> str:
+    # first phrase start via a positional self-join (generate_subscripts is
+    # 1-based → engine pos = p - 1); snippet = tokens[p-2 .. p+3] (list_slice
+    # 1-based inclusive, phrase span = 2 tokens, window = 2)
+    t0, t1 = FT_PHRASE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+starts AS (
+  SELECT a.doc_id, min(a.p) AS p
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+       '{t0} {t1}' AS term,
+       CAST(s.p - 1 AS BIGINT) AS pos,
+       array_to_string(
+         list_slice(string_split(d.text, ' '),
+                    greatest(1, s.p - 2), s.p + 3), ' ') AS snippet
+FROM starts s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 def sql_highlight_snippets() -> str:
     # anchor = first query term (priority order) present; pos is its first
     # occurrence (list_position is 1-based → pos = lp - 1, 0-based like the
@@ -5896,6 +5948,7 @@ QUERIES = {
     "spellcheck_terms": q_spellcheck_terms,
     "ltr_rerank_topk": q_ltr_rerank_topk,
     "highlight_snippets": q_highlight_snippets,
+    "highlight_phrase_snippets": q_highlight_phrase_snippets,
     "facet_pivot_orders": q_facet_pivot_orders,
     "facet_range_totalprice": q_facet_range_totalprice,
     "group_top_orders": q_group_top_orders,
@@ -6024,6 +6077,7 @@ ORACLES = {
     "spellcheck_terms": sql_spellcheck_terms(),
     "ltr_rerank_topk": sql_ltr_rerank_topk(),
     "highlight_snippets": sql_highlight_snippets(),
+    "highlight_phrase_snippets": sql_highlight_phrase_snippets(),
     "facet_pivot_orders": sql_facet_pivot_orders(),
     "facet_range_totalprice": sql_facet_range_totalprice(),
     "group_top_orders": sql_group_top_orders(),

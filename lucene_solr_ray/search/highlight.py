@@ -49,6 +49,21 @@ def highlight(
 
     small = docs_ds.map_batches(filt, batch_format="pyarrow")
 
+    def _find(toks: List[str], t) -> int:
+        """First anchor position of ``t``: a string is a single term, a
+        list is an exact consecutive phrase (UnifiedHighlighter phrase
+        passages — the whole span gets marked)."""
+        if isinstance(t, str):
+            try:
+                return toks.index(t)
+            except ValueError:
+                return -1
+        n = len(t)
+        for i in range(len(toks) - n + 1):
+            if toks[i:i + n] == list(t):
+                return i
+        return -1
+
     def snip(batch: pa.Table) -> pa.Table:
         out_key, out_term, out_pos, out_snip = [], [], [], []
         ks = batch[key_col].to_pylist()
@@ -56,16 +71,17 @@ def highlight(
         for kv, txt in zip(ks, txts):  # ≤ k rows total survive the filter
             toks = txt.split(" ")
             for t in terms:
-                try:
-                    p = toks.index(t)
-                except ValueError:
+                p = _find(toks, t)
+                if p < 0:
                     continue
+                span = 1 if isinstance(t, str) else len(t)
                 lo = max(0, p - window)
-                seg = toks[lo : p + window + 1]
+                seg = toks[lo : p + span + window]
                 if mark:
-                    seg[p - lo] = f"<{mark}>{seg[p - lo]}</{mark}>"
+                    for j in range(p - lo, p - lo + span):
+                        seg[j] = f"<{mark}>{seg[j]}</{mark}>"
                 out_key.append(kv)
-                out_term.append(t)
+                out_term.append(t if isinstance(t, str) else " ".join(t))
                 out_pos.append(p)
                 out_snip.append(" ".join(seg))
                 break
