@@ -130,6 +130,38 @@ def _build_truncate(args: dict) -> Callable[[str], Optional[str]]:
     return lambda t: t[:n]
 
 
+def _build_pattern_replace(args: dict) -> Callable[[str], Optional[str]]:
+    """PatternReplaceFilter analog (reference: lucene/analysis/common/.../
+    pattern/PatternReplaceFilter.java, branch_8x): regex replace on each
+    token; ``all=True`` (replaceAll, the factory default) or first-only.
+    A token that becomes empty is dropped (zero-length-term convention —
+    the builder never emits empty terms)."""
+    import re as _re
+
+    pat = _re.compile(args["pattern"])
+    rep = str(args.get("replacement", ""))
+    count = 0 if args.get("all", True) else 1
+
+    def f(t: str) -> Optional[str]:
+        out = pat.sub(rep, t, count=count)
+        return out if out else None
+
+    return f
+
+
+def _build_trim(args: dict) -> Callable[[str], Optional[str]]:
+    """TrimFilter analog (…/miscellaneous/TrimFilter.java, branch_8x):
+    strips leading/trailing whitespace (tokens embedding whitespace come
+    from synonym/keep lists, not the tokenizer); empty after trim drops."""
+    return lambda t: (t.strip() or None)
+
+
+def _build_reverse(args: dict) -> Callable[[str], Optional[str]]:
+    """ReverseStringFilter analog (…/reverse/ReverseStringFilter.java,
+    branch_8x) — the leading-wildcard-acceleration building block."""
+    return lambda t: t[::-1]
+
+
 def _build_synonym(args: dict):
     """SynonymGraphFilter analog (reference: lucene/analysis/common/.../
     synonym/SynonymGraphFilter.java, branch_8x), single-token synonyms,
@@ -476,6 +508,9 @@ FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     ),
     "length": _build_length,
     "truncate": _build_truncate,
+    "pattern_replace": _build_pattern_replace,
+    "trim": _build_trim,
+    "reverse_string": _build_reverse,
     "synonym": _build_synonym,
     "edge_ngram": _build_edge_ngram,
     "ngram": _build_ngram,

@@ -1099,3 +1099,43 @@ def test_turkish_lowercase_filter():
     assert f("İ") == "i"             # dotted capital I decomposed
     assert f("AĞACI") == "ağacı"
     assert f("LILI") == "lılı"             # plain I is dotless in Turkish
+
+
+def test_pattern_replace_trim_reverse_filters():
+    """PatternReplaceFilter / TrimFilter / ReverseStringFilter analogs:
+    behavior is fully parameter-defined (regex replace, strip, reverse);
+    empty results drop the token per the builder's zero-length-term
+    convention."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+
+    pr = build_filter_chain([
+        {"name": "pattern_replace", "pattern": r"\d+", "replacement": "#"}])
+    assert pr("abc123def456") == "abc#def#"
+    assert pr("123") == "#"
+    first_only = build_filter_chain([
+        {"name": "pattern_replace", "pattern": r"\d+", "replacement": "#",
+         "all": False}])
+    assert first_only("a1b2") == "a#b2"
+    drops = build_filter_chain([
+        {"name": "pattern_replace", "pattern": r".*", "replacement": ""}])
+    assert drops("anything") is None
+
+    tr = build_filter_chain(["trim"])
+    assert tr("  spaced  ") == "spaced"
+    assert tr("   ") is None
+
+    rev = build_filter_chain(["reverse_string"])
+    assert rev("wildcard") == "dracdliw"
+
+    # compose through an analyze() chain end to end
+    from lucene_solr_ray.stages.analyzer import analyze
+
+    toks = analyze(
+        "Order42 shipped  FAST",
+        {"filters": [
+            "lowercase",
+            {"name": "pattern_replace", "pattern": r"\d+", "replacement": ""},
+            "reverse_string",
+        ]},
+    )
+    assert toks == ["redro", "deppihs", "tsaf"]
