@@ -5053,6 +5053,40 @@ WHERE rank <= 5 ORDER BY prefix, rank
 """
 
 
+TERMS_REGEX_PATTERN = "qu.*|.*oin|s.an"
+
+
+def q_terms_regex_list(sf_dir: str) -> pd.DataFrame:
+    """TermsComponent terms.regex (reference: solr/core/.../component/
+    TermsComponent.java, branch_8x): vocabulary terms fully matching the
+    pattern, terms.sort=count (df desc, term asc), limit 10 — one RE2
+    streaming pass over the distributed stats dictionary."""
+    from ..search.suggest import terms_regex
+
+    idx = ensure_ft_index(sf_dir)
+    res = terms_regex(idx, TERMS_REGEX_PATTERN, limit=10, sort="count")
+    return res.astype({"rank": np.int64, "df": np.int64,
+                       "total_tf": np.int64})
+
+
+def sql_terms_regex_list() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+  FROM toks GROUP BY term
+),
+m AS (
+  SELECT term, df, total_tf,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+  FROM ts WHERE regexp_full_match(term, '(?:{TERMS_REGEX_PATTERN})')
+)
+SELECT rank, term, df, total_tf FROM m WHERE rank <= 10 ORDER BY rank
+"""
+
+
 INFIX_LOOKUPS = ["oin", "dow", "ue"]
 
 
@@ -5945,6 +5979,7 @@ QUERIES = {
     "knn_mlt_docs": q_knn_mlt_docs,
     "suggest_terms": q_suggest_terms,
     "suggest_infix_terms": q_suggest_infix_terms,
+    "terms_regex_list": q_terms_regex_list,
     "spellcheck_terms": q_spellcheck_terms,
     "ltr_rerank_topk": q_ltr_rerank_topk,
     "highlight_snippets": q_highlight_snippets,
@@ -6074,6 +6109,7 @@ ORACLES = {
     "knn_mlt_docs": sql_knn_mlt_docs(),
     "suggest_terms": sql_suggest_terms(),
     "suggest_infix_terms": sql_suggest_infix_terms(),
+    "terms_regex_list": sql_terms_regex_list(),
     "spellcheck_terms": sql_spellcheck_terms(),
     "ltr_rerank_topk": sql_ltr_rerank_topk(),
     "highlight_snippets": sql_highlight_snippets(),

@@ -30,7 +30,48 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["suggest"]
+__all__ = ["suggest", "terms_regex"]
+
+
+def terms_regex(
+    index_root: str,
+    pattern: str,
+    limit: int = 20,
+    sort: str = "index",
+    min_df: int = 1,
+) -> pd.DataFrame:
+    """TermsComponent ``terms.regex`` listing (reference: solr/core/.../
+    component/TermsComponent.java, branch_8x): dictionary terms fully
+    matching ``pattern``, ``sort="index"`` (term asc, terms.sort=index) or
+    ``"count"`` (df desc then term asc, terms.sort=count), first ``limit``.
+    One streaming pass over the distributed stats table with the RE2
+    ``match_substring_regex`` kernel (anchored) — both this and the DuckDB
+    oracle run RE2, so semantics agree by construction. Each block emits
+    its local top-``limit``; the driver merges the tiny residue."""
+    import ray.data
+
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    anchored = f"^(?:{pattern})$"
+    keys = ([("term", "ascending")] if sort == "index"
+            else [("df", "descending"), ("term", "ascending")])
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(batch["term"], anchored)
+        if min_df > 1:
+            m = pc.and_(m, pc.greater_equal(batch["df"], min_df))
+        sub = batch.filter(m)
+        if sub.num_rows > limit:
+            sub = sub.take(pc.select_k_unstable(sub, limit, keys))
+        return sub.select(["term", "df", "total_tf"])
+
+    res = ray.data.read_parquet(stats_dir).map_batches(
+        local, batch_format="pyarrow").to_pandas()
+    asc = [True] if sort == "index" else [False, True]
+    cols = ["term"] if sort == "index" else ["df", "term"]
+    res = res.sort_values(cols, ascending=asc, kind="mergesort").head(limit)
+    res = res.reset_index(drop=True)
+    res.insert(0, "rank", np.arange(1, len(res) + 1, dtype=np.int64))
+    return res
 
 
 def _prefix_upper(prefix: str) -> str:
