@@ -4768,6 +4768,85 @@ def q_geofilt_customers(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+import math as _math
+
+_BBOX_LAT0, _BBOX_LON0, _BBOX_D_KM = 48.8566, 2.3522, 2000.0
+_BBOX_R = 6371.0087714
+_BBOX_DLAT = _math.degrees(_BBOX_D_KM / _BBOX_R)
+_BBOX_DLON = _math.degrees(
+    _BBOX_D_KM / (_BBOX_R * _math.cos(_math.radians(_BBOX_LAT0))))
+_BBOX = (_BBOX_LAT0 - _BBOX_DLAT, _BBOX_LAT0 + _BBOX_DLAT,
+         _BBOX_LON0 - _BBOX_DLON, _BBOX_LON0 + _BBOX_DLON)
+
+
+def q_bbox_customers(sf_dir: str):
+    """{!bbox} spatial filter (reference: solr/core/.../search/
+    SpatialBoxQParserPlugin.java + LatLonType bbox path, branch_8x): the
+    rectangle around (Paris, d=2000 km). The box edges are computed ONCE
+    in Python and the SAME float64 literals are inlined into the SQL
+    oracle, so the filter is ulp-identical by construction (no trig runs
+    in either engine at query time); per-nation count + min lat on the
+    integer e6 grid."""
+    from ray.data.aggregate import Count, Min
+
+    lo_lat, hi_lat, lo_lon, hi_lon = _BBOX
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy().astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy().astype(np.int64)
+        k2 = (ck * 2654435761) % 4294967296
+        lat = (k2 % 17000) / 100.0 - 85.0
+        lon = ((k2 // 7 + nk) % 36000) / 100.0 - 180.0
+        keep = ((lat >= lo_lat) & (lat <= hi_lat)
+                & (lon >= lo_lon) & (lon <= hi_lon))
+        lat_e6 = np.floor(lat[keep] * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_nationkey": pa.array(nk[keep]),
+            "lat_e6": pa.array(lat_e6),
+        })
+
+    agg = (
+        cust.map_batches(ev, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count("lat_e6", ignore_nulls=False), Min("lat_e6"))
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+            "n_in_box": pc.cast(batch["count(lat_e6)"], pa.int64()),
+            "min_lat_e6": pc.cast(batch["min(lat_e6)"], pa.int64()),
+        })
+
+    return agg.map_batches(out, batch_format="pyarrow").sort("c_nationkey")
+
+
+def sql_bbox_customers() -> str:
+    lo_lat, hi_lat, lo_lon, hi_lon = (repr(v) for v in _BBOX)
+    return f"""
+WITH k AS (
+  SELECT c_nationkey, ((c_custkey * 2654435761) % 4294967296) AS k2
+  FROM customer
+), pts AS (
+  SELECT c_nationkey,
+         (k2 % 17000) / 100.0 - 85.0 AS lat,
+         ((k2 // 7 + c_nationkey) % 36000) / 100.0 - 180.0 AS lon
+  FROM k
+), inbox AS (
+  SELECT c_nationkey,
+         CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS lat_e6
+  FROM pts
+  WHERE lat >= {lo_lat} AND lat <= {hi_lat}
+    AND lon >= {lo_lon} AND lon <= {hi_lon}
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_in_box,
+       CAST(min(lat_e6) AS BIGINT) AS min_lat_e6
+FROM inbox GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def sql_geofilt_customers() -> str:
     return """
 WITH k AS (
@@ -6036,6 +6115,7 @@ QUERIES = {
     "stream_evaluators_docs": q_stream_evaluators_docs,
     "stream_evaluators_ts": q_stream_evaluators_ts,
     "geofilt_customers": q_geofilt_customers,
+    "bbox_customers": q_bbox_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
     "graph_2hop_parts": q_graph_2hop_parts,
@@ -6163,6 +6243,7 @@ ORACLES = {
     "stream_evaluators_docs": sql_stream_evaluators_docs(),
     "stream_evaluators_ts": sql_stream_evaluators_ts(),
     "geofilt_customers": sql_geofilt_customers(),
+    "bbox_customers": sql_bbox_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
     "graph_2hop_parts": sql_graph_2hop_parts(),
