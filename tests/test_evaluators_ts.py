@@ -106,3 +106,16 @@ def test_nested_composition():
     got = compile_evaluator(
         ["valueAt", ["movingMedian", "x", 3], 1])(t).to_pylist()
     assert got == [2.0]  # median(1,4,2)
+
+
+def test_empty_batch_all_kernels():
+    # empty blocks are routine in real reads — every kernel must pass
+    # a 0-row batch through with 0 rows out
+    t = pa.table({"x": pa.array([], type=pa.list_(pa.float64())),
+                  "y": pa.array([], type=pa.list_(pa.float64())),
+                  "va": pa.array([], type=pa.float64())})
+    for spec in (["movingAvg", "x", 2], ["movingMedian", "x", 3],
+                 ["zscores", "x"], ["cov", "x", "y"],
+                 ["dotProduct", "x", "y"], ["cosineSimilarity", "x", "y"],
+                 ["distance", "x", "y"], ["array", "va", "va"]):
+        assert len(compile_evaluator(spec)(t)) == 0, spec
