@@ -137,7 +137,28 @@ def main(argv=None):
     cu.add_argument("--out", required=True)
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--ops", default="tokens,quality",
-                    help="comma list of tokens|quality|stats|repetition|langid")
+                    help="comma list of tokens|quality|stats|repetition|"
+                         "fingerprint|langid")
+
+    sg = sub.add_parser(
+        "suggest",
+        help="prefix/infix completions from the index's stats dictionary "
+             "(TermsComponent / AnalyzingInfixSuggester analogs)",
+    )
+    sg.add_argument("--index-root", required=True)
+    sg.add_argument("--lookups", nargs="+", required=True)
+    sg.add_argument("--k", type=int, default=10)
+    sg.add_argument("--match", choices=["prefix", "infix"], default="prefix")
+    sg.add_argument("--weight", choices=["total_tf", "df"], default="total_tf")
+
+    tm = sub.add_parser(
+        "terms",
+        help="terms.regex vocabulary listing (TermsComponent analog)",
+    )
+    tm.add_argument("--index-root", required=True)
+    tm.add_argument("--regex", required=True)
+    tm.add_argument("--limit", type=int, default=20)
+    tm.add_argument("--sort", choices=["index", "count"], default="count")
 
     args = ap.parse_args(argv)
 
@@ -290,7 +311,8 @@ def main(argv=None):
         batch_fns = {"tokens": ts.token_count_batch,
                      "quality": ts.quality_score_batch,
                      "stats": ts.doc_stats_batch,
-                     "repetition": ts.ngram_repetition_batch}
+                     "repetition": ts.ngram_repetition_batch,
+                     "fingerprint": ts.fingerprint_batch}
         bad = [o for o in ops if o not in (*batch_fns, "langid")]
         if bad:
             raise SystemExit(f"curate: unknown ops {bad}")
@@ -325,6 +347,18 @@ def main(argv=None):
 
         n = pads.dataset(args.out).count_rows()
         print(json.dumps({"ops": ops, "rows": n, "out": args.out}))
+    elif args.cmd == "suggest":
+        from .search.suggest import suggest
+
+        res = suggest(args.index_root, args.lookups, k=args.k,
+                      weight=args.weight, match=args.match)
+        print(res.to_json(orient="records"))
+    elif args.cmd == "terms":
+        from .search.suggest import terms_regex
+
+        res = terms_regex(args.index_root, args.regex,
+                          limit=args.limit, sort=args.sort)
+        print(res.to_json(orient="records"))
     elif args.cmd == "check":
         from .index.checkindex import check_index
 

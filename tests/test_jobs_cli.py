@@ -136,3 +136,43 @@ def test_analyze_build_search_check_cli(ray_session, corpus, capsys):
     errors = json.loads(
         [ln for ln in capsys.readouterr().out.splitlines() if ln][-1])
     assert errors == {"errors": []}
+
+
+def test_suggest_terms_cli(ray_session, corpus, capsys):
+    idx = str(corpus / "idx2")
+    _run(capsys, [
+        "build", "--input", str(corpus / "pages.parquet"),
+        "--index-root", idx, "--partitions", "2",
+    ])
+    out = _run(capsys, [
+        "suggest", "--index-root", idx, "--lookups", "fo", "qu",
+        "--k", "3",
+    ])
+    rows = json.loads(out[-1])
+    assert {"fox", "quick"} <= {r["term"] for r in rows}
+    out = _run(capsys, [
+        "suggest", "--index-root", idx, "--lookups", "ow", "--match", "infix",
+    ])
+    assert {r["term"] for r in json.loads(out[-1])} == {"brown"}
+    out = _run(capsys, [
+        "terms", "--index-root", idx, "--regex", "f.*|.*ck",
+    ])
+    assert {r["term"] for r in json.loads(out[-1])} >= {
+        "fox", "fuchs", "quick"}
+
+
+def test_curate_fingerprint_op(ray_session, corpus, capsys):
+    out = _run(capsys, [
+        "curate", "--input", str(corpus / "docs.parquet"),
+        "--out", str(corpus / "fp"), "--ops", "fingerprint",
+    ])
+    assert json.loads(out[-1])["rows"] == 40
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(str(corpus / "fp")).to_table().to_pandas()
+    fp_col = [c for c in t.columns if "fingerprint" in c or "fp" in c]
+    assert fp_col, t.columns
+    # identical texts => identical fingerprints; distinct texts differ
+    g = t.groupby("text")[fp_col[0]].nunique()
+    assert (g == 1).all()
+    assert t[fp_col[0]].nunique() == t["text"].nunique()
