@@ -2839,6 +2839,34 @@ GROUP BY term ORDER BY count DESC, term LIMIT 10
 """
 
 
+def q_facet_prefix_terms(sf_dir: str):
+    """facet.prefix (reference: solr/core/.../request/SimpleFacets.java
+    facet.prefix handling, branch_8x — the facet-driven autocomplete
+    pattern): term facet counts restricted to a prefix BEFORE the
+    count/refine work, so the prefix prune happens map-side on every
+    block (only matching tokens enter the shuffle)."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch["text"]))
+        return pa.table({"term": toks.filter(
+            pc.starts_with(toks, "s"))})
+
+    terms = docs.map_batches(tokens, batch_format="pyarrow")
+    return rel.facet_top_terms(terms, "term", topn=8)
+
+
+def sql_facet_prefix_terms() -> str:
+    return """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS count FROM toks
+WHERE term LIKE 's%'
+GROUP BY term ORDER BY count DESC, term LIMIT 8
+"""
+
+
 def q_stats_extendedprice(sf_dir: str):
     """StatsComponent: global min/max/sum/count (cents)."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -6041,6 +6069,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "facet_event_types": q_facet_event_types,
     "facet_top_terms": q_facet_top_terms,
+    "facet_prefix_terms": q_facet_prefix_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
     "ft_german_stem_stats": q_ft_german_stem_stats,
     "ft_french_stem_stats": q_ft_french_stem_stats,
@@ -6172,6 +6201,7 @@ ORACLES = {
     "top_orders": sql_top_orders(),
     "facet_event_types": sql_facet_event_types(),
     "facet_top_terms": sql_facet_top_terms(),
+    "facet_prefix_terms": sql_facet_prefix_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
     "ft_german_stem_stats": sql_ft_german_stem_stats(),
     "ft_french_stem_stats": _sql_lang_stem_stats(FRENCH_PLANT),

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from .multiterm import levenshtein_batch
 
-__all__ = ["spellcheck"]
+__all__ = ["spellcheck", "collate"]
 
 
 def spellcheck(
@@ -122,3 +122,36 @@ def spellcheck(
     return pd.DataFrame(
         rows, columns=["input", "rank", "suggestion", "distance", "df"]
     )
+
+
+def collate(index_root: str, terms: List[str], **kw) -> dict:
+    """spellcheck.collate analog (reference: solr/core/.../spelling/
+    SpellCheckCollator.java, branch_8x): rebuild the query string with
+    each term replaced by its top correction (terms already in the
+    vocabulary — i.e. with no distance-0-excluded suggestion better than
+    themselves — stay as typed; spellcheck() never suggests the exact
+    self, so "in vocabulary" is checked against the dictionary first).
+    Returns {"collation": str, "corrections": {input: suggestion}}."""
+    import ray.data
+
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    tset = pa.array(sorted(set(terms)))
+
+    def present(batch: pa.Table) -> pa.Table:
+        return batch.select(["term"]).filter(
+            pc.is_in(batch["term"], value_set=tset))
+
+    known = set(
+        ray.data.read_parquet(stats_dir, columns=["term"])
+        .map_batches(present, batch_format="pyarrow")
+        .to_pandas()["term"]
+    )
+    unknown = [t for t in terms if t not in known]
+    corrections: dict = {}
+    if unknown:
+        sugg = spellcheck(index_root, unknown, topn=1, **kw)
+        corrections = dict(zip(sugg["input"], sugg["suggestion"]))
+    return {
+        "collation": " ".join(corrections.get(t, t) for t in terms),
+        "corrections": corrections,
+    }

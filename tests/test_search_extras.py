@@ -48,6 +48,19 @@ def test_spellcheck(ray_session, tmp_path):
     assert "query" not in set(r2["suggestion"])
 
 
+def test_spellcheck_collate(ray_session, tmp_path):
+    """SpellCheckCollator analog: known terms stay as typed, unknown terms
+    take their top correction, the collation preserves query order."""
+    from lucene_solr_ray.search.spellcheck import collate
+
+    idx, _ = _mk_index(tmp_path)
+    res = collate(idx, ["query", "jion", "quary"], max_edits=2)
+    assert res["corrections"]["jion"] == "join"
+    assert res["corrections"]["quary"] == "query"
+    assert "query" not in res["corrections"]  # in-vocabulary: untouched
+    assert res["collation"] == "query join query"
+
+
 def test_highlight(ray_session, tmp_path):
     from lucene_solr_ray.search.highlight import highlight
 
