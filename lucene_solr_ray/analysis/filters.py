@@ -185,6 +185,27 @@ def _build_synonym(args: dict):
     return fn
 
 
+def _build_keyword_repeat(args: dict):
+    """KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter net
+    effect (reference: lucene/analysis/common/.../miscellaneous/
+    KeywordRepeatFilter.java + RemoveDuplicatesTokenFilter.java,
+    branch_8x — the standard chain for indexing BOTH the original and the
+    stemmed form at one position): token → unique [original, stem], a
+    posInc-0 expansion exactly like synonym lists. ``stemmer``: "porter"
+    (default) or any snowball language name."""
+    name = str(args.get("stemmer", "porter")).lower()
+    if name in ("porter", "porter_stem"):
+        inner = _build_porter({})
+    else:
+        inner = _build_snowball({"language": name})
+
+    def fn(t: str):
+        s = inner(t)
+        return t if (s is None or s == t) else [t, s]
+
+    return fn
+
+
 def _build_edge_ngram(args: dict):
     """EdgeNGramTokenFilter analog (reference: lucene/analysis/common/.../
     ngram/EdgeNGramTokenFilter.java, branch_8x): each token expands to its
@@ -512,6 +533,7 @@ FILTER_BUILDERS: Dict[str, Callable[[dict], Callable[[str], Optional[str]]]] = {
     "trim": _build_trim,
     "reverse_string": _build_reverse,
     "synonym": _build_synonym,
+    "keyword_repeat": _build_keyword_repeat,
     "edge_ngram": _build_edge_ngram,
     "ngram": _build_ngram,
     "word_delimiter": _build_word_delimiter,

@@ -1139,3 +1139,23 @@ def test_pattern_replace_trim_reverse_filters():
         ]},
     )
     assert toks == ["redro", "deppihs", "tsaf"]
+
+
+def test_keyword_repeat_filter():
+    """KeywordRepeatFilter(+stemmer+RemoveDuplicates) net effect: token →
+    [original, stem] at one position; unchanged-by-stemming tokens emit
+    once (the RemoveDuplicates step)."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+    from lucene_solr_ray.stages.analyzer import analyze
+
+    f = build_filter_chain([{"name": "keyword_repeat"}])
+    assert f("running") == ["running", "run"]
+    assert f("data") == "data"  # stem == original: single emission
+
+    toks = analyze("Running quickly",
+                   {"filters": ["lowercase", "keyword_repeat"]})
+    assert sorted(toks) == ["quickli", "quickly", "run", "running"]
+
+    g = build_filter_chain([{"name": "keyword_repeat",
+                             "stemmer": "german"}])
+    assert g("häuser") == ["häuser", "haus"]
