@@ -399,6 +399,70 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return bucketed_top1(hashed, ["content_hash"], [id_col], [False])
 
 
+def fingerprint_canonical_batch(batch: pa.Table,
+                                text_col: str = "text") -> pa.Table:
+    """Canonical token fingerprint per row (reference: lucene/analysis/
+    common/.../miscellaneous/FingerprintFilter.java + Solr's
+    FingerprintUpdateProcessor pattern, branch_8x — the classic
+    word-order-insensitive dedup key): whitespace tokens, sorted, deduped,
+    space-joined. Fully vectorized: one dictionary encode gives each
+    token an integer rank (dictionary sorted ONCE per batch — no Python
+    string comparisons), one numpy lexsort orders tokens within rows, a
+    boundary mask dedups, and Arrow take/binary_join rebuild the strings.
+    Appends a ``canonical`` string column."""
+    toks = pc.split_pattern_regex(
+        batch[text_col].combine_chunks()
+        if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col],
+        r"\s+")
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = toks.values
+    n_rows = len(off) - 1
+    if len(flat) == 0:
+        return batch.append_column(
+            "canonical", pa.array([""] * n_rows, type=pa.string()))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictv = enc.dictionary
+    sort_idx = pc.array_sort_indices(dictv).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(dictv), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(dictv))
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(off))
+    order = np.lexsort((rank[codes], seg))
+    oc, os_ = codes[order], seg[order]
+    boundary = np.ones(len(order), dtype=bool)
+    boundary[1:] = (os_[1:] != os_[:-1]) | (oc[1:] != oc[:-1])
+    empty_code = pc.index(dictv, "").as_py()
+    keep = boundary if empty_code < 0 else boundary & (oc != empty_code)
+    new_off = np.concatenate(
+        [[0], np.cumsum(np.bincount(os_[keep], minlength=n_rows))])
+    la = pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()),
+        flat.take(pa.array(order[keep])))
+    return batch.append_column("canonical", pc.binary_join(la, " "))
+
+
+def fingerprint_dedup_ids(ds, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Word-order-insensitive exact dedup: survivors = min(id) per
+    canonical sorted-unique-token fingerprint ("b a a c" ≡ "a b c").
+    Same native hash-aggregate scale shape as exact_dedup_ids, with the
+    canonical string re-keyed through the vectorized 128-bit content
+    hash so long vocabularies never shuffle as raw strings."""
+    from ray.data.aggregate import Min
+
+    def key(b: pa.Table) -> pa.Table:
+        canon = fingerprint_canonical_batch(b, text_col)
+        return add_content_hash(
+            pa.table({id_col: b[id_col], "text": canon["canonical"]}),
+            "text", "fast",
+        ).select(["content_hash", id_col])
+
+    hashed = ds.map_batches(key, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col))
+
+
 def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text",
                     algo: str = "fast"):
     """(id, content_hash) survivors via a NATIVE hash aggregate — min(id)

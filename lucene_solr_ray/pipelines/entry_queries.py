@@ -2516,6 +2516,31 @@ FROM documents GROUP BY text
 """
 
 
+def q_dedup_fingerprint(sf_dir: str):
+    """Word-order-insensitive dedup (FingerprintFilter / Solr
+    FingerprintUpdateProcessor pattern): survivors = min(doc_id) per
+    sorted-unique-token canonical string — "b a a c" ≡ "a b c". The
+    canonicalization is one dictionary-rank lexsort + boundary dedup per
+    batch (no per-row Python); the group key rides the 128-bit content
+    hash so long vocabularies never shuffle as raw strings."""
+    from ..functions.dedup import fingerprint_dedup_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ids = fingerprint_dedup_ids(ds, id_col="doc_id", text_col="text")
+    return ids.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def sql_dedup_fingerprint() -> str:
+    return """
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY array_to_string(
+    list_sort(list_distinct(string_split(text, ' '))), ' ')
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by n-gram Jaccard —
     not SQL-expressible (banding); deterministic seed, rows-only check.
@@ -6052,6 +6077,7 @@ QUERIES = {
     "langid_eval": q_langid_eval,
     # dedup (§2.7 SignatureUpdateProcessor + extensions)
     "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embed": q_dedup_embed,
@@ -6192,6 +6218,7 @@ ORACLES = {
     "html_strip_docs": sql_html_strip_docs(),
     "ft_html_strip_stats": sql_ft_html_strip_stats(),
     "dedup_exact": sql_dedup_exact(),
+    "dedup_fingerprint": sql_dedup_fingerprint(),
     "dedup_embed": sql_dedup_embed(),
     "ann_bruteforce": sql_ann_bruteforce(),
     "binary_meta": sql_binary_meta(),

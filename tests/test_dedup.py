@@ -179,3 +179,25 @@ def test_span_dedup_planted_duplicates(ray_session):
     # docs 1 and 2 share exactly ONE 8-token span (the passage); 3 and 4
     # have no fully-duplicated 8-token window
     assert res == {1: 1, 2: 1}, res
+
+
+def test_fingerprint_dedup_order_insensitive(ray_session):
+    """FingerprintFilter-style dedup: token order and repetition don't
+    matter; vocabulary does."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.dedup import (
+        fingerprint_canonical_batch, fingerprint_dedup_ids)
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["b a a c", "a b c", "c  b a", "a b", "b a d"]),
+    })
+    canon = fingerprint_canonical_batch(t)["canonical"].to_pylist()
+    assert canon == ["a b c", "a b c", "a b c", "a b", "a b d"]
+
+    ids = fingerprint_dedup_ids(
+        ray.data.from_arrow(t), id_col="doc_id", text_col="text"
+    ).to_pandas()["doc_id"]
+    assert sorted(ids) == [0, 3, 4]
