@@ -6028,6 +6028,187 @@ FROM c ORDER BY doc_id
 """
 
 
+CLASSIFY_TERMS = ["query", "join", "slow", "fast"]
+# intercept first; every weight a binary fraction so logit = m·0.25 is an
+# EXACT float64 in both engines (multiplication/summation order irrelevant)
+CLASSIFY_WEIGHTS = [-1.5, 2.25, 1.5, -2.0, 0.5]
+
+
+def q_classify_docs(sf_dir: str):
+    """classify() stream (SURVEY.md §2.8 ClassifyStream): score every doc
+    against a fixed logistic model — one streaming map_batches pass, model
+    broadcast in the closure. Binary-fraction weights × integer tf make the
+    logit exact float64, so the contract is integer-exact end to end."""
+    from ..functions.textml import classify
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = classify(docs, CLASSIFY_TERMS, CLASSIFY_WEIGHTS)
+
+    def fixpt(batch: pa.Table) -> pa.Table:
+        z = batch["logit"].to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "logit_e6": pa.array(np.floor(z * 1e6).astype(np.int64)),
+            "predicted": batch["predicted"],
+        })
+
+    return scored.map_batches(fixpt, batch_format="pyarrow")
+
+
+def sql_classify_docs() -> str:
+    model = ", ".join(
+        f"('{t}', {w!r})" for t, w in zip(CLASSIFY_TERMS, CLASSIFY_WEIGHTS[1:])
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m(term, w) AS (VALUES {model}),
+s AS (
+  SELECT t.doc_id, sum(m.w) AS ws
+  FROM toks t JOIN m ON t.term = m.term GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(floor(({CLASSIFY_WEIGHTS[0]!r} + coalesce(s.ws, 0)) * 1e6) AS BIGINT)
+         AS logit_e6,
+       CAST(({CLASSIFY_WEIGHTS[0]!r} + coalesce(s.ws, 0)) > 0 AS BIGINT)
+         AS predicted
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_features_ig_docs(sf_dir: str):
+    """features() stream (SURVEY.md §2.8 FeaturesSelectionStream): top-15
+    terms by information gain against the binary label lang='es'. Distinct
+    (doc, term) pairs explode vectorized; per-term class counts ride the
+    bucketed combiner+merge shuffle; IG is floor-e6 fixed-point so the
+    top-k ORDERING is ulp-stable across engines."""
+    from ..functions.textml import features_ig
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "lab": pc.cast(pc.equal(pc.coalesce(batch["lang"], ""), "es"),
+                           pa.int64()),
+        })
+
+    labeled = docs.map_batches(lab, batch_format="pyarrow")
+    return features_ig(labeled, "lab", top_k=15)
+
+
+def sql_features_ig_docs() -> str:
+    return """
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lab FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT t.term, sum(l.lab) AS pos_docs, count(*) AS docs
+  FROM toks t JOIN lab l USING (doc_id)
+  WHERE t.term <> '' GROUP BY t.term
+),
+tot AS (SELECT count(*) AS n, sum(lab) AS np FROM lab)
+SELECT term, pos_docs, docs,
+  CAST(floor(greatest(
+    (CASE WHEN np <= 0 OR np >= n THEN 0 ELSE
+       -((np*1.0/n) * log2(np*1.0/n) + (1 - np*1.0/n) * log2(1 - np*1.0/n))
+     END)
+    - (docs*1.0/n) *
+      (CASE WHEN pos_docs*1.0/docs <= 0 OR pos_docs*1.0/docs >= 1 THEN 0 ELSE
+         -((pos_docs*1.0/docs) * log2(pos_docs*1.0/docs)
+           + (1 - pos_docs*1.0/docs) * log2(1 - pos_docs*1.0/docs))
+       END)
+    - (1 - docs*1.0/n) *
+      (CASE WHEN n - docs = 0 OR (np - pos_docs)*1.0/(n - docs) <= 0
+                 OR (np - pos_docs)*1.0/(n - docs) >= 1 THEN 0 ELSE
+         -(((np - pos_docs)*1.0/(n - docs)) * log2((np - pos_docs)*1.0/(n - docs))
+           + (1 - (np - pos_docs)*1.0/(n - docs))
+             * log2(1 - (np - pos_docs)*1.0/(n - docs)))
+       END)
+  , 0) * 1e6) AS BIGINT) AS ig_e6
+FROM c, tot
+ORDER BY ig_e6 DESC, term ASC
+LIMIT 15
+"""
+
+
+def q_shortest_path_parts(sf_dir: str):
+    """shortestPath() stream (SURVEY.md §2.8 ShortestPathStream): BFS
+    distances from part GRAPH_START_PART over the bipartite
+    part↔order lineitem graph (namespaced into one int64 key space: parts
+    even, orders odd), max 4 hops. Each hop is one distributed semi-join +
+    bucketed min-parent aggregate; first discovery is minimum distance."""
+    from ..functions.textml import shortest_path
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def ns(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy().astype(np.int64) * 2 + 1
+        p = batch["l_partkey"].to_numpy().astype(np.int64) * 2
+        return pa.table({
+            "src": pa.array(np.concatenate([p, o])),
+            "dst": pa.array(np.concatenate([o, p])),
+        })
+
+    edges_ds = li.map_batches(ns, batch_format="pyarrow").materialize()
+    dist_ds, _ = shortest_path(
+        lambda: edges_ds, "src", "dst", GRAPH_START_PART * 2, max_hops=4
+    )
+    return dist_ds.select_columns(["node", "dist"]).sort("node")
+
+
+def sql_shortest_path_parts() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT l_partkey * 2 AS src, l_orderkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 2 + 1, l_partkey * 2 FROM lineitem
+),
+bfs(node, dist) AS (
+  SELECT CAST({GRAPH_START_PART * 2} AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.dist < 4
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+ORDER BY node
+"""
+
+
+def q_train_logit_docs(sf_dir: str) -> pd.DataFrame:
+    """train() stream (SURVEY.md §2.8 TextLogitStream): distributed
+    logistic-regression training — per iteration one streaming pass emits
+    ONE partial-gradient row per block; the driver sums partials and
+    updates the broadcast weights, exactly the reference's shard-partial /
+    coordinator-sum loop. Emits the per-iteration tuples the stream does.
+    No SQL oracle (iterative float training; block-order summation) —
+    pytest-gated against a single-process numpy reference instead
+    (tests/test_textml.py)."""
+    from ..functions.textml import train_logit
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "lab": pc.cast(pc.equal(pc.coalesce(batch["lang"], ""), "es"),
+                           pa.int64()),
+        })
+
+    labeled = docs.map_batches(lab, batch_format="pyarrow")
+    _, history = train_logit(
+        labeled, ["query", "join", "fast", "slow", "scan", "merge"],
+        "lab", iterations=8,
+    )
+    return history
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -6174,6 +6355,11 @@ QUERIES = {
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
     "graph_2hop_parts": q_graph_2hop_parts,
+    # §2.8 ML / graph streams (functions/textml.py)
+    "classify_docs": q_classify_docs,
+    "features_ig_docs": q_features_ig_docs,
+    "shortest_path_parts": q_shortest_path_parts,
+    "train_logit_docs": q_train_logit_docs,
 }
 
 ORACLES = {
@@ -6304,4 +6490,8 @@ ORACLES = {
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
     "graph_2hop_parts": sql_graph_2hop_parts(),
+    "classify_docs": sql_classify_docs(),
+    "features_ig_docs": sql_features_ig_docs(),
+    "shortest_path_parts": sql_shortest_path_parts(),
+    # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }
