@@ -63,6 +63,8 @@ __all__ = [
     "classify",
     "features_ig",
     "shortest_path",
+    "gather_nodes",
+    "score_nodes",
 ]
 
 
@@ -263,6 +265,80 @@ def features_ig(ds, label_col: str, top_k: int = 10,
 
     scored = counts.map_batches(ig, batch_format="pyarrow")
     return scored.sort(["ig_e6", "term"], descending=[True, False]).limit(top_k)
+
+
+def gather_nodes(edges_ds, from_col: str, to_col: str, start_keys,
+                 num_partitions: Optional[int] = None,
+                 broadcast_threshold: int = 1_000_000):
+    """gatherNodes()/nodes() stream with the count(*) aggregation ([8x]
+    solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+    GatherNodesStream.java ~700 LoC): expand one hop from ``start_keys``
+    and count, per discovered node, how many edges gathered it. One
+    distributed semi-join (start set broadcast while small) + one bucketed
+    combiner+merge count — the per-node exchange never moves edge rows.
+    Returns a Dataset (node, gathered)."""
+    import ray.data as _rd
+
+    start = _rd.from_items([{from_col: k} for k in start_keys])
+    if len(start_keys) <= broadcast_threshold:
+        s_ref = broadcast_table(start)
+        hop = semi_join_broadcast_table(edges_ds, s_ref, on=from_col)
+    else:
+        hop = semi_join(edges_ds, start, on=from_col,
+                        num_partitions=num_partitions)
+    out = bucketed_agg(hop, to_col, [(to_col, "count")], ["gathered"],
+                       num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: t.rename_columns(["node", "gathered"]),
+        batch_format="pyarrow",
+    )
+
+
+def score_nodes(gathered_ds, coll_ds, node_col: str,
+                num_partitions: Optional[int] = None):
+    """scoreNodes() stream ([8x] …/io/graph/ScoreNodesStream.java ~250
+    LoC): rank gathered nodes tf-idf style — the gather count is the term
+    frequency and the node's document frequency in the backing collection
+    supplies the idf, so hub nodes that appear everywhere stop dominating
+    the traversal. score = gathered · ln(N / df).
+
+    Scale shape: N is one streaming count; df is computed ONLY for the
+    gathered nodes (the collection is semi-joined against the node set
+    first, then one bucketed count — the full-vocabulary frequency table
+    is never built); the final (node, gathered)⋈(node, df) join runs on
+    two already-aggregated tables. Returns (node, gathered, df,
+    score_e6 = floor(score · 1e6)) — the fixed-point convention keeping
+    ln() ulp-stable across engines."""
+    n_docs = coll_ds.count()
+    hits = semi_join(
+        coll_ds.select_columns([node_col]),
+        gathered_ds, on=node_col, right_on="node",
+        num_partitions=num_partitions,
+    )
+    df = bucketed_agg(hits, node_col, [(node_col, "count")], ["df"],
+                      num_partitions=num_partitions)
+    df = df.map_batches(lambda t: t.rename_columns(["node", "df"]),
+                        batch_format="pyarrow")
+    # heal bucketed/map_groups lineage before the native hash join (empty
+    # schema-less bundles on tiny inputs — the round-4 gotcha)
+    from .relational import default_shuffle_partitions
+    P = default_shuffle_partitions(num_partitions)
+    joined = gathered_ds.repartition(P).join(
+        df.repartition(P), join_type="inner", num_partitions=P, on=("node",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        g = t["gathered"].to_numpy().astype(np.float64)
+        d = t["df"].to_numpy().astype(np.float64)
+        s = g * np.log(float(n_docs) / d)
+        return pa.table({
+            "node": t["node"],
+            "gathered": t["gathered"],
+            "df": t["df"],
+            "score_e6": pa.array(np.floor(s * 1e6).astype(np.int64)),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 def shortest_path(edges_ds_fn, from_col: str, to_col: str, src,

@@ -6180,6 +6180,48 @@ ORDER BY node
 """
 
 
+def q_score_nodes_parts(sf_dir: str):
+    """gatherNodes()+scoreNodes() streams (SURVEY.md §2.8 GatherNodesStream
+    / ScoreNodesStream): gather part nodes one hop from customer 1's
+    orders over the lineitem edge table (count(*) aggregation), then rank
+    them tf-idf style — gathered · ln(N/df) with df computed ONLY for the
+    gathered nodes (collection semi-joined first, never a full-vocab
+    frequency table). floor-e6 fixed point keeps ln() ulp-stable."""
+    from ..functions.textml import gather_nodes, score_nodes
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    starts = [
+        r["o_orderkey"]
+        for r in orders.filter(expr="o_custkey == 1")
+        .select_columns(["o_orderkey"]).take_all()
+    ]
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    gathered = gather_nodes(li, "l_orderkey", "l_partkey", starts)
+    scored = score_nodes(
+        gathered, li.select_columns(["l_partkey"]), "l_partkey")
+    return scored.sort(["score_e6", "node"], descending=[True, False])
+
+
+def sql_score_nodes_parts() -> str:
+    return """
+WITH starts AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+g AS (
+  SELECT l_partkey AS node, count(*) AS gathered
+  FROM lineitem JOIN starts ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+),
+d AS (
+  SELECT l_partkey AS node, count(*) AS df FROM lineitem
+  WHERE l_partkey IN (SELECT node FROM g) GROUP BY l_partkey
+),
+n AS (SELECT count(*) AS nd FROM lineitem)
+SELECT g.node, g.gathered, d.df,
+  CAST(floor(g.gathered * ln(nd * 1.0 / df) * 1e6) AS BIGINT) AS score_e6
+FROM g JOIN d USING (node), n
+ORDER BY score_e6 DESC, node ASC
+"""
+
+
 def q_train_logit_docs(sf_dir: str) -> pd.DataFrame:
     """train() stream (SURVEY.md §2.8 TextLogitStream): distributed
     logistic-regression training — per iteration one streaming pass emits
@@ -6359,6 +6401,7 @@ QUERIES = {
     "classify_docs": q_classify_docs,
     "features_ig_docs": q_features_ig_docs,
     "shortest_path_parts": q_shortest_path_parts,
+    "score_nodes_parts": q_score_nodes_parts,
     "train_logit_docs": q_train_logit_docs,
 }
 
@@ -6493,5 +6536,6 @@ ORACLES = {
     "classify_docs": sql_classify_docs(),
     "features_ig_docs": sql_features_ig_docs(),
     "shortest_path_parts": sql_shortest_path_parts(),
+    "score_nodes_parts": sql_score_nodes_parts(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }

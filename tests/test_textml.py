@@ -198,6 +198,33 @@ def test_shortest_path_unreachable_and_early_stop(ray_session):
     assert p0 == [1]
 
 
+def test_gather_and_score_nodes(ray_session):
+    import math
+
+    import ray.data as rd
+    from lucene_solr_ray.functions.textml import gather_nodes, score_nodes
+
+    # edges: orders -> parts; part 7 is a hub (appears everywhere)
+    src = [1, 1, 2, 2, 3, 3, 4, 5, 6]
+    dst = [7, 8, 7, 9, 7, 8, 7, 7, 7]
+    et = pa.table({"o": pa.array(src, type=pa.int64()),
+                   "p": pa.array(dst, type=pa.int64())})
+    eds = rd.from_arrow(et).repartition(3).materialize()
+    g = gather_nodes(eds, "o", "p", [1, 2, 3])
+    got = {r["node"]: r["gathered"] for r in g.take_all()}
+    assert got == {7: 3, 8: 2, 9: 1}
+
+    coll = eds.map_batches(lambda t: t.select(["p"]), batch_format="pyarrow")
+    s = score_nodes(g, coll, "p").to_pandas().set_index("node")
+    N = len(dst)
+    for node, (gath, df) in {7: (3, 6), 8: (2, 2), 9: (1, 1)}.items():
+        assert s.loc[node, "gathered"] == gath and s.loc[node, "df"] == df
+        assert s.loc[node, "score_e6"] == math.floor(
+            gath * math.log(N / df) * 1e6)
+    # idf demotes the hub: part 8 (rare) outranks part 7 (everywhere)
+    assert s.loc[8, "score_e6"] > s.loc[7, "score_e6"]
+
+
 def test_featurize_fixed_width_schema(ray_session):
     from lucene_solr_ray.functions.textml import featurize
 
