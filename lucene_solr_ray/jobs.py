@@ -84,6 +84,18 @@ def main(argv=None):
                     help="treat --query as classic parser syntax")
     dl.add_argument("--ids", nargs="*", help="urls to deleteById")
 
+    au = sub.add_parser("atomic-update",
+                        help="partial document updates (set/add/inc/remove "
+                             "field modifiers, RTG-resolved, version-bumped)")
+    au.add_argument("--index-root", required=True)
+    au.add_argument("--source", nargs="+", required=True,
+                    help="stored-field parquet (the corpus the index was "
+                         "built from)")
+    au.add_argument("--updates", required=True,
+                    help='JSON list: [{"url": u, "ops": {field: {op: v}}}] '
+                         "or a path to such a file")
+    au.add_argument("--lang", default=None)
+
     c = sub.add_parser("check", help="CheckIndex invariants")
     c.add_argument("--index-root", required=True)
 
@@ -272,6 +284,19 @@ def main(argv=None):
             else:
                 q = json.loads(args.query)
             res = delete_by_query(args.index_root, q)
+        print(json.dumps(res))
+    elif args.cmd == "atomic-update":
+        import os as _os
+
+        from .pipelines.update import atomic_update
+
+        spec = args.updates
+        if _os.path.exists(spec):
+            with open(spec) as f:
+                spec = f.read()
+        res = atomic_update(args.index_root, json.loads(spec),
+                            source_paths=_expand(args.source),
+                            lang=args.lang)
         print(json.dumps(res))
     elif args.cmd == "dedup":
         import ray.data

@@ -405,7 +405,15 @@ def _spill_partition_stats(index_root: str, pid: int, stats_runs: str, num_shard
         if os.path.exists(f):
             t = _pq.read_table(f, columns=["term", "df", "total_tf"])
             if t.num_rows:
-                tabs.append(t)
+                # per-segment dictionaries store df as int32; the pre-sum
+                # below widens to int64 ONLY when >1 segment spilled, so a
+                # sparse append (one touched partition aggregates, others
+                # pass through) would hand reduce_shard mixed schemas —
+                # normalize here
+                tabs.append(t.set_column(
+                    t.schema.get_field_index("df"), "df",
+                    pc.cast(t["df"], pa.int64()),
+                ))
     if not tabs:
         return
     t = pa.concat_tables(tabs)

@@ -6180,6 +6180,61 @@ ORDER BY node
 """
 
 
+def q_ft_atomic_update_stats(sf_dir: str) -> pd.DataFrame:
+    """Atomic updates (SURVEY.md §2.10 AtomicUpdateDocumentMerger +
+    RTG + _version_ bump): build over the documents-as-pages corpus,
+    atomically SET doc 0's text and ADD (append) to doc 1's, forceMerge,
+    and report live-doc count, token sum and planted-term hits — all three
+    only come out right if the modifier merge resolved the CURRENT stored
+    version, the bumped version won last-wins dedup, and the merge
+    reclaimed the tombstoned originals."""
+    import shutil
+    import tempfile
+
+    from ..index.merge import merge_index
+    from ..pipelines.update import atomic_update
+
+    ds = _docs_as_pages(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="lsr_atomic_")
+    try:
+        idx = os.path.join(tmp, "idx")
+        build_index([], idx, num_partitions=FT_PARTITIONS, lang=None,
+                    dataset=ds, fingerprint="atomic-base")
+        atomic_update(idx, [
+            {"url": "doc://000000000000",
+             "ops": {"text": {"set": "zzatomic zzatomic query"}}},
+            {"url": "doc://000000000001",
+             "ops": {"text": {"add": "zzatomic"}}},
+        ], dataset=_docs_as_pages(sf_dir), lang=None)
+        root = merge_index(idx)
+        hits = search(idx, [{"query_id": 0, "kind": "term",
+                             "terms": ["zzatomic"]}], k=10)
+        return pd.DataFrame({
+            "n_docs": [root["num_live_docs"]],
+            "sum_dl": [root["sum_dl"]],
+            "zz_hits": [len(hits)],
+        }).astype(np.int64)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sql_ft_atomic_update_stats() -> str:
+    return """
+WITH mod AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 0 THEN 'zzatomic zzatomic query'
+              WHEN doc_id = 1 THEN text || ' zzatomic'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+       (SELECT count(*) FROM mod
+         WHERE list_contains(string_split(text, ' '), 'zzatomic')) AS zz_hits
+FROM mod
+"""
+
+
 def q_score_nodes_parts(sf_dir: str):
     """gatherNodes()+scoreNodes() streams (SURVEY.md §2.8 GatherNodesStream
     / ScoreNodesStream): gather part nodes one hop from customer 1's
@@ -6402,6 +6457,7 @@ QUERIES = {
     "features_ig_docs": q_features_ig_docs,
     "shortest_path_parts": q_shortest_path_parts,
     "score_nodes_parts": q_score_nodes_parts,
+    "ft_atomic_update_stats": q_ft_atomic_update_stats,
     "train_logit_docs": q_train_logit_docs,
 }
 
@@ -6537,5 +6593,6 @@ ORACLES = {
     "features_ig_docs": sql_features_ig_docs(),
     "shortest_path_parts": sql_shortest_path_parts(),
     "score_nodes_parts": sql_score_nodes_parts(),
+    "ft_atomic_update_stats": sql_ft_atomic_update_stats(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }

@@ -1,4 +1,5 @@
-"""Update-path operations beyond append/merge: deleteByQuery.
+"""Update-path operations beyond append/merge: deleteByQuery, deleteById,
+and atomic (partial document) updates.
 
 Solr's ``<delete><query>…</query></delete>`` update (reference:
 solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java
@@ -34,7 +35,7 @@ from ..state.manifest import (
 )
 from .query import prepare_search_context
 
-__all__ = ["delete_by_query", "delete_by_id"]
+__all__ = ["delete_by_query", "delete_by_id", "atomic_update"]
 
 
 class _DeleteByIdStage:
@@ -192,4 +193,147 @@ def delete_by_query(
     )
     root["delete_ops"] = ops
     write_root_manifest(index_root, root)
+    return result
+
+
+# ------------------------------------------------------------------------
+# Atomic updates (partial document updates)
+# ------------------------------------------------------------------------
+ATOMIC_DIR = "atomic"
+_ATOMIC_OPS = ("set", "add", "inc", "remove")
+
+
+def _apply_ops(row: dict, ops: Dict[str, Dict[str, object]]) -> dict:
+    """Apply Solr field modifiers to one stored document (reference:
+    solr/core/src/java/org/apache/solr/update/processor/
+    AtomicUpdateDocumentMerger.java ~500 LoC, branch_8x; SURVEY.md §2.10):
+    ``set`` replaces, ``add`` appends (string fields concatenate with a
+    space — our fields are scalar, Solr's multiValued list-append analog),
+    ``inc`` adds to a numeric field, ``remove`` nulls the field."""
+    out = dict(row)
+    for field, spec in ops.items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"field {field!r}: modifier must be one "
+                             f"{{op: value}} dict, got {spec!r}")
+        (op, val), = spec.items()
+        if op not in _ATOMIC_OPS:
+            raise ValueError(f"unknown atomic op {op!r} (have {_ATOMIC_OPS})")
+        if op == "set":
+            out[field] = val
+        elif op == "remove":
+            out[field] = None
+        elif op == "inc":
+            cur = out.get(field) or 0
+            out[field] = cur + val
+        else:  # add
+            cur = out.get(field)
+            out[field] = val if cur in (None, "") else f"{cur} {val}"
+    return out
+
+
+def atomic_update(
+    index_root: str,
+    updates,
+    source_paths=None,
+    dataset=None,
+    lang: Optional[str] = "en",
+    fingerprint: Optional[str] = None,
+) -> Dict:
+    """Partial document update (Solr atomic updates, SURVEY.md §2.10):
+    resolve each url's CURRENT stored document, apply the field
+    modifiers, bump the version, and reindex the result as one append
+    generation — the old version is tombstoned by the same last-wins
+    (warc_ts, dl) resolution every append uses, exactly Solr's
+    RTG + AtomicUpdateDocumentMerger + _version_-bump flow.
+
+    Solr requires all fields stored; our stored-field store is the source
+    parquet (``source_paths``/``dataset``). Chaining works without
+    re-reading prior outputs: every atomic generation's updated rows are
+    ALSO written under ``<index_root>/atomic/`` and consulted (newest
+    wins) when resolving the current document, so update #2 of a url sees
+    update #1's fields, not the original row.
+
+    Scale shape: k updates ≪ N docs — the source read is one pruned
+    streaming pass with a broadcast url mask (never a shuffle), only the
+    ≤k matched rows reach the driver for the modifier merge (the same
+    point-lookup budget realtime_get spends), and the reindex is a normal
+    append over k rows touching only the owning partitions.
+
+    ``updates``: list of {"url": u, "ops": {field: {op: value}}}.
+    Returns {"updated": n, "missing": [urls], "generation_file": path}.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    ups = {u["url"]: u["ops"] for u in updates}
+    if len(ups) != len(updates):
+        raise ValueError("duplicate url in one atomic_update call — "
+                         "order would be ambiguous; chain two calls")
+    url_set = frozenset(ups)
+
+    if dataset is None:
+        if not source_paths:
+            raise ValueError("need source_paths or dataset (stored fields)")
+        dataset = ray.data.read_parquet(source_paths)
+
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["url"], value_set=pa.array(list(url_set))))
+
+    rows = dataset.map_batches(match, batch_format="pyarrow").take_all()
+
+    # prior atomic generations participate in current-version resolution
+    adir = os.path.join(index_root, ATOMIC_DIR)
+    gen_files = sorted(
+        os.path.join(adir, f) for f in os.listdir(adir)
+    ) if os.path.isdir(adir) else []
+    for f in gen_files:
+        t = _pq.read_table(f)
+        t = t.filter(pa.compute.is_in(t["url"], value_set=pa.array(list(url_set))))
+        rows.extend(t.to_pylist())
+
+    def _dl(r):
+        txt = r.get("text") or ""
+        return len([w for w in txt.split(" ") if w])
+
+    current: Dict[str, dict] = {}
+    for r in rows:
+        u = r["url"]
+        best = current.get(u)
+        if best is None or (r["warc_ts"], _dl(r)) > (best["warc_ts"], _dl(best)):
+            current[u] = r
+
+    missing = sorted(url_set - set(current))
+    updated = []
+    for u in sorted(current):
+        new = _apply_ops(current[u], ups[u])
+        if "warc_ts" not in ups[u]:  # _version_ bump: the update must win
+            import datetime as _dt
+
+            new["warc_ts"] = new["warc_ts"] + _dt.timedelta(microseconds=1)
+        updated.append(new)
+
+    result = {"updated": len(updated), "missing": missing,
+              "generation_file": None}
+    if not updated:
+        return result
+
+    os.makedirs(adir, exist_ok=True)
+    gen_path = os.path.join(adir, f"upd-{len(gen_files):06d}.parquet")
+    df = pd.DataFrame(updated)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for i, f in enumerate(t.schema):  # pandas promotes to ns; index is µs
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            t = t.set_column(i, f.name, pa.compute.cast(
+                t[f.name], pa.timestamp("us")))
+    _pq.write_table(t, gen_path)
+    result["generation_file"] = gen_path
+
+    from .build import append_index
+
+    append_index([gen_path], index_root, lang=lang,
+                 fingerprint=fingerprint or f"atomic-{len(gen_files)}")
     return result

@@ -176,3 +176,33 @@ def test_curate_fingerprint_op(ray_session, corpus, capsys):
     g = t.groupby("text")[fp_col[0]].nunique()
     assert (g == 1).all()
     assert t[fp_col[0]].nunique() == t["text"].nunique()
+
+
+def test_atomic_update_cli(ray_session, corpus, capsys):
+    idx = str(corpus / "idx_atomic")
+    _run(capsys, [
+        "build", "--input", str(corpus / "pages.parquet"),
+        "--index-root", idx, "--partitions", "2",
+    ])
+    out = _run(capsys, [
+        "atomic-update", "--index-root", idx,
+        "--source", str(corpus / "pages.parquet"),
+        "--updates", json.dumps([
+            {"url": "u://003", "ops": {"text": {"set": "zzcli marker"}}},
+            {"url": "u://nope", "ops": {"text": {"set": "x"}}},
+        ]),
+    ])
+    res = json.loads(out[-1])
+    assert res["updated"] == 1 and res["missing"] == ["u://nope"]
+
+    hits_path = str(corpus / "atomic_hits.jsonl")
+    out = _run(capsys, [
+        "search", "--index-root", idx,
+        "--queries", json.dumps(
+            [{"query_id": 0, "kind": "term", "terms": ["zzcli"]}]),
+        "--k", "5", "--out", hits_path, "--format", "jsonl",
+    ])
+    assert json.loads(out[-1])["rows"] == 1
+    with open(hits_path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    assert rows[0]["url"] == "u://003"
