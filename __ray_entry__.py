@@ -50,14 +50,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same column names). The 12
+    """DuckDB-runnable ANSI SQL equivalents (same column names). The 13
     entries missing here (langid_eval, dedup_minhash, dedup_simhash,
     ann_lsh_recall, ann_ivf_recall, dedup_embed_lsh_recall,
     hll_distinct_custkey, lm_score_docs, kmeans_clusters,
-    dedup_minhash_clusters, semdedup_embeddings, train_logit_docs) are
-    model-/sketch-based or iterative-float and not SQL-expressible — the
-    driver records the weaker rows-only check for them; each is
-    pytest-gated instead."""
+    dedup_minhash_clusters, semdedup_embeddings, train_logit_docs,
+    bpe_merges_docs) are model-/sketch-based or iterative and not
+    SQL-expressible — the driver records the weaker rows-only check for
+    them; each is pytest-gated instead."""
     from lucene_solr_ray.pipelines.entry_queries import ORACLES
 
     return dict(ORACLES)

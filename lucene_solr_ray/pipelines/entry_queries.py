@@ -6277,6 +6277,22 @@ ORDER BY score_e6 DESC, node ASC
 """
 
 
+def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE vocabulary induction (training-data extension,
+    Sennrich et al. 2016): the corpus collapses once to a word-frequency
+    table (bucketed combiner+merge), then each merge round is one
+    vectorized pair-count pass + one tiny argmax shuffle + one vectorized
+    rewrite of the symbol table — corpus rows never move after round 0.
+    Returns the learned merge sequence. No SQL oracle (iterative argmax
+    loop) — pinned bit-exactly against the single-process reference
+    implementation in tests/test_bpe.py instead."""
+    from ..functions.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges_df, _ = train_bpe(docs, num_merges=20)
+    return merges_df.astype({"step": np.int64, "pair_count": np.int64})
+
+
 def q_train_logit_docs(sf_dir: str) -> pd.DataFrame:
     """train() stream (SURVEY.md §2.8 TextLogitStream): distributed
     logistic-regression training — per iteration one streaming pass emits
@@ -6459,6 +6475,7 @@ QUERIES = {
     "score_nodes_parts": q_score_nodes_parts,
     "ft_atomic_update_stats": q_ft_atomic_update_stats,
     "train_logit_docs": q_train_logit_docs,
+    "bpe_merges_docs": q_bpe_merges_docs,
 }
 
 ORACLES = {
