@@ -6180,6 +6180,49 @@ ORDER BY node
 """
 
 
+def q_ft_term_set_counts(sf_dir: str) -> pd.DataFrame:
+    """TermInSetQuery (reference: lucene/core/.../search/TermInSetQuery
+    .java, branch_8x; Solr {!terms} TermsQParserPlugin; SURVEY.md §2.3):
+    constant-score union over an explicit term set — standalone, as a
+    bool FILTER clause (non-scoring), and with a ghost term that must
+    change nothing."""
+    idx = ensure_ft_index(sf_dir)
+    qs = [
+        {"query_id": 0, "kind": "term_set",
+         "terms": ["query", "window", "zzghostterm"]},
+        {"query_id": 1, "kind": "bool",
+         "must": [{"kind": "term", "terms": ["join"]}],
+         "filter": [{"kind": "term_set", "terms": ["query", "window"]}]},
+    ]
+    res = search(idx, qs, k=10**9, method="exhaustive")
+    rows = [
+        {"set": "union_3", "n_docs": int((res["query_id"] == 0).sum())},
+        {"set": "filtered_join", "n_docs": int((res["query_id"] == 1).sum())},
+    ]
+    return pd.DataFrame(rows).astype({"n_docs": np.int64}).sort_values(
+        "set").reset_index(drop=True)
+
+
+def sql_ft_term_set_counts() -> str:
+    return """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'union_3' AS "set", count(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE term IN ('query', 'window', 'zzghostterm')
+  UNION ALL
+  SELECT 'filtered_join', count(DISTINCT t1.doc_id)
+  FROM tok t1
+  WHERE t1.term = 'join'
+    AND t1.doc_id IN (SELECT doc_id FROM tok
+                      WHERE term IN ('query', 'window'))
+)
+ORDER BY "set"
+"""
+
+
 def q_ft_atomic_update_stats(sf_dir: str) -> pd.DataFrame:
     """Atomic updates (SURVEY.md §2.10 AtomicUpdateDocumentMerger +
     RTG + _version_ bump): build over the documents-as-pages corpus,
@@ -6474,6 +6517,7 @@ QUERIES = {
     "shortest_path_parts": q_shortest_path_parts,
     "score_nodes_parts": q_score_nodes_parts,
     "ft_atomic_update_stats": q_ft_atomic_update_stats,
+    "ft_term_set_counts": q_ft_term_set_counts,
     "train_logit_docs": q_train_logit_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
 }
@@ -6611,5 +6655,6 @@ ORACLES = {
     "shortest_path_parts": sql_shortest_path_parts(),
     "score_nodes_parts": sql_score_nodes_parts(),
     "ft_atomic_update_stats": sql_ft_atomic_update_stats(),
+    "ft_term_set_counts": sql_ft_term_set_counts(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }

@@ -256,6 +256,9 @@ def prepare_search_context(
                        else node.get(k))
                    for k in ("lo", "hi") if k in node},
             )
+        if node.get("kind") == "term_set":
+            # TermsQParser semantics: raw index terms, no analysis
+            return dict(node, terms=list(node["terms"]))
         if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
             # patterns bypass the filter chain, same as top-level norm_query
             return dict(
@@ -284,7 +287,7 @@ def prepare_search_context(
         if node.get("kind") == "multi_phrase":
             return [t for slot in node.get("positions", ()) for t in slot]
         if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy",
-                                "term_range"):
+                                "term_range", "term_set"):
             return []  # constant-score: patterns need no idf stats
         return list(node["terms"])
 
@@ -293,6 +296,11 @@ def prepare_search_context(
             nq = norm_tree(q)
             nq["terms"] = []
             return nq
+        if q.get("kind") == "term_set":
+            # constant-score: the set rides under "values" so the stats
+            # broadcast never resolves df for (possibly millions of) ids;
+            # "terms" stays the stats-source key and is empty here
+            return dict(q, values=list(q["terms"]), terms=[])
         if q.get("kind") in ("bool", "const", "dis_max"):
             nq = norm_tree(q)
             # "terms" = every leaf term in the tree, so the stats broadcast

@@ -277,6 +277,19 @@ def _bool_eval_node(
             matched[reader.postings(int(o)).docids] = True
         cid = np.nonzero(matched)[0].astype(np.int64)
         return cid, np.full(len(cid), boost, dtype=sim.dtype)
+    if kind == "term_set":
+        # TermInSetQuery (reference: lucene/core/.../search/
+        # TermInSetQuery.java, branch_8x; Solr {!terms} TermsQParserPlugin):
+        # constant-score union over an EXPLICIT term set — the filter form
+        # of a huge OR (Lucene builds a DocIdSet, never per-term scorers).
+        # Terms are raw index terms (TermsQParser does not analyze).
+        matched = np.zeros(n, dtype=bool)
+        for term in node.get("values") or node.get("terms", ()):
+            o = reader.lookup(term)
+            if o >= 0:
+                matched[reader.postings(int(o)).docids] = True
+        cid = np.nonzero(matched)[0].astype(np.int64)
+        return cid, np.full(len(cid), boost, dtype=sim.dtype)
     if kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         # MultiTermQuery CONSTANT_SCORE_REWRITE as a boolean clause:
         # matching docs score exactly ``boost`` (default 1.0)
@@ -388,7 +401,8 @@ def _query_node_terms(node) -> List[str]:
         return out
     if kind == "multi_phrase":
         return [t for slot in node.get("positions", ()) for t in slot]
-    if kind in ("prefix", "wildcard", "regexp", "fuzzy", "term_range"):
+    if kind in ("prefix", "wildcard", "regexp", "fuzzy", "term_range",
+                "term_set"):
         return out
     return list(node.get("terms", ()))
 
@@ -725,8 +739,8 @@ def match_query_full(
         # query's; falling through would OR over q["terms"] (which also
         # carries vs stat terms) and silently over-delete
         return match_query_full(reader, q["of"], weights, cache_inv, sim)
-    if kind in ("bool", "const", "dis_max", "term_range", "prefix",
-                "wildcard", "regexp", "fuzzy"):
+    if kind in ("bool", "const", "dis_max", "term_range", "term_set",
+                "prefix", "wildcard", "regexp", "fuzzy"):
         # any kind _bool_eval_node supports must route through it —
         # score_query_exhaustive would see q['terms'] == [] for e.g.
         # term_range and silently match nothing (deleteByQuery bug)
@@ -1152,7 +1166,8 @@ class SearcherStage:
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
                     )
-                elif q["kind"] in ("bool", "const", "dis_max", "term_range"):
+                elif q["kind"] in ("bool", "const", "dis_max", "term_range",
+                                   "term_set"):
                     docids, scores = score_query_bool(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, tcache=tcache,

@@ -387,3 +387,50 @@ def test_json_facet_numbuckets_allbuckets(ray_session):
     assert len(f["buckets"]) == 2  # limited
     assert f["numBuckets"] == 4    # pre-limit distinct buckets
     assert f["allBuckets"] == {"count": 11, "sum_v": 22.0}
+
+
+def test_term_set_query(ray_session, tmp_path):
+    """TermInSetQuery: constant-score union, raw terms (no analysis),
+    P-invariant, composes as a bool FILTER clause and in deleteByQuery."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.query import search
+    from lucene_solr_ray.pipelines.update import delete_by_query
+
+    idx, texts = _mk_index(tmp_path)
+    qs = [
+        {"query_id": 0, "kind": "term_set",
+         "terms": ["banana", "window", "zzghost"]},
+        # raw-term semantics: uppercase input must NOT lowercase-match
+        {"query_id": 1, "kind": "term_set", "terms": ["BANANA"]},
+        {"query_id": 2, "kind": "bool",
+         "must": [{"kind": "term", "terms": ["query"]}],
+         "filter": [{"kind": "term_set", "terms": ["join", "banana"]}]},
+    ]
+    res = search(idx, qs, k=10)
+    g0 = res[res.query_id == 0]
+    assert set(g0.url) == {"u://002", "u://003"}
+    assert (g0.score == 1.0).all()  # constant score
+    assert (res.query_id == 1).sum() == 0
+    g2 = res[res.query_id == 2]
+    assert list(g2.url) == ["u://001"]  # 'query' docs ∩ {join,banana} docs
+
+    # P=1 build gives identical frames
+    import pyarrow.parquet as _pq
+
+    p1 = str(tmp_path / "idx1")
+    pages = str(tmp_path / "pages.parquet")
+    build_index([pages], p1, num_partitions=1)
+    cols = ["query_id", "rank", "url", "score"]
+    r1 = search(p1, qs, k=10)[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(res[cols].reset_index(drop=True), r1)
+
+    # deleteByQuery with a term_set tombstones exactly the union
+    copy = str(tmp_path / "idx_del")
+    shutil.copytree(idx, copy)
+    out = delete_by_query(copy, {"kind": "term_set",
+                                 "terms": ["banana", "window"]})
+    assert out["matched"] == 2
+    left = search(copy, [{"query_id": 0, "kind": "term_set",
+                          "terms": ["banana", "window", "query"]}], k=10)
+    assert set(left.url) == {"u://000", "u://001"}
