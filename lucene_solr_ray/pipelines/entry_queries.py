@@ -1354,6 +1354,57 @@ SELECT * FROM (
 """
 
 
+def q_ft_span_or_counts(sf_dir: str) -> pd.DataFrame:
+    """SpanNear over SpanOr clauses (reference: lucene/core/.../search/
+    spans/SpanOrQuery.java, branch_8x; SURVEY.md §2.3): slot alternatives
+    match at the UNION of their variants' positions. Doc-level existence
+    for a 2-slot ordered span ≡ EXISTS an ordered cross-variant pair
+    within slop (greedy-minimal argument, same as the plain ordered
+    contract), so the oracle is a positional self-join with IN lists."""
+    idx = ensure_ft_pos_index(sf_dir)
+    specs = [
+        ("or_ordered_s4",
+         {"kind": "span_near", "slots": [["query", "scan"], ["data", "join"]],
+          "slop": 4, "in_order": True}),
+        ("or_first_3",
+         {"kind": "span_first", "slots": [["query", "join"]], "end": 3}),
+    ]
+    res = search(
+        idx,
+        [{"query_id": i, **node} for i, (_, node) in enumerate(specs)],
+        k=10**9,
+        method="exhaustive",
+    )
+    rows = [
+        {"span": label, "n_docs": int((res["query_id"] == i).sum())}
+        for i, (label, _) in enumerate(specs)
+    ]
+    return pd.DataFrame(rows).astype({"n_docs": np.int64}).sort_values(
+        "span").reset_index(drop=True)
+
+
+def sql_ft_span_or_counts() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'or_ordered_s4' AS span,
+         count(DISTINCT a.doc_id) AS n_docs
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term IN ('query', 'scan') AND b.term IN ('data', 'join')
+    AND b.pos > a.pos AND b.pos - a.pos - 1 <= 4
+  UNION ALL
+  SELECT 'or_first_3',
+         count(DISTINCT doc_id)
+  FROM tok WHERE term IN ('query', 'join') AND pos <= 3
+) ORDER BY span
+"""
+
+
 FT_SHINGLE = "query join"
 
 
@@ -6518,6 +6569,7 @@ QUERIES = {
     "score_nodes_parts": q_score_nodes_parts,
     "ft_atomic_update_stats": q_ft_atomic_update_stats,
     "ft_term_set_counts": q_ft_term_set_counts,
+    "ft_span_or_counts": q_ft_span_or_counts,
     "train_logit_docs": q_train_logit_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
 }
@@ -6656,5 +6708,6 @@ ORACLES = {
     "score_nodes_parts": sql_score_nodes_parts(),
     "ft_atomic_update_stats": sql_ft_atomic_update_stats(),
     "ft_term_set_counts": sql_ft_term_set_counts(),
+    "ft_span_or_counts": sql_ft_span_or_counts(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }

@@ -259,6 +259,21 @@ def prepare_search_context(
         if node.get("kind") == "term_set":
             # TermsQParser semantics: raw index terms, no analysis
             return dict(node, terms=list(node["terms"]))
+        if node.get("kind") in ("span_near", "span_first") and node.get("slots"):
+            # SpanNear over SpanOr clauses: analyze every variant per slot
+            # (posInc-0 expansions merge in, like multi_phrase); a slot
+            # whose variants ALL normalize away is dropped (hole)
+            slots = []
+            for slot in node["slots"]:
+                merged = []
+                for t in slot:
+                    s = norm_slot(t)
+                    if s:
+                        merged.extend(x for x in s if x not in merged)
+                if merged:
+                    slots.append(merged)
+            return dict(node, slots=slots,
+                        terms=sorted({t for s in slots for t in s}))
         if node.get("kind") in ("prefix", "wildcard", "regexp", "fuzzy"):
             # patterns bypass the filter chain, same as top-level norm_query
             return dict(
@@ -301,6 +316,14 @@ def prepare_search_context(
             # broadcast never resolves df for (possibly millions of) ids;
             # "terms" stays the stats-source key and is empty here
             return dict(q, values=list(q["terms"]), terms=[])
+        if q.get("kind") in ("span_near", "span_first") and q.get("slots"):
+            nq = norm_tree(q)
+            if q.get("exclude"):
+                nq["exclude"] = [
+                    nt for nt in (norm_term(t) for t in q["exclude"])
+                    if nt is not None
+                ]
+            return nq
         if q.get("kind") in ("bool", "const", "dis_max"):
             nq = norm_tree(q)
             # "terms" = every leaf term in the tree, so the stats broadcast

@@ -644,43 +644,67 @@ def _span_full(
             f"({reader.seg_dir} has no positions.bin)"
         )
     kind = node["kind"]
-    terms = node["terms"]
-    if kind == "span_first" and len(terms) != 1:
-        raise ValueError("span_first takes exactly one term")
-    plists, posits = [], []
-    for term in terms:
-        o = reader.lookup(term)
-        if o < 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        plists.append(reader.postings(o))
-        posits.append(reader.positions(o))
-    cand = plists[0].docids
-    for tp in plists[1:]:
-        cand = np.intersect1d(cand, tp.docids, assume_unique=True)
+    # slot alternatives = SpanNearQuery over SpanOrQuery clauses
+    # (reference: lucene/core/.../search/spans/SpanOrQuery.java, branch_8x):
+    # a slot matches at the union of its variants' positions. Plain
+    # ``terms`` is the single-variant special case.
+    slots = node.get("slots") or [[t] for t in node["terms"]]
+    if kind == "span_first" and len(slots) != 1:
+        raise ValueError("span_first takes exactly one term/slot")
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    slot_variants = []  # per slot: [(tp, flat_positions)] for LIVE variants
+    for slot in slots:
+        live = []
+        for term in slot:
+            o = reader.lookup(term)
+            if o >= 0:
+                live.append((reader.postings(o), reader.positions(o)))
+        if not live:
+            return empty  # a slot with no live variant can never match
+        slot_variants.append(live)
+    cand = None
+    for live in slot_variants:
+        ids = live[0][0].docids
+        for tp, _ in live[1:]:
+            ids = np.union1d(ids, tp.docids)
+        cand = ids if cand is None else np.intersect1d(
+            cand, ids, assume_unique=True)
     if len(cand) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    slices = []
-    for tp, flat in zip(plists, posits):
-        starts = np.concatenate(([0], np.cumsum(tp.freqs.astype(np.int64))))
-        idx = np.searchsorted(tp.docids, cand)
-        slices.append((flat, starts, idx))
+        return empty
+    slot_slices = []  # per slot: [(flat, starts, idx, member)] per variant
+    for live in slot_variants:
+        per_var = []
+        for tp, flat in live:
+            starts = np.concatenate(
+                ([0], np.cumsum(tp.freqs.astype(np.int64))))
+            idx = np.searchsorted(tp.docids, cand)
+            idx_c = np.minimum(idx, len(tp.docids) - 1)
+            member = tp.docids[idx_c] == cand
+            per_var.append((flat, starts, idx_c, member))
+        slot_slices.append(per_var)
+
+    def slot_pos(si: int, ci: int) -> np.ndarray:
+        parts = []
+        for flat, starts, idx, member in slot_slices[si]:
+            if member[ci]:
+                j = int(idx[ci])
+                parts.append(np.asarray(flat[starts[j]:starts[j + 1]],
+                                        dtype=np.int64))
+        if len(parts) == 1:
+            return parts[0]
+        # posInc-0 synonym copies can duplicate a position across variants
+        return np.unique(np.concatenate(parts))
+
     freq = np.zeros(len(cand), dtype=np.int64)
     if kind == "span_first":
         endpos = int(node.get("end", 1))
-        flat, starts, idx = slices[0]
         for ci in range(len(cand)):
-            j = int(idx[ci])
-            pos = np.asarray(flat[starts[j] : starts[j + 1]], dtype=np.int64)
-            freq[ci] = int(np.count_nonzero(pos < endpos))
+            freq[ci] = int(np.count_nonzero(slot_pos(0, ci) < endpos))
     else:
         slop = int(node.get("slop", 0))
         in_order = bool(node.get("in_order", True))
         for ci in range(len(cand)):
-            doc_pos = [
-                np.asarray(flat[starts_i[int(idx_i[ci])] : starts_i[int(idx_i[ci]) + 1]],
-                           dtype=np.int64)
-                for flat, starts_i, idx_i in slices
-            ]
+            doc_pos = [slot_pos(si, ci) for si in range(len(slots))]
             freq[ci] = (
                 span_near_ordered_freq(doc_pos, slop)
                 if in_order
@@ -689,10 +713,13 @@ def _span_full(
     hit = freq > 0
     cand, freq = cand[hit], freq[hit]
     if len(cand) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return empty
+    # weight = Σ idf over every variant in every slot (the multi_phrase
+    # convention — SpanOr contributes each clause's idf)
     w = np.float32(0.0)
-    for term in terms:
-        w = np.float32(w + weights[term])
+    for slot in slots:
+        for term in slot:
+            w = np.float32(w + weights.get(term, np.float32(0.0)))
     scores = sim.score_freqs(w, freq.astype(np.uint32), reader.norms[cand], cache_inv)
     return cand.astype(np.int64), scores
 

@@ -159,3 +159,54 @@ def test_span_in_bool_tree(span_index, small_corpus, built_indexes):
     no_pos, _ = built_indexes
     with pytest.raises(Exception, match="positions"):
         search(no_pos, [standalone], k=10, method="exhaustive")
+
+
+def test_span_or_slots(span_index, small_corpus):
+    """SpanNear over SpanOr clauses ('slots' alternatives): union-of-
+    positions per slot, P-invariant, pure-Python recount agrees; a slot
+    of only ghost variants matches nothing; single-variant slots equal
+    the plain terms form bit-exactly."""
+    idx1, idx2 = span_index
+    docs = _corpus_token_positions(small_corpus)
+    from collections import Counter
+
+    cnt = Counter(t for toks in docs.values() for t in set(toks))
+    common = [t for t, _ in cnt.most_common(8)]
+    t1, t2, t3, t4 = common[:4]
+    queries = [
+        {"query_id": 0, "kind": "span_near", "slots": [[t1, t3], [t2, t4]],
+         "slop": 4, "in_order": True},
+        {"query_id": 1, "kind": "span_near", "slots": [[t1], [t2]],
+         "slop": 3, "in_order": True},
+        {"query_id": 2, "kind": "span_near", "terms": [t1, t2],
+         "slop": 3, "in_order": True},
+        {"query_id": 3, "kind": "span_near",
+         "slots": [[t1], ["zzz_g1", "zzz_g2"]], "slop": 9, "in_order": True},
+        {"query_id": 4, "kind": "span_first", "slots": [[t1, t2]], "end": 3},
+    ]
+    r1 = search(idx1, queries, k=10**9, method="exhaustive")
+    r2 = search(idx2, queries, k=10**9, method="exhaustive")
+    assert _frame(r1).equals(_frame(r2))
+    # single-variant slots == plain terms, bit-exactly
+    a = _frame(r1[r1.query_id == 1]).drop(columns=["query_id"])
+    b = _frame(r1[r1.query_id == 2]).drop(columns=["query_id"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert 3 not in set(r1["query_id"])  # all-ghost slot → no hits
+
+    def positions(toks, terms):
+        return np.array(sorted(i for i, t in enumerate(toks) if t in terms),
+                        dtype=np.int64)
+
+    got0 = set(r1[r1.query_id == 0]["url"])
+    want0 = set()
+    for url, toks in docs.items():
+        pls = [positions(toks, {t1, t3}), positions(toks, {t2, t4})]
+        if all(len(p) for p in pls) and span_near_ordered_freq(pls, 4) > 0:
+            want0.add(url)
+    assert got0 == want0
+
+    got4 = set(r1[r1.query_id == 4]["url"])
+    want4 = {url for url, toks in docs.items()
+             if np.any(positions(toks, {t1, t2}) < 3)}
+    assert got4 == want4
+    assert len(got0) > 0 and len(got4) > 0
