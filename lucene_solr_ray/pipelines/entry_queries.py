@@ -1405,6 +1405,82 @@ SELECT * FROM (
 """
 
 
+def q_ft_span_not_counts(sf_dir: str) -> pd.DataFrame:
+    """SpanNotQuery cardinalities (reference: lucene/core/src/java/org/
+    apache/lucene/search/spans/SpanNotQuery.java, branch_8x; SURVEY.md
+    §2.3): include spans that do NOT overlap an exclude-term occurrence,
+    the overlap window widened ``pre`` before the span start / ``post``
+    after its INCLUSIVE end. Includes: plain term (single-width spans)
+    and ordered span_near (greedy-minimal chains — so the SQL oracle's
+    min-next-position formulation is exact, same as ft_span_counts)."""
+    idx = ensure_ft_pos_index(sf_dir)
+    specs = [
+        ("not_q_data_w1",
+         {"kind": "span_not", "include": {"kind": "term", "terms": ["query"]},
+          "exclude_terms": ["data"], "pre": 1, "post": 1}),
+        ("not_fast_slow_p2",
+         {"kind": "span_not", "include": {"kind": "term", "terms": ["fast"]},
+          "exclude_terms": ["slow"], "pre": 0, "post": 2}),
+        ("not_near_scan",
+         {"kind": "span_not",
+          "include": {"kind": "span_near", "terms": ["query", "data"],
+                      "slop": 2, "in_order": True},
+          "exclude_terms": ["scan"], "pre": 0, "post": 0}),
+    ]
+    res = search(
+        idx,
+        [{"query_id": i, **node} for i, (_, node) in enumerate(specs)],
+        k=10**9,
+        method="exhaustive",
+    )
+    rows = [
+        {"span": label, "n_docs": int((res["query_id"] == i).sum())}
+        for i, (label, _) in enumerate(specs)
+    ]
+    return pd.DataFrame(rows).astype({"n_docs": np.int64}).sort_values(
+        "span").reset_index(drop=True)
+
+
+def sql_ft_span_not_counts() -> str:
+    # positions are 1-based here vs 0-based in the engine; every condition
+    # is a RELATIVE window (BETWEEN pos±k), so the base cancels. Ordered
+    # include spans = (query pos, MINIMAL next data pos) — the engine's
+    # greedy-minimal chain, exactly as in sql_ft_span_counts.
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'not_q_data_w1' AS span, count(DISTINCT a.doc_id) AS n_docs
+  FROM tok a
+  WHERE a.term = 'query' AND NOT EXISTS (
+    SELECT 1 FROM tok c WHERE c.doc_id = a.doc_id AND c.term = 'data'
+      AND c.pos BETWEEN a.pos - 1 AND a.pos + 1)
+  UNION ALL
+  SELECT 'not_fast_slow_p2', count(DISTINCT a.doc_id)
+  FROM tok a
+  WHERE a.term = 'fast' AND NOT EXISTS (
+    SELECT 1 FROM tok c WHERE c.doc_id = a.doc_id AND c.term = 'slow'
+      AND c.pos BETWEEN a.pos AND a.pos + 2)
+  UNION ALL
+  SELECT 'not_near_scan', count(DISTINCT doc_id) FROM (
+    SELECT a.doc_id, a.pos AS s,
+           (SELECT min(b.pos) FROM tok b
+            WHERE b.doc_id = a.doc_id AND b.term = 'data'
+              AND b.pos > a.pos) AS e
+    FROM tok a WHERE a.term = 'query'
+  ) t
+  WHERE e IS NOT NULL AND e - s - 1 <= 2
+    AND NOT EXISTS (
+      SELECT 1 FROM tok c WHERE c.doc_id = t.doc_id AND c.term = 'scan'
+        AND c.pos BETWEEN t.s AND t.e)
+) ORDER BY span
+"""
+
+
 FT_SHINGLE = "query join"
 
 
@@ -6570,6 +6646,7 @@ QUERIES = {
     "ft_atomic_update_stats": q_ft_atomic_update_stats,
     "ft_term_set_counts": q_ft_term_set_counts,
     "ft_span_or_counts": q_ft_span_or_counts,
+    "ft_span_not_counts": q_ft_span_not_counts,
     "train_logit_docs": q_train_logit_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
 }
@@ -6709,5 +6786,6 @@ ORACLES = {
     "ft_atomic_update_stats": sql_ft_atomic_update_stats(),
     "ft_term_set_counts": sql_ft_term_set_counts(),
     "ft_span_or_counts": sql_ft_span_or_counts(),
+    "ft_span_not_counts": sql_ft_span_not_counts(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
 }

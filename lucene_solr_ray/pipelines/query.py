@@ -259,6 +259,23 @@ def prepare_search_context(
         if node.get("kind") == "term_set":
             # TermsQParser semantics: raw index terms, no analysis
             return dict(node, terms=list(node["terms"]))
+        if node.get("kind") == "span_not":
+            # SpanNotQuery: analyze include like any span node; exclude
+            # terms analyze per-token with synonym variants flattened in
+            # (any variant occurrence kills the span). Top-level "terms"
+            # = include leaves only — exclude needs postings, not idf.
+            inc = norm_tree(node["include"])
+            ex: list = []
+            for t in node.get("exclude_terms", ()):
+                for v in norm_slot(t) or ():
+                    if v not in ex:
+                        ex.append(v)
+            inc_terms = (
+                [t for s in inc["slots"] for t in s]
+                if inc.get("slots") else list(inc.get("terms", ()))
+            )
+            return dict(node, include=inc, exclude_terms=ex,
+                        terms=sorted(set(inc_terms)))
         if node.get("kind") in ("span_near", "span_first") and node.get("slots"):
             # SpanNear over SpanOr clauses: analyze every variant per slot
             # (posInc-0 expansions merge in, like multi_phrase); a slot
@@ -316,6 +333,8 @@ def prepare_search_context(
             # broadcast never resolves df for (possibly millions of) ids;
             # "terms" stays the stats-source key and is empty here
             return dict(q, values=list(q["terms"]), terms=[])
+        if q.get("kind") == "span_not":
+            return norm_tree(q)
         if q.get("kind") in ("span_near", "span_first") and q.get("slots"):
             nq = norm_tree(q)
             if q.get("exclude"):

@@ -252,7 +252,7 @@ def _bool_eval_node(
             slop=int(node.get("slop", 0)),
         )
         return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
-    if kind in ("span_near", "span_first"):
+    if kind in ("span_near", "span_first", "span_not"):
         cid, csc = _span_full(reader, node, weights, cache_inv, sim)
         return (cid, csc * boost) if boost != sim.dtype(1.0) else (cid, csc)
     if kind == "term_range":
@@ -401,9 +401,14 @@ def _query_node_terms(node) -> List[str]:
         return out
     if kind == "multi_phrase":
         return [t for slot in node.get("positions", ()) for t in slot]
+    if kind == "span_not":
+        # only include spans are scored (SpanNotQuery inner SpanWeight)
+        return _query_node_terms(node.get("include"))
     if kind in ("prefix", "wildcard", "regexp", "fuzzy", "term_range",
                 "term_set"):
         return out
+    if node.get("slots"):
+        return [t for slot in node["slots"] for t in slot]
     return list(node.get("terms", ()))
 
 
@@ -596,28 +601,39 @@ def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
     return freq
 
 
-def span_near_ordered_freq(pos_lists: List[np.ndarray], slop: int) -> int:
-    """SpanNearQuery(inOrder=true) frequency for ONE doc (reference:
+def span_near_ordered_spans(
+    pos_lists: List[np.ndarray], slop: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SpanNearQuery(inOrder=true) matching spans for ONE doc (reference:
     lucene/core/src/java/org/apache/lucene/search/spans/NearSpansOrdered
-    .java ~200 LoC, branch_8x): the number of start positions p₁ whose
-    MINIMAL in-order chain p₁<p₂<…<p_k (greedy smallest-next, which is
-    width-optimal for a fixed start) satisfies (p_k − p₁ + 1) − k ≤ slop.
-    Vectorized: one searchsorted per term over ALL candidate starts."""
+    .java ~200 LoC, branch_8x): the start positions p₁ whose MINIMAL
+    in-order chain p₁<p₂<…<p_k (greedy smallest-next, which is
+    width-optimal for a fixed start) satisfies (p_k − p₁ + 1) − k ≤ slop,
+    returned as (starts, ends) with ends INCLUSIVE (= p_k). Vectorized:
+    one searchsorted per term over ALL candidate starts."""
     k = len(pos_lists)
     cur = pos_lists[0].astype(np.int64)
+    nothing = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if len(cur) == 0:
-        return 0
+        return nothing
     end = cur
     valid = np.ones(len(cur), dtype=bool)
     for nxt in pos_lists[1:]:
         nxt = np.asarray(nxt, dtype=np.int64)
         if len(nxt) == 0:
-            return 0
+            return nothing
         idx = np.searchsorted(nxt, end, side="right")
         ok = idx < len(nxt)
         valid &= ok
         end = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)], end)
-    return int(np.count_nonzero(valid & ((end - cur + 1) - k <= slop)))
+    hit = valid & ((end - cur + 1) - k <= slop)
+    return cur[hit], end[hit]
+
+
+def span_near_ordered_freq(pos_lists: List[np.ndarray], slop: int) -> int:
+    """Frequency = number of matching minimal in-order chains (see
+    span_near_ordered_spans; bit-identical count)."""
+    return int(len(span_near_ordered_spans(pos_lists, slop)[0]))
 
 
 def _span_full(
@@ -636,20 +652,36 @@ def _span_full(
       else the minimal-covering-window matcher shared with sloppy phrase
       (NearSpansUnordered-style, same documented deviation).
     - ``span_first``: single term with an occurrence at position < ``end``.
+    - ``span_not``: include spans (``include`` = a term / ordered
+      span_near / span_first node) that do NOT overlap any occurrence of
+      an ``exclude_terms`` term, the overlap window widened ``pre``
+      positions before the span start and ``post`` after its end
+      (reference: lucene/core/.../search/spans/SpanNotQuery.java,
+      branch_8x — excl.end > incl.start − pre ∧ excl.start < incl.end +
+      post, rewritten for single-width exclude spans and inclusive ends).
     Scored like a phrase pseudo-term: weight = Σ idf(term_i), BM25 on the
-    span frequency — consistent with the sloppy-phrase treatment."""
+    span frequency — consistent with the sloppy-phrase treatment (span_not
+    weighs ONLY the include terms, like SpanNotQuery's inner SpanWeight)."""
     if not getattr(reader, "has_positions", False):
         raise ValueError(
             f"span query requires an index built with store_positions=True "
             f"({reader.seg_dir} has no positions.bin)"
         )
     kind = node["kind"]
+    inc = node["include"] if kind == "span_not" else node
+    inc_kind = inc.get("kind", "term") if kind == "span_not" else kind
+    if kind == "span_not" and inc_kind == "span_near" and not inc.get(
+            "in_order", True):
+        raise ValueError(
+            "span_not include must be a term / ordered span_near / "
+            "span_first (unordered spans have no well-defined minimal "
+            "span enumeration here)")
     # slot alternatives = SpanNearQuery over SpanOrQuery clauses
     # (reference: lucene/core/.../search/spans/SpanOrQuery.java, branch_8x):
     # a slot matches at the union of its variants' positions. Plain
     # ``terms`` is the single-variant special case.
-    slots = node.get("slots") or [[t] for t in node["terms"]]
-    if kind == "span_first" and len(slots) != 1:
+    slots = inc.get("slots") or [[t] for t in inc["terms"]]
+    if inc_kind == "span_first" and len(slots) != 1:
         raise ValueError("span_first takes exactly one term/slot")
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
     slot_variants = []  # per slot: [(tp, flat_positions)] for LIVE variants
@@ -695,8 +727,63 @@ def _span_full(
         # posInc-0 synonym copies can duplicate a position across variants
         return np.unique(np.concatenate(parts))
 
+    excl_slices = []  # span_not: [(flat, starts, idx, member)] per excl term
+    if kind == "span_not":
+        for term in node.get("exclude_terms", ()):
+            o = reader.lookup(term)
+            if o < 0:
+                continue  # absent exclude term can never kill a span
+            tp, flat = reader.postings(o), reader.positions(o)
+            starts = np.concatenate(
+                ([0], np.cumsum(tp.freqs.astype(np.int64))))
+            idx = np.searchsorted(tp.docids, cand)
+            idx_c = np.minimum(idx, len(tp.docids) - 1)
+            member = tp.docids[idx_c] == cand
+            excl_slices.append((flat, starts, idx_c, member))
+
+    def excl_pos(ci: int) -> np.ndarray:
+        parts = []
+        for flat, starts, idx, member in excl_slices:
+            if member[ci]:
+                j = int(idx[ci])
+                parts.append(np.asarray(flat[starts[j]:starts[j + 1]],
+                                        dtype=np.int64))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
+
+    def inc_spans(ci: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Matching include spans of one candidate doc as (starts, ends),
+        ends INCLUSIVE — single-width for term/span_first leaves."""
+        if inc_kind == "span_first":
+            p = slot_pos(0, ci)
+            p = p[p < int(inc.get("end", 1))]
+            return p, p
+        if inc_kind == "span_near":
+            return span_near_ordered_spans(
+                [slot_pos(si, ci) for si in range(len(slots))],
+                int(inc.get("slop", 0)))
+        p = slot_pos(0, ci)  # plain term / SpanOr slot
+        return p, p
+
     freq = np.zeros(len(cand), dtype=np.int64)
-    if kind == "span_first":
+    if kind == "span_not":
+        pre = int(node.get("pre", 0))
+        post = int(node.get("post", 0))
+        for ci in range(len(cand)):
+            s, e = inc_spans(ci)
+            if len(s) == 0:
+                continue
+            q = excl_pos(ci)
+            if len(q) == 0:
+                freq[ci] = len(s)
+                continue
+            lo = np.searchsorted(q, s - pre, side="left")
+            hi = np.searchsorted(q, e + post, side="right")
+            freq[ci] = int(np.count_nonzero(hi == lo))
+    elif kind == "span_first":
         endpos = int(node.get("end", 1))
         for ci in range(len(cand)):
             freq[ci] = int(np.count_nonzero(slot_pos(0, ci) < endpos))
@@ -782,7 +869,7 @@ def match_query_full(
             reader, q["terms"], weights, cache_inv, sim,
             slop=int(q.get("slop", 0)),
         )
-    elif kind in ("span_near", "span_first"):
+    elif kind in ("span_near", "span_first", "span_not"):
         cand, _ = _span_full(reader, q, weights, cache_inv, sim)
     else:
         cand, _ = score_query_exhaustive(
@@ -1188,7 +1275,7 @@ class SearcherStage:
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,
                     )
-                elif q["kind"] in ("span_near", "span_first"):
+                elif q["kind"] in ("span_near", "span_first", "span_not"):
                     docids, scores = score_query_span(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, exclude=exclude,

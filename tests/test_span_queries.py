@@ -210,3 +210,95 @@ def test_span_or_slots(span_index, small_corpus):
              if np.any(positions(toks, {t1, t2}) < 3)}
     assert got4 == want4
     assert len(got0) > 0 and len(got4) > 0
+
+
+def test_ordered_spans_vs_freq():
+    """span_near_ordered_spans returns exactly the chains the freq counts,
+    with inclusive ends equal to the greedy minimal chain's last hop."""
+    rng = np.random.default_rng(11)
+    from lucene_solr_ray.search.searcher import span_near_ordered_spans
+
+    for trial in range(200):
+        k = int(rng.integers(2, 5))
+        pos_lists = [
+            np.unique(rng.integers(0, 30, size=rng.integers(1, 8)))
+            for _ in range(k)
+        ]
+        slop = int(rng.integers(0, 6))
+        s, e = span_near_ordered_spans(pos_lists, slop)
+        assert len(s) == span_near_ordered_freq(pos_lists, slop)
+        assert np.all(e >= s)
+        assert np.all((e - s + 1) - k <= slop)
+        # starts are a subset of the first term's positions, ends of the last
+        assert set(s.tolist()) <= set(pos_lists[0].tolist())
+        assert set(e.tolist()) <= set(pos_lists[-1].tolist())
+
+
+def _brute_span_not(toks, inc_terms, ex_term, pre, post, slop=None):
+    """Pure-Python SpanNot doc predicate: any include span surviving the
+    widened exclude window. include = term (len 1) or ordered pair chain."""
+    def pos(t):
+        return [i for i, x in enumerate(toks) if x == t]
+
+    ex = set(pos(ex_term))
+    spans = []
+    if len(inc_terms) == 1:
+        spans = [(p, p) for p in pos(inc_terms[0])]
+    else:
+        for p1 in pos(inc_terms[0]):
+            prev, ok = p1, True
+            for t in inc_terms[1:]:
+                nxt = [p for p in pos(t) if p > prev]
+                if not nxt:
+                    ok = False
+                    break
+                prev = min(nxt)
+            if ok and (prev - p1 + 1) - len(inc_terms) <= slop:
+                spans.append((p1, prev))
+    for s, e in spans:
+        if not any(q in ex for q in range(s - pre, e + post + 1)):
+            return True
+    return False
+
+
+def test_span_not_engine(span_index, small_corpus):
+    """SpanNotQuery analog: P-invariant, pure-Python recount agrees for
+    term and ordered-span includes; ghost exclude = plain include."""
+    idx1, idx2 = span_index
+    docs = _corpus_token_positions(small_corpus)
+    from collections import Counter
+
+    cnt = Counter(t for toks in docs.values() for t in set(toks))
+    common = [t for t, _ in cnt.most_common(6)]
+    t1, t2, t3 = common[:3]
+    queries = [
+        {"query_id": 0, "kind": "span_not",
+         "include": {"kind": "term", "terms": [t1]},
+         "exclude_terms": [t2], "pre": 1, "post": 1},
+        {"query_id": 1, "kind": "span_not",
+         "include": {"kind": "span_near", "terms": [t1, t2], "slop": 4,
+                     "in_order": True},
+         "exclude_terms": [t3], "pre": 0, "post": 0},
+        {"query_id": 2, "kind": "span_not",
+         "include": {"kind": "term", "terms": [t1]},
+         "exclude_terms": ["zzz_ghost"], "pre": 2, "post": 2},
+        {"query_id": 3, "kind": "term", "terms": [t1]},
+    ]
+    r1 = search(idx1, queries, k=10**9, method="exhaustive")
+    r2 = search(idx2, queries, k=10**9, method="exhaustive")
+    assert _frame(r1).equals(_frame(r2))
+
+    got0 = set(r1[r1.query_id == 0]["url"])
+    want0 = {u for u, toks in docs.items()
+             if _brute_span_not(toks, [t1], t2, 1, 1)}
+    assert got0 == want0 and len(want0) > 0
+
+    got1 = set(r1[r1.query_id == 1]["url"])
+    want1 = {u for u, toks in docs.items()
+             if _brute_span_not(toks, [t1, t2], t3, 0, 0, slop=4)}
+    assert got1 == want1
+
+    # ghost exclude: same docs AND same scores as the plain term query
+    a = _frame(r1[r1.query_id == 2]).drop(columns=["query_id"])
+    b = _frame(r1[r1.query_id == 3]).drop(columns=["query_id"])
+    assert set(a["url"]) == set(b["url"]) and len(a) > 0
