@@ -959,6 +959,99 @@ def block_join_parents(ds_children, child_parent_key: str, parent_pred_fn,
     return matched.groupby(child_parent_key).aggregate(agg)
 
 
+def child_doc_transform(ds_parents, ds_children, parent_key: str,
+                        child_parent_key: str, child_filter_fn=None,
+                        child_order: Sequence[str] = (),
+                        descending: Sequence[bool] = (),
+                        limit: int = 10,
+                        child_cols: Optional[Sequence[str]] = None,
+                        num_partitions: Optional[int] = None):
+    """[child] ChildDocTransformer analog (reference: solr/core/src/java/
+    org/apache/solr/response/transform/ChildDocTransformerFactory.java
+    ~300 LoC, branch_8x; SURVEY.md §2.2 document transformers): each
+    parent result row returns with its matching children attached —
+    flattened here to (parent cols + child cols) rows, at most ``limit``
+    children per parent (the transformer's ``limit`` param), children
+    chosen by ``child_order``/``descending`` (Solr returns index order;
+    a sort spec is this engine's deterministic equivalent — make the
+    last order column unique for a well-defined top-``limit`` set).
+
+    Scale shape: ``childFilter`` prunes map-side, per-parent top-limit
+    runs through the bucketed combiner+merge top-n (≤ limit rows per
+    (block, parent) ever shuffle — never a full per-parent exchange),
+    and the parent attach is ONE native hash join. Parents with no
+    surviving child emit nothing (the flattened-table analog of an
+    empty child list)."""
+    if child_filter_fn is not None:
+        ds_children = ds_children.map_batches(
+            lambda t: t.filter(child_filter_fn(t)), batch_format="pyarrow"
+        )
+    else:
+        # coerce to Arrow blocks so schema() below yields a pa.Schema
+        # (pandas-block lineage reports a PandasBlockSchema instead)
+        ds_children = ds_children.map_batches(
+            lambda t: t, batch_format="pyarrow")
+    if child_cols:
+        ds_children = ds_children.select_columns(
+            [child_parent_key, *child_cols])
+    child_schema = ds_children.schema()  # pre-shuffle: blocks keep schema
+    kept = bucketed_topn(
+        ds_children, child_parent_key, list(child_order), list(descending),
+        limit, num_partitions,
+    )
+    join_key = child_parent_key
+    if join_key == parent_key:
+        # Arrow hash join rejects identical key names across sides
+        join_key = f"_{child_parent_key}__child"
+        kept = kept.map_batches(
+            lambda t, old=child_parent_key, new=join_key: t.rename_columns(
+                [new if c == old else c for c in t.column_names]),
+            batch_format="pyarrow",
+        )
+    # the attach set is bounded (≤ limit rows per parent — the join holds
+    # it in hash tables anyway), so materializing to test emptiness is
+    # cheap; a FULLY empty right side breaks Ray 2.49's hash join (0-row
+    # blocks are dropped by the shuffle, so the per-partition aggregator
+    # never learns the right schema: "No match for FieldRef")
+    kept = kept.materialize()
+    if kept.count() == 0:
+        import ray.data as _rd
+
+        par_base = getattr(
+            ds_parents.map_batches(
+                lambda t: t, batch_format="pyarrow").schema(),
+            "base_schema", None)
+        chi_base = getattr(child_schema, "base_schema", None)
+        if isinstance(par_base, pa.Schema) and isinstance(chi_base, pa.Schema):
+            chi_base = pa.schema([
+                pa.field(join_key if f.name == child_parent_key else f.name,
+                         f.type) for f in chi_base])
+            lt = pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in par_base],
+                schema=par_base)
+            rt = pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in chi_base],
+                schema=chi_base)
+            empty = lt.join(rt, keys=[parent_key], right_keys=[join_key],
+                            join_type="inner")
+            return _rd.from_arrow(empty)
+        return ds_parents.limit(0)  # non-Arrow lineage: best-effort empty
+    P = default_shuffle_partitions(num_partitions)
+    # repartition heal: hash joins on map_groups lineage with empty
+    # shuffle partitions fail schema resolution (see dedup.py:880)
+    out = ds_parents.repartition(P).join(
+        kept.repartition(P), join_type="inner", num_partitions=P,
+        on=(parent_key,), right_on=(join_key,),
+    )
+    if join_key != child_parent_key:
+        out = out.map_batches(
+            lambda t: t.drop_columns([join_key])
+            if join_key in t.column_names else t,
+            batch_format="pyarrow",
+        )
+    return out
+
+
 def graph_traverse(edges_ds_fn, from_col: str, to_col: str, start_keys,
                    max_hops: int = 2, num_partitions: Optional[int] = None,
                    broadcast_threshold: int = 1_000_000):

@@ -5107,6 +5107,68 @@ GROUP BY l_orderkey
 """
 
 
+def q_child_docs_orders(sf_dir: str):
+    """[child] ChildDocTransformer (SURVEY.md §2.2 document transformers;
+    reference solr/core/.../transform/ChildDocTransformerFactory.java,
+    branch_8x): every order returns flattened with its top-2 matching
+    children (childFilter quantity ≥ 49), children ranked by
+    (extendedprice desc, linenumber asc) — the deterministic stand-in
+    for Solr's index order, limit=2."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "l_quantity_i", pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        ).append_column(
+            "l_extendedprice_c",
+            pc.cast(pc.floor(pc.add(pc.multiply(
+                t["l_extendedprice"], 100.0), 0.5)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity_i", "l_extendedprice_c"])
+    out = rel.child_doc_transform(
+        orders, li, parent_key="o_orderkey", child_parent_key="l_orderkey",
+        child_filter_fn=lambda t: pc.greater_equal(t["l_quantity_i"], 49),
+        child_order=["l_extendedprice_c", "l_linenumber"],
+        descending=[True, False], limit=2,
+    )
+    return out.select_columns(
+        ["o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity_i",
+         "l_extendedprice_c"]
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("l_linenumber"), "l_linenumber",
+            pc.cast(t["l_linenumber"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def sql_child_docs_orders() -> str:
+    return """
+WITH ch AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(l_quantity) AS BIGINT) AS l_quantity_i,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           AS l_extendedprice_c,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      DESC,
+                    l_linenumber ASC) AS rn
+  FROM lineitem
+  WHERE CAST(round(l_quantity) AS BIGINT) >= 49
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       c.l_linenumber, c.l_quantity_i, c.l_extendedprice_c
+FROM orders o JOIN ch c ON c.l_orderkey = o.o_orderkey
+WHERE c.rn <= 2
+"""
+
+
 GRAPH_START_PART = 1
 
 
@@ -6637,6 +6699,7 @@ QUERIES = {
     "bbox_customers": q_bbox_customers,
     "score_join_customers": q_score_join_customers,
     "block_join_orders": q_block_join_orders,
+    "child_docs_orders": q_child_docs_orders,
     "graph_2hop_parts": q_graph_2hop_parts,
     # §2.8 ML / graph streams (functions/textml.py)
     "classify_docs": q_classify_docs,
@@ -6778,6 +6841,7 @@ ORACLES = {
     "bbox_customers": sql_bbox_customers(),
     "score_join_customers": sql_score_join_customers(),
     "block_join_orders": sql_block_join_orders(),
+    "child_docs_orders": sql_child_docs_orders(),
     "graph_2hop_parts": sql_graph_2hop_parts(),
     "classify_docs": sql_classify_docs(),
     "features_ig_docs": sql_features_ig_docs(),

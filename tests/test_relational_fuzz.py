@@ -338,3 +338,52 @@ def test_bucketed_topn_multikey_matches_pandas(ray_session, rows, n, blocks):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "v", "p", "id"]], ref[["k", "v", "p", "id"]])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 12),            # parent key
+                  st.integers(0, 5),             # order value
+                  st.integers(0, 100)),          # quantity (filter col)
+        min_size=1, max_size=80),
+    parents=st.sets(st.integers(0, 12), min_size=1, max_size=13),
+    limit=st.integers(1, 3),
+    blocks=st.integers(1, 4),
+)
+def test_child_doc_transform_matches_pandas(ray_session, rows, parents,
+                                            limit, blocks):
+    """[child] transformer vs pandas: childFilter, per-parent top-limit by
+    (val desc, uid asc), inner attach drops childless parents."""
+    import pyarrow.compute as pc
+    from lucene_solr_ray.functions import relational as rel
+
+    ch = pd.DataFrame(rows, columns=["pk", "val", "qty"])
+    ch["uid"] = np.arange(len(ch))  # unique tiebreak → deterministic top-n
+    par = pd.DataFrame({"pk": sorted(parents)})
+    par["pname"] = ["p%d" % k for k in par["pk"]]
+
+    out = rel.child_doc_transform(
+        ray.data.from_pandas(par).repartition(2),
+        ray.data.from_pandas(ch).repartition(blocks),
+        parent_key="pk", child_parent_key="pk",
+        child_filter_fn=lambda t: pc.greater_equal(t["qty"], 50),
+        child_order=["val", "uid"], descending=[True, False], limit=limit,
+        num_partitions=4,
+    ).to_pandas()
+
+    want = ch[ch.qty >= 50].sort_values(
+        ["pk", "val", "uid"], ascending=[True, False, True])
+    want = want.groupby("pk").head(limit)
+    want = par.merge(want, on="pk", how="inner")
+
+    if len(want) == 0:
+        assert len(out) == 0
+        return
+    key = ["pk", "pname", "val", "qty", "uid"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = want[key].sort_values(key).reset_index(drop=True)
+    assert got.astype("int64", errors="ignore").reset_index(drop=True).equals(
+        exp.astype("int64", errors="ignore").reset_index(drop=True)) or \
+        got.astype(str).equals(exp.astype(str))
