@@ -327,3 +327,54 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("alpha_ratio_e6", pa.array(alpha_r))
         .append_column("repetition_ratio_e6", pa.array(rep_r))
     )
+
+
+def path_prefix_explode(batch: pa.Table, col: str,
+                        keep_cols: List[str] = (),
+                        out_col: str = "path_prefix",
+                        delimiter: str = "/") -> pa.Table:
+    """PathHierarchyTokenizer analog (reference: lucene/analysis/common/
+    src/java/org/apache/lucene/analysis/path/PathHierarchyTokenizer.java
+    ~150 LoC, branch_8x; SURVEY.md §2.2): one output row per cumulative
+    path prefix — "/a/b/c" emits "/a", "/a/b", "/a/b/c" (the bare empty
+    token a leading delimiter would produce is not emitted, matching the
+    reference's behavior of including the leading delimiter in the first
+    token). The classic use is hierarchical faceting on URL paths.
+
+    Vectorized as one RE2 ``extract_regex`` kernel PER DEPTH over the
+    whole column (depth-k prefix = first k delimiter-separated segments);
+    path depth is small and bounded, so this is ~max-depth C passes, no
+    per-row Python. A ``map_batches`` body: output rows carry
+    ``keep_cols`` + (out_col, depth)."""
+    d = re.escape(delimiter)
+    s = pc.cast(batch[col], pa.string())
+    n_seg = pc.list_value_length(pc.split_pattern(s, delimiter))
+    max_depth = int(pc.max(n_seg).as_py() or 0) if batch.num_rows else 0
+    prefixes, depths, take_idx = [], [], []
+    for k in range(1, max_depth + 1):
+        pat = f"^(?P<p>[^{d}]*(?:{d}[^{d}]*){{{k - 1}}})"
+        m = pc.struct_field(pc.extract_regex(s, pat), "p")
+        # a row emits depth k iff it has ≥ k segments AND the prefix is
+        # non-empty (excludes the empty leading-segment token)
+        ok = pc.and_(
+            pc.and_(pc.is_valid(m), pc.greater_equal(n_seg, k)),
+            pc.not_equal(m, ""),
+        )
+        idx = np.nonzero(ok.to_numpy(zero_copy_only=False))[0]
+        if len(idx) == 0:
+            continue
+        prefixes.append(pc.take(m, pa.array(idx)))
+        depths.append(np.full(len(idx), k, dtype=np.int64))
+        take_idx.append(idx)
+    if not prefixes:
+        out = {c: batch[c].slice(0, 0) for c in keep_cols}
+        out[out_col] = pa.array([], type=pa.string())
+        out["depth"] = pa.array([], type=pa.int64())
+        return pa.table(out)
+    all_idx = pa.array(np.concatenate(take_idx))
+    out = {c: pc.take(batch[c], all_idx) for c in keep_cols}
+    out[out_col] = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in prefixes])
+    out["depth"] = pa.array(np.concatenate(depths))
+    return pa.table(out)

@@ -2374,6 +2374,60 @@ def q_url_normalize(sf_dir: str):
     )
 
 
+def q_facet_url_paths(sf_dir: str):
+    """Hierarchical URL-path faceting through the PathHierarchyTokenizer
+    analog (SURVEY.md §2.2; reference lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java, branch_8x): paths synthesized
+    deterministically from doc_id at varying depth, exploded to
+    cumulative prefixes by per-depth RE2 kernels
+    (textstats.path_prefix_explode), then one facet count + top-25 by
+    (count desc, prefix asc)."""
+    from ..functions.textstats import path_prefix_explode
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        p = np.char.add("/cat", np.char.mod("%d", ids % 7))
+        p = np.char.add(
+            p, np.where(ids % 3 >= 1,
+                        np.char.add("/sub", np.char.mod("%d", ids % 13)), ""))
+        p = np.char.add(
+            p, np.where(ids % 3 == 2,
+                        np.char.add("/page", np.char.mod("%d", ids % 31)), ""))
+        return pa.table({"path": pa.array(p.tolist(), type=pa.string())})
+
+    ex = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        lambda t: path_prefix_explode(t, "path"), batch_format="pyarrow"
+    ).select_columns(["path_prefix"])
+    counts = rel.facet_counts(ex, "path_prefix")
+    return rel.top(counts, ["count", "path_prefix"], [True, False], 25)
+
+
+def sql_facet_url_paths() -> str:
+    return """
+WITH paths AS (
+  SELECT '/cat' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 3 >= 1
+                 THEN '/sub' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 3 = 2
+                 THEN '/page' || CAST(doc_id % 31 AS VARCHAR) ELSE '' END
+           AS path
+  FROM documents
+),
+parts AS (SELECT path, string_split(path, '/') AS s FROM paths),
+expl AS (
+  SELECT array_to_string(s[1:d], '/') AS path_prefix
+  FROM parts, unnest(range(1, length(s) + 1)) AS t(d)
+)
+SELECT path_prefix, count(*) AS count
+FROM expl WHERE path_prefix <> ''
+GROUP BY path_prefix
+ORDER BY count DESC, path_prefix ASC
+LIMIT 25
+"""
+
+
 def sql_url_normalize() -> str:
     return r"""
 WITH dirty AS (
@@ -6598,6 +6652,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "ngram_repetition": q_ngram_repetition,
     "url_normalize": q_url_normalize,
+    "facet_url_paths": q_facet_url_paths,
     "html_strip_docs": q_html_strip_docs,
     "ft_html_strip_stats": q_ft_html_strip_stats,
     "langid_eval": q_langid_eval,
@@ -6753,6 +6808,7 @@ ORACLES = {
     "quality_scores": sql_quality_scores(),
     "ngram_repetition": sql_ngram_repetition(),
     "url_normalize": sql_url_normalize(),
+    "facet_url_paths": sql_facet_url_paths(),
     "html_strip_docs": sql_html_strip_docs(),
     "ft_html_strip_stats": sql_ft_html_strip_stats(),
     "dedup_exact": sql_dedup_exact(),

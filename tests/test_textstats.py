@@ -80,3 +80,35 @@ def test_url_normalize_rules():
     t = pa.table({"url": list(cases)})
     got = url_normalize_batch(t)["url_norm"].to_pylist()
     assert got == list(cases.values())
+
+
+def test_path_prefix_explode_matches_bruteforce():
+    """PathHierarchyTokenizer analog: per-depth RE2 output == pure-Python
+    split+cumjoin (empty tokens excluded), incl. leading/double/trailing
+    delimiters, empty strings, and delimiter-free rows."""
+    import numpy as np
+    import pyarrow as pa
+    from lucene_solr_ray.functions.textstats import path_prefix_explode
+
+    rng = np.random.default_rng(5)
+    segs = ["a", "bb", "ccc", ""]
+    paths = []
+    for _ in range(300):
+        k = int(rng.integers(0, 5))
+        p = "/".join(segs[int(i)] for i in rng.integers(0, 4, size=k))
+        if rng.integers(0, 2):
+            p = "/" + p
+        paths.append(p)
+    paths += ["", "/", "//", "abc", "a/b/c", "/a/b/c/"]
+    t = pa.table({"id": list(range(len(paths))), "p": paths})
+    got = [(r["id"], r["path_prefix"], r["depth"])
+           for r in path_prefix_explode(t, "p", keep_cols=["id"]).to_pylist()]
+
+    want = []
+    for i, p in enumerate(paths):
+        parts = p.split("/")
+        for d in range(1, len(parts) + 1):
+            pref = "/".join(parts[:d])
+            if pref != "":
+                want.append((i, pref, d))
+    assert sorted(got) == sorted(want)
