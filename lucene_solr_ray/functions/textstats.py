@@ -378,3 +378,50 @@ def path_prefix_explode(batch: pa.Table, col: str,
          for p in prefixes])
     out["depth"] = pa.array(np.concatenate(depths))
     return pa.table(out)
+
+
+def term_vectors_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """TermVectorComponent analog (reference: solr/core/src/java/org/
+    apache/solr/handler/component/TermVectorComponent.java ~450 LoC,
+    branch_8x; SURVEY.md §2.6): per-document term vectors — one row per
+    (doc, term) with tf and the first/last 0-based within-doc positions
+    (the positions/offsets payload a MoreLikeThis or highlight consumer
+    reads). Solr serves these from stored term vectors; this engine
+    re-derives them from the stored text in one streaming pass, which is
+    the reference's own documented fallback when termVectors="false".
+
+    Fully map-side (a doc's tokens never split across rows): Arrow split
+    + dictionary-encode, then one lexsort + run-length reduce per batch —
+    no shuffle, no per-row Python."""
+    lens, flat, idx = _split_tokens(batch[text_col])
+    if len(idx) == 0:
+        return pa.table({
+            id_col: batch[id_col].slice(0, 0),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "first_pos": pa.array([], type=pa.int64()),
+            "last_pos": pa.array([], type=pa.int64()),
+        })
+    starts_of_doc = np.cumsum(lens) - lens
+    pos = np.arange(len(idx), dtype=np.int64) - np.repeat(starts_of_doc, lens)
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, codes, idx))
+    di, ci, pi = idx[order], codes[order], pos[order]
+    new = np.empty(len(di), dtype=bool)
+    new[:1] = True
+    new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(di))
+    ids = pc.take(batch[id_col], pa.array(di[starts]))
+    terms = pc.take(de.dictionary, pa.array(ci[starts]))
+    return pa.table({
+        id_col: ids,
+        "term": pc.cast(terms, pa.string()),
+        "tf": pa.array((ends - starts).astype(np.int64)),
+        "first_pos": pa.array(pi[starts]),
+        "last_pos": pa.array(pi[ends - 1]),
+    })

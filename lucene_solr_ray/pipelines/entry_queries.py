@@ -2374,6 +2374,38 @@ def q_url_normalize(sf_dir: str):
     )
 
 
+def q_term_vectors_docs(sf_dir: str):
+    """TermVectorComponent (SURVEY.md §2.6; reference solr/core/.../
+    component/TermVectorComponent.java, branch_8x): per-doc term vectors
+    (tf + first/last position) for the doc_id %% 97 == 0 slice, derived
+    in one streaming map-side pass (textstats.term_vectors_batch) — the
+    predicate prunes before tokenization, nothing shuffles."""
+    from ..functions.textstats import term_vectors_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tv(t: pa.Table) -> pa.Table:
+        keep = (t["doc_id"].to_numpy() % 97) == 0
+        return term_vectors_batch(t.filter(pa.array(keep)))
+
+    return ds.map_batches(tv, batch_format="pyarrow")
+
+
+def sql_term_vectors_docs() -> str:
+    # generate_subscripts is 1-based; engine positions are 0-based → -1
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT doc_id, term, count(*) AS tf,
+       min(pos) - 1 AS first_pos, max(pos) - 1 AS last_pos
+FROM tok GROUP BY doc_id, term
+"""
+
+
 def q_facet_url_paths(sf_dir: str):
     """Hierarchical URL-path faceting through the PathHierarchyTokenizer
     analog (SURVEY.md §2.2; reference lucene/analysis/common/.../path/
@@ -6653,6 +6685,7 @@ QUERIES = {
     "ngram_repetition": q_ngram_repetition,
     "url_normalize": q_url_normalize,
     "facet_url_paths": q_facet_url_paths,
+    "term_vectors_docs": q_term_vectors_docs,
     "html_strip_docs": q_html_strip_docs,
     "ft_html_strip_stats": q_ft_html_strip_stats,
     "langid_eval": q_langid_eval,
@@ -6809,6 +6842,7 @@ ORACLES = {
     "ngram_repetition": sql_ngram_repetition(),
     "url_normalize": sql_url_normalize(),
     "facet_url_paths": sql_facet_url_paths(),
+    "term_vectors_docs": sql_term_vectors_docs(),
     "html_strip_docs": sql_html_strip_docs(),
     "ft_html_strip_stats": sql_ft_html_strip_stats(),
     "dedup_exact": sql_dedup_exact(),

@@ -112,3 +112,30 @@ def test_path_prefix_explode_matches_bruteforce():
             if pref != "":
                 want.append((i, pref, d))
     assert sorted(got) == sorted(want)
+
+
+def test_term_vectors_batch_matches_bruteforce():
+    """TermVectorComponent analog: tf/first/last per (doc, term) == pure
+    Python Counter over split tokens, incl. empty text and repeats."""
+    import numpy as np
+    import pyarrow as pa
+    from lucene_solr_ray.functions.textstats import term_vectors_batch
+
+    rng = np.random.default_rng(9)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = [" ".join(vocab[int(i)] for i in rng.integers(0, 5, size=k))
+             for k in rng.integers(0, 12, size=200)]
+    texts += ["", "a", "a a a"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["first_pos"], r["last_pos"])
+           for r in term_vectors_batch(t).to_pylist()}
+    want = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split(" ")
+        for p, tok in enumerate(toks):
+            if (i, tok) in want:
+                tf, fp, _ = want[(i, tok)]
+                want[(i, tok)] = (tf + 1, fp, p)
+            else:
+                want[(i, tok)] = (1, p, p)
+    assert got == want
