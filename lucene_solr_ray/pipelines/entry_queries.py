@@ -1548,6 +1548,73 @@ SELECT m.df, m.total_tf, s.sum_dl FROM m, s
 """
 
 
+FT_COMMONGRAM = "the_query"
+
+
+def ensure_ft_commongrams_index(sf_dir: str) -> str:
+    """documents index through the CommonGramsFilter analog (SURVEY.md
+    §2.2; reference lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java, branch_8x): stopword-anchored bigrams overlay
+    the unigrams at posIncr 0; cached separately from the unigram index."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:commongrams1"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=_docs_as_pages(sf_dir),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "filters": [
+                "lowercase",
+                {"name": "common_grams", "words": ["the", "a"]},
+            ],
+        },
+    )
+    return index_root
+
+
+def q_ft_commongrams_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of one stopword-anchored common gram plus
+    corpus sum_dl. Grams overlay unigrams at posIncr 0 (discountOverlaps),
+    so sum_dl must equal the plain unigram token count."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_commongrams_index(sf_dir)
+    root = read_root_manifest(idx)
+    stats = read_query_term_stats(idx, [FT_COMMONGRAM])
+    df_, tf_ = stats.get(FT_COMMONGRAM, (0, 0))
+    return pd.DataFrame(
+        {"df": [df_], "total_tf": [tf_], "sum_dl": [root["sum_dl"]]}
+    ).astype(np.int64)
+
+
+def sql_ft_commongrams_stats() -> str:
+    return """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+idx AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t),
+cgr AS (SELECT doc_id, a[i] || '_' || a[i+1] AS term FROM idx
+        WHERE a[i] IN ('the', 'a') OR a[i+1] IN ('the', 'a')),
+m AS (SELECT count(DISTINCT doc_id) AS df, count(*) AS total_tf FROM cgr
+      WHERE term = 'the_query'),
+s AS (SELECT CAST(sum(len(a)) AS BIGINT) AS sum_dl FROM t)
+SELECT m.df, m.total_tf, s.sum_dl FROM m, s
+"""
+
+
 # planted German surface forms and their Snowball-german stems (stem
 # VALUES pinned by tests/test_analyzer_filters.py German goldens; the
 # zz prefix keeps them disjoint from the natural corpus vocabulary)
@@ -6711,6 +6778,7 @@ QUERIES = {
     "facet_top_terms": q_facet_top_terms,
     "facet_prefix_terms": q_facet_prefix_terms,
     "ft_shingle_stats": q_ft_shingle_stats,
+    "ft_commongrams_stats": q_ft_commongrams_stats,
     "ft_german_stem_stats": q_ft_german_stem_stats,
     "ft_french_stem_stats": q_ft_french_stem_stats,
     "ft_spanish_stem_stats": q_ft_spanish_stem_stats,
@@ -6858,6 +6926,7 @@ ORACLES = {
     "facet_top_terms": sql_facet_top_terms(),
     "facet_prefix_terms": sql_facet_prefix_terms(),
     "ft_shingle_stats": sql_ft_shingle_stats(),
+    "ft_commongrams_stats": sql_ft_commongrams_stats(),
     "ft_german_stem_stats": sql_ft_german_stem_stats(),
     "ft_french_stem_stats": _sql_lang_stem_stats(FRENCH_PLANT),
     "ft_spanish_stem_stats": _sql_lang_stem_stats(SPANISH_PLANT),

@@ -58,10 +58,15 @@ def analyze(text: str, spec: dict = None) -> list:
         f for f in filters
         if (isinstance(f, dict) and f.get("name") == "shingle") or f == "shingle"
     ]
-    if len(sh) > 1:
-        raise ValueError("at most one shingle entry per analyzer spec")
-    if sh:
-        filters = [f for f in filters if f not in sh]
+    cg = [
+        f for f in filters
+        if isinstance(f, dict) and f.get("name") == "common_grams"
+    ]
+    if len(sh) > 1 or len(cg) > 1 or (sh and cg):
+        raise ValueError(
+            "at most one shingle/common_grams entry per analyzer spec")
+    if sh or cg:
+        filters = [f for f in filters if f not in sh and f not in cg]
     cjk_cfg, pre, post = CjkBigramConfig.from_spec_filters(filters)
     toks = tok.tokenize_lower(text or "")
     if cjk_cfg is not None:
@@ -85,6 +90,16 @@ def analyze(text: str, spec: dict = None) -> list:
         args = dict(sh[0]) if isinstance(sh[0], dict) else {}
         args.pop("name", None)
         toks, _dl = shingle_token_list(toks, ShingleConfig.from_args(args))
+    if cg:
+        from ..analysis.commongrams import (
+            CommonGramsConfig,
+            common_grams_token_list,
+        )
+
+        args = dict(cg[0])
+        args.pop("name", None)
+        toks, _dl = common_grams_token_list(
+            toks, CommonGramsConfig.from_args(args))
     chain = build_filter_chain(filters)
     if chain is None:
         return toks
@@ -127,6 +142,28 @@ def _tokenize_rows_regex(texts: list, tokenizer: StandardTokenizer):
     return arr, doc_ids
 
 
+def _seq_token_list(toks, cfg):
+    """Dispatch the per-doc list form of the shingle-slot sequence filter
+    (ShingleConfig or CommonGramsConfig — both occupy the same analyzer
+    slot; at most one per spec)."""
+    from ..analysis.commongrams import CommonGramsConfig, common_grams_token_list
+    from ..analysis.shingle import shingle_token_list
+
+    if isinstance(cfg, CommonGramsConfig):
+        return common_grams_token_list(toks, cfg)
+    return shingle_token_list(toks, cfg)
+
+
+def _seq_token_stream(tokens, doc_ids, n_docs, cfg):
+    """Dispatch the flat-stream form of the shingle-slot sequence filter."""
+    from ..analysis.commongrams import CommonGramsConfig, common_grams_token_stream
+    from ..analysis.shingle import shingle_token_stream
+
+    if isinstance(cfg, CommonGramsConfig):
+        return common_grams_token_stream(tokens, doc_ids, n_docs, cfg)
+    return shingle_token_stream(tokens, doc_ids, n_docs, cfg)
+
+
 def _analyze_rows_regex(
     texts: list, tokenizer: StandardTokenizer, want_positions: bool = False,
     shingles=None, cjk=None,
@@ -157,7 +194,7 @@ def _analyze_rows_regex(
                     np.fromiter(tf.values(), dtype=np.int32, count=len(tf)))
                 continue
         if shingles is not None:
-            toks, dl_i = shingle_token_list(toks, shingles)
+            toks, dl_i = _seq_token_list(toks, shingles)
             tf = Counter(toks)
             dl[i] = dl_i
             terms_per_doc.append(list(tf.keys()))
@@ -232,9 +269,7 @@ def _apply_seq_filters(tokens, doc_ids, n_docs, cjk, shingles, cjk_memo=None,
             tokens, doc_ids, n_docs, cjk, memo=cjk_memo
         )
     if shingles is not None:
-        from ..analysis.shingle import shingle_token_stream
-
-        tokens, doc_ids, dl = shingle_token_stream(
+        tokens, doc_ids, dl = _seq_token_stream(
             tokens, doc_ids, n_docs, shingles
         )
     return tokens, doc_ids, dl
@@ -576,14 +611,28 @@ class AnalyzerStage:
             f for f in filters
             if (isinstance(f, dict) and f.get("name") == "shingle") or f == "shingle"
         ]
-        if len(sh) > 1:
-            raise ValueError("at most one shingle entry per analyzer spec")
+        cg = [
+            f for f in filters
+            if isinstance(f, dict) and f.get("name") == "common_grams"
+        ]
+        if len(sh) > 1 or len(cg) > 1 or (sh and cg):
+            raise ValueError(
+                "at most one shingle/common_grams entry per analyzer spec")
         self.shingles = None
         if sh:
             args = dict(sh[0]) if isinstance(sh[0], dict) else {}
             args.pop("name", None)
             self.shingles = ShingleConfig.from_args(args)
             filters = [f for f in filters if f not in sh]
+        if cg:
+            # CommonGramsFilter occupies the same sequence-filter slot as
+            # shingle (dispatched by config type in _seq_token_*)
+            from ..analysis.commongrams import CommonGramsConfig
+
+            args = dict(cg[0])
+            args.pop("name", None)
+            self.shingles = CommonGramsConfig.from_args(args)
+            filters = [f for f in filters if f not in cg]
         # cjk_bigram is a SEQUENCE filter too (adjacent-token state);
         # vocabulary filters listed BEFORE it fold the token stream first
         # (CJKAnalyzer: width fold precedes bigramming), filters AFTER it

@@ -1159,3 +1159,75 @@ def test_keyword_repeat_filter():
     g = build_filter_chain([{"name": "keyword_repeat",
                              "stemmer": "german"}])
     assert g("häuser") == ["häuser", "haus"]
+
+
+def test_common_grams_list_semantics():
+    """CommonGramsFilter analog: grams only where either member is common;
+    unigrams always kept; dl = unigram count."""
+    from lucene_solr_ray.analysis.commongrams import (
+        CommonGramsConfig,
+        common_grams_token_list,
+    )
+
+    cfg = CommonGramsConfig(words=["the", "a"])
+    toks, dl = common_grams_token_list(
+        ["the", "quick", "fox", "a", "dog"], cfg)
+    assert toks == ["the", "quick", "fox", "a", "dog",
+                    "the_quick", "fox_a", "a_dog"]
+    assert dl == 5
+    assert common_grams_token_list([], cfg) == ([], 0)
+    assert common_grams_token_list(["x"], cfg) == (["x"], 1)
+    assert common_grams_token_list(["x", "y"], cfg) == (["x", "y"], 2)
+
+
+def test_common_grams_stream_matches_list():
+    """Flat-stream kernel == per-doc list reference on random multi-doc
+    streams (doc boundaries never glue), incl. docs with no commons."""
+    import numpy as np
+    import pyarrow as pa
+    from collections import Counter
+    from lucene_solr_ray.analysis.commongrams import (
+        CommonGramsConfig,
+        common_grams_token_list,
+        common_grams_token_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = ["the", "a", "x", "y", "zz"]
+    cfg = CommonGramsConfig(words=["the", "a"])
+    for trial in range(50):
+        docs = [
+            [vocab[int(i)] for i in rng.integers(0, 5, size=rng.integers(0, 9))]
+            for _ in range(int(rng.integers(1, 6)))
+        ]
+        flat = [t for d in docs for t in d]
+        doc_ids = np.repeat(
+            np.arange(len(docs)), [len(d) for d in docs]).astype(np.int64)
+        toks, dids, dl = common_grams_token_stream(
+            pa.array(flat, type=pa.string()), doc_ids, len(docs), cfg)
+        got = Counter(zip(dids.tolist(), toks.to_pylist()))
+        want = Counter()
+        for i, d in enumerate(docs):
+            out, dl_i = common_grams_token_list(d, cfg)
+            assert dl[i] == dl_i
+            for t in out:
+                want[(i, t)] += 1
+        assert got == want, (trial, docs)
+
+
+def test_common_grams_analyzer_spec_exclusive():
+    """shingle + common_grams in one spec must refuse (same slot)."""
+    import pytest
+    from lucene_solr_ray.stages.analyzer import AnalyzerStage, analyze
+
+    spec = {"filters": ["lowercase", "shingle",
+                        {"name": "common_grams", "words": ["the"]}]}
+    with pytest.raises(ValueError, match="common_grams"):
+        AnalyzerStage(4, spec=spec)
+    with pytest.raises(ValueError, match="common_grams"):
+        analyze("x", spec)
+    assert analyze(
+        "The fast THE dog",
+        {"filters": ["lowercase",
+                     {"name": "common_grams", "words": ["the"]}]},
+    ) == ["the", "fast", "the", "dog", "the_fast", "fast_the", "the_dog"]
