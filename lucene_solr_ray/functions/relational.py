@@ -27,7 +27,7 @@ __all__ = [
     "inner_join", "hash_join_broadcast", "semi_join_broadcast",
     "semi_join", "distinct", "broadcast_table", "left_outer_join", "cursor_page",
     "score_join", "block_join_parents", "graph_traverse",
-    "collapse", "stats_component", "select_stream", "merge_union",
+    "collapse", "expand", "stats_component", "select_stream", "merge_union",
     "default_shuffle_partitions",
 ]
 
@@ -49,12 +49,14 @@ def default_shuffle_partitions(num_partitions: Optional[int] = None) -> int:
     return max(8, cpus)
 
 
-def _topn_per_key(t: pa.Table, keyl: List[str], sort_keys, n: int) -> pa.Table:
+def _topn_per_key(t: pa.Table, keyl: List[str], sort_keys, n: int,
+                  skip: int = 0) -> pa.Table:
     """Sort ``t`` by ``sort_keys`` (Arrow C++ stable sort — any dtype) and
-    keep the FIRST ``n`` rows of every distinct key combination, fully
-    vectorized (dictionary-encoded key codes, one boundary diff, one
-    cumulative-max rank; no per-group Python). Nulls count as a distinct
-    key value."""
+    keep rows ranked [``skip``, ``skip + n``) of every distinct key
+    combination, fully vectorized (dictionary-encoded key codes, one
+    boundary diff, one cumulative-max rank; no per-group Python). Nulls
+    count as a distinct key value. ``skip`` > 0 drops each group's leading
+    rows (ExpandComponent: everything but the collapse winner)."""
     if t.num_rows == 0:
         return t
     t = t.sort_by(sort_keys)
@@ -70,11 +72,12 @@ def _topn_per_key(t: pa.Table, keyl: List[str], sort_keys, n: int) -> pa.Table:
             enc = enc.combine_chunks()
         codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
         boundary[1:] |= codes[1:] != codes[:-1]
-    if n == 1:
+    if n == 1 and skip == 0:
         return t.filter(pa.array(boundary))
     idx = np.arange(m, dtype=np.int64)
     group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
-    return t.filter(pa.array(idx - group_start < n))
+    rank = idx - group_start
+    return t.filter(pa.array((rank >= skip) & (rank < skip + n)))
 
 
 def _first_per_key(t: pa.Table, keyl: List[str], sort_keys) -> pa.Table:
@@ -880,6 +883,44 @@ def collapse_packed(ds, key: str, pack_fn, unpack_fn, mode: str = "max"):
     agg_cls = Max if mode == "max" else Min
     out = packed.groupby(key).aggregate(agg_cls("_packed", alias_name="_packed"))
     return out.map_batches(unpack_fn, batch_format="pyarrow")
+
+
+def expand(ds, key: str, order_cols: Sequence[str], descending: Sequence[bool],
+           rows: int = 5, num_partitions: Optional[int] = None):
+    """ExpandComponent (solr/core/src/java/org/apache/solr/handler/
+    component/ExpandComponent.java ~800 LoC, branch_8x; SURVEY.md §2.6):
+    the expanded section paired with :func:`collapse` — for each collapsed
+    group, up to ``rows`` ADDITIONAL documents (the collapse winner
+    excluded) in the group's sort order. Same bucketed combiner+merge
+    shape as :func:`bucketed_topn` with n = rows + 1: the map side keeps
+    each block's local top-(rows+1) per key (the winner may live in any
+    block, so it must travel), the merge side takes the global
+    top-(rows+1) per key and drops rank 0 — a key lands entirely in one
+    bucket, so the winner drop is exact. Single-member groups emit
+    nothing, matching Solr (the expand section omits groups with no other
+    documents)."""
+    keyl = [key]
+    P = default_shuffle_partitions(num_partitions)
+    sort_keys = [(key, "ascending")] + [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(order_cols, descending)
+    ]
+
+    def part(t: pa.Table) -> pa.Table:
+        t = _topn_per_key(t, keyl, sort_keys, rows + 1)
+        h = _key_bucket_hash(t[key]) % np.uint64(P)
+        return t.append_column("_bucket", pa.array(h.astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _topn_per_key(
+            g.drop_columns(["_bucket"]), keyl, sort_keys, rows, skip=1
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def stats_component(ds, col: str):

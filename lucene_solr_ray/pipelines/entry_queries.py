@@ -3244,6 +3244,27 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_expand_other_orders(sf_dir: str):
+    """ExpandComponent paired with the collapse above: for each customer,
+    up to 2 ADDITIONAL orders (the latest-order collapse winner excluded)
+    by (o_orderdate, o_orderkey) desc. Bucketed combiner+merge top-n with
+    the per-key leading row dropped in the merge — no per-group Python."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = rel.expand(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], [True, True], rows=2
+    )
+    return out.select_columns(["o_custkey", "o_orderkey"])
+
+
+def sql_expand_other_orders() -> str:
+    return """
+SELECT o_custkey, o_orderkey FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) BETWEEN 2 AND 3
+"""
+
+
 def q_having_frequent_customers(sf_dir: str):
     """RollupStream + HavingStream: customers with >= 3 orders."""
     ds = _read(sf_dir, "orders", columns=["o_custkey"])
@@ -6812,6 +6833,7 @@ QUERIES = {
     "stats_extendedprice": q_stats_extendedprice,
     "unique_mktsegment": q_unique_mktsegment,
     "collapse_latest_order": q_collapse_latest_order,
+    "expand_other_orders": q_expand_other_orders,
     "having_frequent_customers": q_having_frequent_customers,
     "range_shipdate": q_range_shipdate,
     "semi_join_building": q_semi_join_building,
@@ -6960,6 +6982,7 @@ ORACLES = {
     "stats_extendedprice": sql_stats_extendedprice(),
     "unique_mktsegment": sql_unique_mktsegment(),
     "collapse_latest_order": sql_collapse_latest_order(),
+    "expand_other_orders": sql_expand_other_orders(),
     "having_frequent_customers": sql_having_frequent_customers(),
     "range_shipdate": sql_range_shipdate(),
     "semi_join_building": sql_semi_join_building(),
