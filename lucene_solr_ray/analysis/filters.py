@@ -380,10 +380,36 @@ def _soundex(token: str) -> str:
 
 
 def _build_phonetic(args: dict) -> Callable[[str], Optional[str]]:
-    enc = args.get("encoder", "soundex")
-    if enc != "soundex":
-        raise ValueError(f"phonetic encoder {enc!r} not supported (soundex only)")
-    return _soundex
+    """PhoneticFilter(Factory) analog (lucene/analysis/phonetic, branch_8x):
+    encoder ∈ soundex | metaphone | refined_soundex; ``inject=True`` emits
+    BOTH the original token and its code (Lucene's default — the code
+    rides at the same position, here as a synonym-style expansion),
+    ``inject=False`` (our default, back-compat) replaces the token."""
+    enc_name = args.get("encoder", "soundex")
+    if enc_name == "soundex":
+        enc = _soundex
+    elif enc_name == "metaphone":
+        from .phonetic import metaphone
+
+        max_len = int(args.get("max_code_len", 4))
+        enc = lambda t: metaphone(t, max_len)  # noqa: E731
+    elif enc_name == "refined_soundex":
+        from .phonetic import refined_soundex
+
+        enc = refined_soundex
+    else:
+        raise ValueError(
+            f"phonetic encoder {enc_name!r} not supported "
+            "(soundex | metaphone | refined_soundex)"
+        )
+    if not args.get("inject", False):
+        return enc
+
+    def inject(t: str):
+        c = enc(t)
+        return [t, c] if c != t else t
+
+    return inject
 
 
 def _icu_fold(token: str) -> str:

@@ -1712,6 +1712,108 @@ FROM documents GROUP BY 1
 """
 
 
+# (surface, metaphone code) plants — codes pinned by the metaphone goldens
+# in tests/test_analyzer_filters.py. Unlike the stem contracts, the plant
+# vocabulary REPLACES the document text: 4-char phonetic codes collide with
+# the natural vocabulary by design (that is their purpose), so an appended
+# plant's df would absorb corpus words sharing its code and the SQL oracle
+# could not reproduce it.
+# No zz prefix here (it would defeat the initial-pair rules: zzKnight
+# codes SKNT, not NT) — safe because the plant vocabulary is exclusive.
+METAPHONE_PLANT = [
+    ("Knight", "NT"),
+    ("School", "SKL"),
+    ("Xylophone", "SLFN"),
+    ("Thomas", "0MS"),
+    ("Watches", "WXS"),
+]
+
+
+def ensure_ft_metaphone_index(sf_dir: str) -> str:
+    """documents index through the phonetic pack (lowercase → metaphone,
+    PhoneticFilter encoder=Metaphone analog): each doc's text becomes its
+    planted surface word repeated (doc_id % 3 + 1) times, so df AND
+    total_tf are oracle-derivable per plant."""
+    p = _docs_path(sf_dir)
+    fp = f"{os.path.abspath(p)}:{os.path.getsize(p)}:metaphone1"
+    key = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    index_root = os.path.join("/tmp", "lsr_ft_cache", key)
+    manifest_path = os.path.join(index_root, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        try:
+            root = read_root_manifest(index_root)
+            if root.get("input_fingerprint") == key:
+                return index_root
+        except Exception:
+            pass
+
+    base = _docs_as_pages(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(u.rsplit("/", 1)[-1]) for u in batch["url"].to_pylist()],
+            dtype=np.int64,
+        )
+        text = pa.array(
+            [
+                " ".join([METAPHONE_PLANT[int(i) % 5][0]] * (int(i) % 3 + 1))
+                for i in ids
+            ],
+            type=pa.string(),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    build_index(
+        [p],
+        index_root,
+        num_partitions=FT_PARTITIONS,
+        lang=None,
+        dataset=base.map_batches(plant, batch_format="pyarrow"),
+        fingerprint=key,
+        analyzer_spec={
+            "tokenizer": "standard_uax29",
+            "max_token_length": 255,
+            "filters": [
+                "lowercase",
+                {"name": "phonetic", "encoder": "metaphone"},
+            ],
+        },
+    )
+    return index_root
+
+
+def q_ft_metaphone_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (df, total_tf) of each planted Metaphone code. The codes
+    are pinned by the phonetic goldens; matching df AND tf (tf varies by
+    doc_id % 3 + 1) proves the encoder ran over every token at build
+    time (reference: lucene/analysis/phonetic PhoneticFilter, branch_8x,
+    encoder=Metaphone)."""
+    from ..index.stats import read_query_term_stats
+
+    idx = ensure_ft_metaphone_index(sf_dir)
+    codes = [c for _, c in METAPHONE_PLANT]
+    stats = read_query_term_stats(idx, codes)
+    rows = [
+        {"code": c, "df": stats.get(c, (0, 0))[0],
+         "total_tf": stats.get(c, (0, 0))[1]}
+        for c in codes
+    ]
+    return pd.DataFrame(rows).astype({"df": np.int64, "total_tf": np.int64})
+
+
+def sql_ft_metaphone_stats() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{code}'" for i, (_, code) in enumerate(METAPHONE_PLANT)
+    )
+    return f"""
+SELECT CASE doc_id % 5 {cases} END AS code,
+       count(*) AS df, sum(doc_id % 3 + 1) AS total_tf
+FROM documents GROUP BY 1
+"""
+
+
 # (surface, stem) plants for the French / Spanish Snowball packs (round-5
 # verdict task 6); stems pinned by tests/test_analyzer_filters.py goldens
 FRENCH_PLANT = [
@@ -6801,6 +6903,7 @@ QUERIES = {
     "ft_shingle_stats": q_ft_shingle_stats,
     "ft_commongrams_stats": q_ft_commongrams_stats,
     "ft_german_stem_stats": q_ft_german_stem_stats,
+    "ft_metaphone_stats": q_ft_metaphone_stats,
     "ft_french_stem_stats": q_ft_french_stem_stats,
     "ft_spanish_stem_stats": q_ft_spanish_stem_stats,
     "ft_portuguese_stem_stats": q_ft_portuguese_stem_stats,
@@ -6950,6 +7053,7 @@ ORACLES = {
     "ft_shingle_stats": sql_ft_shingle_stats(),
     "ft_commongrams_stats": sql_ft_commongrams_stats(),
     "ft_german_stem_stats": sql_ft_german_stem_stats(),
+    "ft_metaphone_stats": sql_ft_metaphone_stats(),
     "ft_french_stem_stats": _sql_lang_stem_stats(FRENCH_PLANT),
     "ft_spanish_stem_stats": _sql_lang_stem_stats(SPANISH_PLANT),
     "ft_portuguese_stem_stats": _sql_lang_stem_stats(PORTUGUESE_PLANT),

@@ -552,7 +552,70 @@ def test_phonetic_soundex():
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="phonetic encoder"):
-        build_filter_chain([{"name": "phonetic", "encoder": "metaphone"}])
+        build_filter_chain([{"name": "phonetic", "encoder": "beider_morse"}])
+
+
+def test_phonetic_metaphone():
+    """Metaphone vectors (Philips 1990 algorithm, commons-codec rule set /
+    maxCodeLen=4 — the lucene-analysis-phonetic default), incl. the
+    documented quirks: initial KN/GN/WR/AE/WH/X rewrites, SCH→K, silent
+    -MB / -GH / TCH, TH→0, X→KS, duplicate-collapse except C."""
+    from lucene_solr_ray.analysis.filters import build_filter_chain
+    from lucene_solr_ray.analysis.phonetic import metaphone
+
+    golden = {
+        # the commons-codec doc sentence, word by word
+        "the": "0", "quick": "KK", "brown": "BRN", "fox": "FKS",
+        "jumped": "JMPT", "over": "OFR", "lazy": "LS", "dogs": "TKS",
+        # initial-pair exceptions
+        "knight": "NT",      # KN- → N, silent GH before consonant
+        "gnome": "NM",       # GN- → N
+        "wrack": "RK",       # WR- → R
+        "aeon": "EN",        # AE- → E
+        "white": "WT",       # WH- → W
+        "xylophone": "SLFN", # X- → S, PH → F
+        # digraphs / silent letters (each hand-traced through the rules)
+        "school": "SKL",     # SCH → K, duplicate O collapses
+        "science": "SNS",    # SC + front vowel: C silent
+        "dumb": "TM",        # terminal -MB: B silent
+        "dodge": "TJ",       # DGE → J (consumes the GE)
+        "watch": "WX",       # T silent in -TCH, CH → X
+        "thomas": "0MS",     # TH → 0, H consumed
+        "phish": "FX",       # PH → F, SH → X
+        "cough": "K",        # terminal -GH fully silent
+        "mississippi": "MSSP",  # duplicate S/P collapse, 4-char cap
+    }
+    for word, code in golden.items():
+        assert metaphone(word) == code, (word, metaphone(word), code)
+
+    # filter wiring: replace vs inject
+    chain = build_filter_chain([{"name": "phonetic", "encoder": "metaphone"}])
+    assert chain("knight") == chain("night") == "NT"
+    inj = build_filter_chain(
+        [{"name": "phonetic", "encoder": "metaphone", "inject": True}]
+    )
+    assert inj("knight") == ["knight", "NT"]
+    # numerics pass through untouched (and inject emits no duplicate)
+    assert metaphone("12345") == "12345"
+    assert inj("12345") == "12345"
+    # max_code_len is honored
+    assert len(metaphone("abcdefghijklmnop", 4)) <= 4
+    assert metaphone("xylophone", 2) == "SL"
+
+
+def test_phonetic_refined_soundex():
+    """RefinedSoundex vectors (commons-codec US-English mapping): first
+    letter + per-letter digits, adjacent duplicates collapsed, no cap."""
+    from lucene_solr_ray.analysis.phonetic import refined_soundex
+
+    golden = {
+        "testing": "T6036084", "the": "T60", "quick": "Q503",
+        "brown": "B1908", "fox": "F205", "jumped": "J408106",
+        "over": "O0209", "lazy": "L7050", "dogs": "D6043",
+    }
+    for word, code in golden.items():
+        assert refined_soundex(word) == code, (word, refined_soundex(word), code)
+    assert refined_soundex("42") == "42"
 
 
 def test_phonetic_index_search(ray_session, tmp_path):
