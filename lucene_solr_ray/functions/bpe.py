@@ -38,7 +38,8 @@ import pyarrow.compute as pc
 
 from .relational import bucketed_agg, default_shuffle_partitions
 
-__all__ = ["word_freq_table", "train_bpe", "bpe_reference", "segment_words"]
+__all__ = ["word_freq_table", "train_bpe", "bpe_encode", "bpe_reference",
+           "segment_words"]
 
 # end-of-word sentinel glued to the final character (Sennrich's
 # end-of-word mark; chr-built so the angle brackets survive tooling)
@@ -226,6 +227,102 @@ def segment_words(words, merges) -> List[List[str]]:
             syms = res
         out.append(syms)
     return out
+
+
+class _BpeEncodeStage:
+    """Actor-pool encode stage: the learned merge list arrives ONCE per
+    actor (object-store ref in the constructor, never re-shipped per
+    batch); a word → piece-count cache lives across batches, so each
+    DISTINCT word is segmented once per actor (Zipf bounds distinct
+    words, not corpus size)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = merges_ref
+        if isinstance(merges_ref, ray.ObjectRef):
+            merges = ray.get(merges_ref)
+        self.merges = [(a, b) for a, b, *_ in merges]
+        self.cache: dict = {"": 0}
+
+    def _pieces(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            syms = list(w)
+            syms[-1] = syms[-1] + EOW
+            for a, b in self.merges:
+                i, res = 0, []
+                m = len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            n = len(syms)
+            self.cache[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text_col, id_col = self._text_col, self._id_col
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(pc.coalesce(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        npieces = np.empty(len(vocab), dtype=np.int64)
+        for i, w in enumerate(vocab):
+            npieces[i] = self._pieces(w)
+        per_word = npieces[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(vocab) else np.zeros(0, dtype=np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # sliced arrays carry a nonzero start
+        cs = np.concatenate([[0], np.cumsum(per_word, dtype=np.int64)])
+        doc_tok = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table({id_col: t[id_col],
+                         "n_bpe_tokens": pa.array(doc_tok, type=pa.int64())})
+
+
+def bpe_encode(ds, merges, text_col: str = "text", id_col: str = "doc_id",
+               concurrency: Optional[int] = None, batch_size: int = 4096):
+    """Apply learned BPE merges to the corpus — the tokenizer-APPLICATION
+    half of the pipeline (train_bpe is the training half): per document,
+    the subword token count under the trained vocabulary (the number an
+    LLM data pipeline packs/budgets by). One streaming ``map_batches``
+    pass, zero shuffle; ``merges`` ([(left, right, ...), ...] in learned
+    order) is ``ray.put`` once and read per actor, never per batch.
+    Per-batch work is a dictionary-encode (distinct words only) + a
+    vectorized gather/segment-sum back to documents; the greedy-left
+    chained-merge semantics are bit-identical to :func:`segment_words`
+    (pinned in tests/test_bpe.py)."""
+    import ray
+
+    if concurrency is None:
+        try:
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            concurrency = 4
+    merges_ref = ray.put(list(merges))
+
+    class Stage(_BpeEncodeStage):
+        _text_col = text_col
+        _id_col = id_col
+
+    return ds.map_batches(
+        Stage,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def bpe_reference(word_counts: dict, num_merges: int):

@@ -6801,6 +6801,25 @@ def q_bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return merges_df.astype({"step": np.int64, "pair_count": np.int64})
 
 
+def q_bpe_encode_docs(sf_dir: str):
+    """BPE tokenizer APPLICATION (the other half of bpe_merges_docs):
+    train 20 merges, then one streaming zero-shuffle encode pass — per
+    document, the subword token count under the trained vocabulary (what
+    an LLM pipeline packs/budgets by). Merges are ray.put once; each
+    actor dictionary-encodes its batch so only DISTINCT words are
+    segmented (cached across batches). No SQL oracle (merge application
+    is iterative) — bit-exact vs the single-process segment_words
+    reference in tests/test_bpe.py."""
+    from ..functions.bpe import bpe_encode, train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges_df, _ = train_bpe(
+        _read(sf_dir, "documents", columns=["text"]), num_merges=20
+    )
+    merges = list(merges_df[["left", "right"]].itertuples(index=False, name=None))
+    return bpe_encode(docs, merges)
+
+
 def q_train_logit_docs(sf_dir: str) -> pd.DataFrame:
     """train() stream (SURVEY.md §2.8 TextLogitStream): distributed
     logistic-regression training — per iteration one streaming pass emits
@@ -6993,6 +7012,7 @@ QUERIES = {
     "ft_span_not_counts": q_ft_span_not_counts,
     "train_logit_docs": q_train_logit_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
+    "bpe_encode_docs": q_bpe_encode_docs,
 }
 
 ORACLES = {

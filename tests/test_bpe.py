@@ -81,3 +81,38 @@ def test_segment_words_applies_learned_merges(ray_session):
     for w in ["low", "newest", "streaming"]:
         got = segment_words([w], merges)[0]
         assert "".join(got) in seg and seg["".join(got)] == got
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_bpe_encode_matches_segment_words(ray_session, parallelism):
+    """bpe_encode per-doc subword counts must equal the sum of
+    segment_words piece counts, bit-exactly, at P in {1, 4} — incl. empty
+    docs (0 tokens) and words unseen at train time."""
+    import ray.data as rd
+    from lucene_solr_ray.functions.bpe import (
+        bpe_encode, segment_words, train_bpe)
+
+    texts = _corpus(seed=13, n=200) + ["", "zzunseen zzword low", "low"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})
+    ).repartition(parallelism)
+    merges_df, _ = train_bpe(
+        rd.from_arrow(pa.table({"text": texts})).repartition(parallelism),
+        num_merges=15,
+    )
+    merges = [(r.left, r.right, int(r.pair_count))
+              for r in merges_df.itertuples()]
+    got = (
+        bpe_encode(ds, merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = []
+    for t in texts:
+        words = [w for w in t.split(" ") if w]
+        exp.append(sum(len(s) for s in segment_words(words, merges)))
+    assert got["doc_id"].tolist() == ids.tolist()
+    assert got["n_bpe_tokens"].tolist() == exp
+    assert got["n_bpe_tokens"].iloc[len(texts) - 3] == 0  # the empty doc
