@@ -501,6 +501,141 @@ LIMIT 15
     )
 
 
+def q_ft_frange_topk(sf_dir: str) -> pd.DataFrame:
+    """{!frange} FunctionRangeQuery (SURVEY.md §2.9; reference: solr/core/
+    .../search/FunctionRangeQParserPlugin.java, branch_8x): docs whose
+    value source 100*termfreq(query) + termfreq(join) lands in
+    [200, 400) — l inclusive, u EXCLUSIVE to exercise the open bound —
+    constant score, docid-asc tie-break, top-15."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0,
+            "kind": "frange",
+            "vs": ["sum",
+                   ["product", ["termfreq", "text", "query"], 100],
+                   ["termfreq", "text", "join"]],
+            "l": 200, "u": 400, "incl_u": False,
+        }],
+        k=15,
+        method="exhaustive",
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+        }
+    )
+
+
+def sql_ft_frange_topk() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ('query', 'join') GROUP BY doc_id, term
+),
+piv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = 'query' THEN freq END), 0) * 100
+         + coalesce(max(CASE WHEN term = 'join' THEN freq END), 0) AS val
+  FROM tf GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank, doc_id
+FROM piv WHERE val >= 200 AND val < 400
+ORDER BY doc_id ASC
+LIMIT 15
+"""
+
+
+def q_ft_rerank_topk(sf_dir: str) -> pd.DataFrame:
+    """ReRankQParser (SURVEY.md §2.7; reference: solr/core/.../search/
+    ReRankQParserPlugin.java, branch_8x): main = BM25 or(query, join,
+    fast), rerank query = term(data) with weight 2 ADDED to the top
+    reRankDocs. rerank_docs=100000 covers every shard-local match, so
+    the per-shard cut (SolrCloud semantics) equals the global rescore
+    and the result is partition-invariant + SQL-expressible; the small-
+    cut path is pinned in tests/test_frange_rerank.py."""
+    idx = ensure_ft_index(sf_dir)
+    res = search(
+        idx,
+        [{
+            "query_id": 0,
+            "kind": "rerank",
+            "of": {"kind": "or", "terms": FT_TERMS_OR},
+            "rq": {"kind": "term", "terms": ["data"]},
+            "rerank_docs": 100000,
+            "rerank_weight": 2.0,
+        }],
+        k=10,
+        method="exhaustive",
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score_e6": np.floor(res["score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ft_rerank_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+    bm25 = (
+        f"{idf} - {idf} / (1 + tf.freq / (1.2 * "
+        "(1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))"
+    )
+    return (
+        _ft_sql_common()
+        + f"""
+, tf_main AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+tf_rq AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term = 'data' GROUP BY doc_id, term
+),
+dfs_all AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT * FROM tf_main UNION ALL SELECT * FROM tf_rq
+  ) GROUP BY term
+),
+main_scored AS (
+  SELECT tf.doc_id, sum({bm25}) AS score
+  FROM tf_main tf
+  JOIN dfs_all dfs ON dfs.term = tf.term
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+rq_scored AS (
+  SELECT tf.doc_id, sum({bm25}) AS score
+  FROM tf_rq tf
+  JOIN dfs_all dfs ON dfs.term = tf.term
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+combined AS (
+  SELECT m.doc_id, m.score + 2.0 * coalesce(r.score, 0) AS score
+  FROM main_scored m LEFT JOIN rq_scored r ON r.doc_id = m.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 def sql_ft_filter_topk() -> str:
     terms = ",".join(f"'{t}'" for t in ["query", "join", "data"])
     idf = "ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
@@ -6858,6 +6993,8 @@ QUERIES = {
     "ft_parser_topk": q_ft_parser_topk,
     "ft_filter_topk": q_ft_filter_topk,
     "ft_function_boost_topk": q_ft_function_boost_topk,
+    "ft_frange_topk": q_ft_frange_topk,
+    "ft_rerank_topk": q_ft_rerank_topk,
     "ft_classic_topk": q_ft_classic_topk,
     "ft_delete_topk": q_ft_delete_topk,
     "decontaminate_docs": q_decontaminate_docs,
@@ -7022,6 +7159,8 @@ ORACLES = {
     "ft_parser_topk": sql_ft_parser_topk(),
     "ft_filter_topk": sql_ft_filter_topk(),
     "ft_function_boost_topk": sql_ft_function_boost_topk(),
+    "ft_frange_topk": sql_ft_frange_topk(),
+    "ft_rerank_topk": sql_ft_rerank_topk(),
     "ft_classic_topk": sql_ft_classic_topk(),
     "ft_delete_topk": sql_ft_delete_topk(),
     "decontaminate_docs": sql_decontaminate_docs(),

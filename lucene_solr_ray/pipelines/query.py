@@ -361,10 +361,10 @@ def prepare_search_context(
                     if nt is not None
                 ]
             return nq
-        if q.get("kind") == "func_boost":
-            # boost(q, vs): normalize the wrapped tree; vs termfreq/docfreq/
-            # idf leaves analyze their term like any query term (Solr's
-            # value sources take the INDEXED term)
+        if q.get("kind") in ("func_boost", "frange"):
+            # boost(q, vs) / {!frange}: normalize the wrapped tree; vs
+            # termfreq/docfreq/idf leaves analyze their term like any
+            # query term (Solr's value sources take the INDEXED term)
             from ..search.searcher import index_vs_terms
 
             def norm_vs(spec):
@@ -379,16 +379,28 @@ def prepare_search_context(
                     return [spec[0]] + [norm_vs(a) for a in spec[1:]]
                 return spec
 
-            of = norm_tree(q["of"])
             vs = norm_vs(q["vs"])
             vs_terms = sorted(set(index_vs_terms(vs)))
+            extra = {}
+            of_terms: set = set()
+            if q.get("kind") == "func_boost" or "of" in q:
+                of = norm_tree(q["of"])
+                of_terms = set(leaf_terms(of))
+                extra["of"] = of
             return dict(
-                q, of=of, vs=vs,
+                q, vs=vs, **extra,
                 # "terms" feeds the per-actor term cache + weights: the
                 # wrapped tree's leaves AND every term a vs query()/stat
                 # leaf scores or resolves
-                terms=sorted(set(leaf_terms(of)) | set(vs_terms)),
+                terms=sorted(of_terms | set(vs_terms)),
                 vs_terms=vs_terms,
+            )
+        if q.get("kind") == "rerank":
+            of = norm_tree(q["of"])
+            rq = norm_tree(q["rq"])
+            return dict(
+                q, of=of, rq=rq,
+                terms=sorted(set(leaf_terms(of)) | set(leaf_terms(rq))),
             )
         return dict(
             q,

@@ -545,6 +545,105 @@ def score_query_func_boost(
     return topk_select(cand, scores.astype(np.float64) * vals, k)
 
 
+def _frange_match(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    gstats: dict,
+    tcache: Optional[dict] = None,
+) -> np.ndarray:
+    """Matching docids of a {!frange} query over one segment: the value
+    source evaluated on the candidate set (the wrapped query's matches
+    via ``of``, else every live doc), kept where l ≤ v ≤ u (bounds
+    optional; ``incl_l``/``incl_u`` open the ends like Solr's incl
+    params)."""
+    if "of" in q:
+        cand, _ = _bool_eval_node(reader, q["of"], weights, cache_inv, sim, tcache)
+    else:
+        cand = np.arange(reader.num_docs, dtype=np.int64)
+    if reader.deleted is not None and len(cand):
+        cand = cand[~reader.deleted[cand]]
+    vals = _eval_index_vs(reader, q["vs"], cand, gstats, sim,
+                          weights=weights, cache_inv=cache_inv, tcache=tcache)
+    mask = np.ones(len(cand), dtype=bool)
+    if q.get("l") is not None:
+        lo = float(q["l"])
+        mask &= (vals >= lo) if q.get("incl_l", True) else (vals > lo)
+    if q.get("u") is not None:
+        hi = float(q["u"])
+        mask &= (vals <= hi) if q.get("incl_u", True) else (vals < hi)
+    return cand[mask]
+
+
+def score_query_frange(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    gstats: dict,
+    tcache: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """{!frange l=.. u=..} / FunctionRangeQuery (reference: solr/core/src/
+    java/org/apache/solr/search/FunctionRangeQParserPlugin.java +
+    FunctionRangeQuery, branch_8x; SURVEY.md §2.9): docs whose value
+    source lands in the range, constant score = ``boost``
+    (SolrConstantScoreQuery semantics, tie-break docid asc). Query kind
+    ``{"kind": "frange", "vs": <scalar spec>, "l": .., "u": ..,
+    "incl_l"/"incl_u": bool, "of": <optional wrapped node>}``."""
+    cand = _frange_match(reader, q, weights, cache_inv, sim, gstats, tcache)
+    scores = np.full(len(cand), float(q.get("boost", 1.0)), dtype=np.float64)
+    return topk_select(cand, scores, k)
+
+
+def score_query_rerank(
+    reader: SegmentReader,
+    q: dict,
+    weights: Dict[str, np.float32],
+    cache_inv: np.ndarray,
+    sim: Bm25Similarity,
+    k: int,
+    tcache: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ReRankQParser (reference: solr/core/src/java/org/apache/solr/
+    search/ReRankQParserPlugin.java + ReRankCollector, branch_8x;
+    SURVEY.md §2.7): the main query's top ``rerank_docs`` docs get
+    ``rerank_weight`` × the rerank query's score ADDED; docs below the
+    cut keep their original score and can only be outranked, never
+    re-scored. Distributed semantics match SolrCloud: the reRankDocs cut
+    applies PER SHARD (each shard reranks its local top before the
+    merge) — so P-invariance holds only when rerank_docs covers every
+    shard-local match, exactly as in Solr. Query kind ``{"kind":
+    "rerank", "of": <main node>, "rq": <rerank node>, "rerank_docs": N,
+    "rerank_weight": w}``."""
+    cand, scores = _bool_eval_node(reader, q["of"], weights, cache_inv, sim, tcache)
+    if reader.deleted is not None and len(cand):
+        keep = ~reader.deleted[cand]
+        cand, scores = cand[keep], scores[keep]
+    scores = scores.astype(np.float64)
+    n_top = min(int(q.get("rerank_docs", 200)), len(cand))
+    if n_top > 0:
+        # segment-local top-N indices under the collector order
+        # (score desc, docid asc) — same tie-break as topk_select
+        order = np.lexsort((cand, -scores))[:n_top]
+        rq_cand, rq_scores = _bool_eval_node(
+            reader, q["rq"], weights, cache_inv, sim, tcache)
+        if len(rq_cand):
+            ro = np.argsort(rq_cand, kind="stable")
+            rq_cand, rq_scores = rq_cand[ro], rq_scores[ro]
+            sel = cand[order]
+            pos = np.searchsorted(rq_cand, sel)
+            pos_c = np.minimum(pos, len(rq_cand) - 1)
+            hit = rq_cand[pos_c] == sel
+            add = np.zeros(len(sel), dtype=np.float64)
+            add[hit] = rq_scores[pos_c[hit]].astype(np.float64)
+            scores[order] += float(q.get("rerank_weight", 2.0)) * add
+    return topk_select(cand, scores, k)
+
+
 def sloppy_phrase_freq(pos_lists: List[np.ndarray], slop: int) -> int:
     """Sloppy-phrase frequency for ONE doc: the number of MINIMAL windows
     containing at least one occurrence of every term with
@@ -853,6 +952,32 @@ def match_query_full(
         # query's; falling through would OR over q["terms"] (which also
         # carries vs stat terms) and silently over-delete
         return match_query_full(reader, q["of"], weights, cache_inv, sim)
+    if kind == "rerank":
+        # reranking only reorders — matching is the main query's
+        return match_query_full(reader, q["of"], weights, cache_inv, sim)
+    if kind == "frange":
+        # per-segment value-source leaves (termfreq/norm) are available
+        # here; GLOBAL-stat leaves need the searcher's ExactStatsCache,
+        # which the delete path doesn't carry — refuse loudly rather than
+        # silently evaluating df/idf as 0 and over/under-deleting
+        def _has_global_leaf(node) -> bool:
+            if isinstance(node, list) and node and isinstance(node[0], str):
+                if node[0] in ("docfreq", "ttf", "totaltermfreq", "idf",
+                               "numdocs", "maxdoc", "sumtotaltermfreq"):
+                    return True
+                return any(_has_global_leaf(a) for a in node[1:])
+            return False
+
+        if _has_global_leaf(q["vs"]):
+            raise ValueError(
+                "deleteByQuery {!frange} cannot use global-stat value "
+                "sources (docfreq/idf/numdocs/...) — per-segment leaves "
+                "(termfreq/norm) only"
+            )
+        cand = _frange_match(reader, q, weights, cache_inv, sim, {}, None)
+        if len(cand) and reader.deleted is not None:
+            cand = cand[~reader.deleted[cand]]
+        return np.asarray(cand, dtype=np.int64)
     if kind in ("bool", "const", "dis_max", "term_range", "term_set",
                 "prefix", "wildcard", "regexp", "fuzzy"):
         # any kind _bool_eval_node supports must route through it —
@@ -1290,6 +1415,16 @@ class SearcherStage:
                     docids, scores = score_query_func_boost(
                         reader, q, self.weights, self.cache_inv,
                         self.sim, self.k, self.gstats, tcache=tcache,
+                    )
+                elif q["kind"] == "frange":
+                    docids, scores = score_query_frange(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, self.gstats, tcache=tcache,
+                    )
+                elif q["kind"] == "rerank":
+                    docids, scores = score_query_rerank(
+                        reader, q, self.weights, self.cache_inv,
+                        self.sim, self.k, tcache=tcache,
                     )
                 elif use_wand and plain:
                     docids, scores = score_query_wand(
