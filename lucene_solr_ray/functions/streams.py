@@ -59,7 +59,14 @@ _WHERE_OPS = {
     "<=": pc.less_equal,
     ">": pc.greater,
     ">=": pc.greater_equal,
+    # set / pattern predicates (the {!terms} and SQL LIKE shapes; the
+    # /sql planner in functions/sql.py lowers IN and LIKE onto these)
+    "in": lambda arr, vals: pc.is_in(arr, value_set=pa.array(list(vals))),
+    "like": lambda arr, pat: pc.match_like(arr, pat),
 }
+# ops expressible as pyarrow.dataset scan-filter expressions (row-group
+# stats pruning); "like" has no expression kernel and filters post-scan
+_PUSHDOWN_OPS = {"==", "!=", "<", "<=", ">", ">=", "in"}
 
 _AGG_NAMES = {"count", "sum_cents", "min_cents", "max_cents",
               "sum", "min", "max"}
@@ -85,7 +92,12 @@ def _validate(spec: dict) -> dict:
 
 
 def _needed_columns(spec: dict, sf_dir: Optional[str] = None) -> list:
-    cols = list(spec.get("groupby", []))
+    # "columns": explicit projection for plain (no-agg) expressions —
+    # the /sql SELECT list; group/where/agg columns are unioned in
+    cols = list(spec.get("columns", []))
+    for g in spec.get("groupby", []):
+        if g not in cols:
+            cols.append(g)
     for w in spec.get("where", []):
         if w[0] not in cols:
             cols.append(w[0])
@@ -186,11 +198,17 @@ def run_expr_arrow(sf_dir: str, spec: dict) -> pa.Table:
 
     spec = _validate(spec)
     dset = pads.dataset(os.path.join(sf_dir, f"{spec['table']}.parquet"))
-    filt = None
+    filt, post = None, []
     for col, op, val in spec.get("where", []):
-        f = _WHERE_OPS[op](pads.field(col), val)
+        if op not in _PUSHDOWN_OPS:
+            post.append((col, op, val))  # e.g. LIKE: no scan expression
+            continue
+        f = (pads.field(col).isin(list(val)) if op == "in"
+             else _WHERE_OPS[op](pads.field(col), val))
         filt = f if filt is None else filt & f
     tab = dset.to_table(columns=_needed_columns(spec, sf_dir), filter=filt)
+    for col, op, val in post:
+        tab = tab.filter(_WHERE_OPS[op](tab[col], val))
     if spec.get("aggs"):
         tab = _agg_arrow(tab, spec)
         for col, op, val in spec.get("having", []):
@@ -242,14 +260,23 @@ def run_expr_dataset(sf_dir: str, spec: dict):
         agg_ds = (ds.groupby(keys).aggregate(*ray_aggs) if keys
                   else ds.aggregate(*ray_aggs))
         if not keys:
-            # global aggregate returns a dict — lift to a 1-row table
+            # global aggregate returns a dict — lift to a 1-row table.
+            # count/cents results pin to int64; everything else keeps the
+            # engine's type (a float sum/min/max stays float64)
             row = agg_ds
-            tab = pa.table({
-                out: pa.array(
-                    [int(row[rn]) if row[rn] is not None else 0],
-                    type=pa.int64())
-                for out, rn in zip(out_names, ray_names)})
-            ds = ray.data.from_arrow(tab)
+            cols = {}
+            for out, rn in zip(out_names, ray_names):
+                v = row[rn]
+                if "__c_" in rn or rn.startswith("count("):
+                    cols[out] = pa.array(
+                        [int(v) if v is not None else 0], type=pa.int64())
+                elif isinstance(v, (int, np.integer)):
+                    cols[out] = pa.array([int(v)], type=pa.int64())
+                else:
+                    cols[out] = pa.array(
+                        [float(v) if v is not None else None],
+                        type=pa.float64())
+            ds = ray.data.from_arrow(pa.table(cols))
         else:
             def rename(batch: pa.Table) -> pa.Table:
                 cols = {k: batch[k] for k in keys}

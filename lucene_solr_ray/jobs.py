@@ -172,6 +172,18 @@ def main(argv=None):
     tm.add_argument("--limit", type=int, default=20)
     tm.add_argument("--sort", choices=["index", "count"], default="count")
 
+    sq = sub.add_parser(
+        "sql",
+        help="/sql handler analog: run a SQL subset over the parquet "
+             "tables through the streaming-expression engine",
+    )
+    sq.add_argument("--sf-dir", required=True,
+                    help="directory holding <table>.parquet files")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--out", default="")
+    sq.add_argument("--format", choices=["csv", "jsonl", "parquet"],
+                    default="csv")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "analyze":  # pure driver-side; no Ray session needed
@@ -384,6 +396,21 @@ def main(argv=None):
         res = terms_regex(args.index_root, args.regex,
                           limit=args.limit, sort=args.sort)
         print(res.to_json(orient="records"))
+    elif args.cmd == "sql":
+        from .functions.sql import sql_query
+
+        res = sql_query(args.sf_dir, args.query).to_pandas()
+        if args.out:
+            if args.format == "csv":
+                res.to_csv(args.out, index=False)
+            elif args.format == "jsonl":
+                res.to_json(args.out, orient="records", lines=True)
+            else:
+                res.to_parquet(args.out, index=False)
+            print(json.dumps({"rows": len(res), "out": args.out,
+                              "format": args.format}))
+        else:
+            print(res.to_string())
     elif args.cmd == "check":
         from .index.checkindex import check_index
 

@@ -6984,6 +6984,129 @@ def q_train_logit_docs(sf_dir: str) -> pd.DataFrame:
     return history
 
 
+def q_sql_select_orders(sf_dir: str):
+    """/sql handler analog, plain projection (SURVEY.md §2.8; [8x]
+    solr/core/.../handler/sql/ — Calcite planner → streaming
+    expressions): SELECT with conjunctive WHERE, ORDER BY, LIMIT parsed
+    by functions/sql.py and planned onto the table-expression engine
+    (pruned read + pushdown filter)."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000 "
+        "ORDER BY o_orderkey LIMIT 50")
+
+
+def sql_sql_select_orders() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+ORDER BY o_orderkey LIMIT 50
+"""
+
+
+def q_sql_group_events(sf_dir: str):
+    """/sql GROUP BY aggregates: COUNT/MIN/MAX per event_type —
+    order-independent kernels, hash-exact vs the oracle."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT event_type, COUNT(*) AS n, MIN(value) AS min_v, "
+        "MAX(value) AS max_v FROM events GROUP BY event_type "
+        "ORDER BY event_type")
+
+
+def sql_sql_group_events() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_sql_having_avg_customers(sf_dir: str):
+    """/sql HAVING over an aggregate alias + AVG on an integer column
+    (exact: integer partials, one double division)."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT c_mktsegment, COUNT(*) AS n, AVG(c_nationkey) AS avg_nk "
+        "FROM customer GROUP BY c_mktsegment HAVING n >= 10 "
+        "ORDER BY n DESC, c_mktsegment")
+
+
+def sql_sql_having_avg_customers() -> str:
+    return """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       avg(c_nationkey) AS avg_nk
+FROM customer GROUP BY c_mktsegment HAVING count(*) >= 10
+ORDER BY n DESC, c_mktsegment
+"""
+
+
+def q_sql_in_like_parts(sf_dir: str):
+    """/sql IN-list + LIKE predicates (lowered onto the streams engine's
+    is_in / match_like kernels; IN pushes down to the scan)."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT p_partkey, p_brand, p_type FROM part "
+        "WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4') AND p_type LIKE '%O%' "
+        "ORDER BY p_partkey LIMIT 100")
+
+
+def sql_sql_in_like_parts() -> str:
+    return """
+SELECT p_partkey, p_brand, p_type FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4') AND p_type LIKE '%O%'
+ORDER BY p_partkey LIMIT 100
+"""
+
+
+def q_sql_distinct_lineitem(sf_dir: str):
+    """/sql SELECT DISTINCT → two-phase native distinct (groupby with a
+    dropped count), the JSON-facet-unique engine path."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+        "ORDER BY l_returnflag, l_linestatus")
+
+
+def sql_sql_distinct_lineitem() -> str:
+    return """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_global_lineitem(sf_dir: str):
+    """/sql global (ungrouped) aggregate with a timestamp WHERE literal
+    bound against the parquet schema."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT COUNT(*) AS n, SUM(l_linenumber) AS sum_ln, "
+        "MAX(l_quantity) AS max_qty FROM lineitem "
+        "WHERE l_shipdate >= '1995-06-01'")
+
+
+def sql_sql_global_lineitem() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+       max(l_quantity) AS max_qty
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -7150,6 +7273,13 @@ QUERIES = {
     "train_logit_docs": q_train_logit_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
+    # §2.8 Parallel SQL handler analog (functions/sql.py)
+    "sql_select_orders": q_sql_select_orders,
+    "sql_group_events": q_sql_group_events,
+    "sql_having_avg_customers": q_sql_having_avg_customers,
+    "sql_in_like_parts": q_sql_in_like_parts,
+    "sql_distinct_lineitem": q_sql_distinct_lineitem,
+    "sql_global_lineitem": q_sql_global_lineitem,
 }
 
 ORACLES = {
@@ -7297,4 +7427,10 @@ ORACLES = {
     "ft_span_or_counts": sql_ft_span_or_counts(),
     "ft_span_not_counts": sql_ft_span_not_counts(),
     # train_logit_docs: no SQL oracle (iterative float training) — rows-only
+    "sql_select_orders": sql_sql_select_orders(),
+    "sql_group_events": sql_sql_group_events(),
+    "sql_having_avg_customers": sql_sql_having_avg_customers(),
+    "sql_in_like_parts": sql_sql_in_like_parts(),
+    "sql_distinct_lineitem": sql_sql_distinct_lineitem(),
+    "sql_global_lineitem": sql_sql_global_lineitem(),
 }
