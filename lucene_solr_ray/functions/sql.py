@@ -16,11 +16,14 @@ table expressions that eval()/executor() already run (streams.py):
 Supported dialect (the /sql map_reduce surface):
 
     SELECT [DISTINCT] item [, item ...]
-        item: col [AS alias]
-            | COUNT(*) [AS alias]
+        item: * (alone)
+            | col [AS alias]
+            | COUNT(*) | COUNT(DISTINCT col) [AS alias]
             | SUM|MIN|MAX|AVG ( col ) [AS alias]
     FROM table
-    [WHERE pred [AND pred ...]]
+    [WHERE bool]
+        bool: pred | bool AND bool | bool OR bool | ( bool )
+              (standard precedence; lowered to DNF, <=64 OR branches)
         pred: col (= | <> | != | < | <= | > | >=) literal
             | col IN ( literal [, literal ...] )
             | col LIKE 'pattern'
@@ -29,10 +32,12 @@ Supported dialect (the /sql map_reduce surface):
     [ORDER BY key [ASC|DESC] [, ...]]   -- output columns/aliases
     [LIMIT n]
 
-Like Solr's handler, OR / subqueries / joins / expressions in the
-SELECT list are out of dialect (Solr routes the rest of SQL to Calcite
-row-at-a-time; our users reach the richer operators directly through
-the relational/streams APIs).
+COUNT(DISTINCT col) runs the two-phase distinct pipeline (native
+groupby then per-key count — the map_reduce 'unique' metric shape) and
+must be the query's only aggregate. Like Solr's handler, subqueries /
+joins / expressions in the SELECT list are out of dialect (Solr routes
+the rest of SQL to Calcite row-at-a-time; our users reach the richer
+operators directly through the relational/streams APIs).
 
 Exactness notes (the oracle discipline): COUNT, SUM/MIN/MAX over
 integer columns, and MIN/MAX over floats are order-independent and
@@ -55,7 +60,7 @@ import pyarrow.compute as pc
 __all__ = ["parse_sql", "sql_query"]
 
 _KEYWORDS = {
-    "select", "distinct", "from", "where", "and", "group", "by",
+    "select", "distinct", "from", "where", "and", "or", "group", "by",
     "having", "order", "limit", "as", "asc", "desc", "in", "like",
     "count", "sum", "min", "max", "avg",
 }
@@ -136,6 +141,8 @@ _AGG_FNS = ("count", "sum", "min", "max", "avg")
 
 
 def _parse_select_item(p: _P) -> dict:
+    if p.accept("punct", "*"):
+        return {"kind": "star", "alias": "*"}
     fn = None
     for f in _AGG_FNS:
         if p.peek("kw", f) is not None:
@@ -149,8 +156,12 @@ def _parse_select_item(p: _P) -> dict:
     if fn is not None:
         p.take("punct", "(")
         if fn == "count":
-            p.take("punct", "*")
-            col = None
+            if p.accept("kw", "distinct"):
+                fn = "count_distinct"
+                col = p.take("id")
+            else:
+                p.take("punct", "*")
+                col = None
         else:
             col = p.take("id")
         p.take("punct", ")")
@@ -192,6 +203,72 @@ def _parse_conj(p: _P) -> list:
     return preds
 
 
+# WHERE grammar (standard precedence, AND binds tighter than OR):
+#   disj := conj (OR conj)*
+#   conj := unit (AND unit)*
+#   unit := '(' disj ')' | pred
+# The tree lowers to DNF (or-of-conjunctions) — the engine's where list
+# is a conjunction of clauses, and a disjunction occupies ONE clause
+# slot as ["or", [conj, ...]] (streams._check_clause).
+
+_DNF_LIMIT = 64
+
+
+def _parse_unit(p: _P):
+    if p.accept("punct", "("):
+        node = _parse_disj(p)
+        p.take("punct", ")")
+        return node
+    return ("pred", _parse_pred(p))
+
+
+def _parse_and(p: _P):
+    items = [_parse_unit(p)]
+    while p.accept("kw", "and"):
+        items.append(_parse_unit(p))
+    return items[0] if len(items) == 1 else ("and", items)
+
+
+def _parse_disj(p: _P):
+    items = [_parse_and(p)]
+    while p.accept("kw", "or"):
+        items.append(_parse_and(p))
+    return items[0] if len(items) == 1 else ("or", items)
+
+
+def _to_dnf(node) -> list:
+    """Boolean tree → list of conjunctions (each a list of triples)."""
+    kind = node[0]
+    if kind == "pred":
+        return [[node[1]]]
+    if kind == "or":
+        out = []
+        for child in node[1]:
+            out.extend(_to_dnf(child))
+        if len(out) > _DNF_LIMIT:
+            raise ValueError(f"WHERE expands past {_DNF_LIMIT} OR branches")
+        return out
+    # and: cross product of child DNFs
+    prod = [[]]
+    for child in node[1]:
+        nxt = []
+        for conj in _to_dnf(child):
+            for base in prod:
+                nxt.append(base + conj)
+        if len(nxt) > _DNF_LIMIT:
+            raise ValueError(f"WHERE expands past {_DNF_LIMIT} OR branches")
+        prod = nxt
+    return prod
+
+
+def _parse_where(p: _P) -> list:
+    """Parse a boolean WHERE and lower to the engine clause list."""
+    branches = _to_dnf(_parse_disj(p))
+    if len(branches) == 1:
+        return branches[0]
+    return [["or", branches]]
+
+
 def parse_sql(sql: str) -> dict:
     """SQL text → plan dict. Raises ValueError with position context on
     anything outside the dialect (the Solr handler does the same via
@@ -205,7 +282,7 @@ def parse_sql(sql: str) -> dict:
     p.take("kw", "from")
     table = p.take("id")
 
-    where = _parse_conj(p) if p.accept("kw", "where") else []
+    where = _parse_where(p) if p.accept("kw", "where") else []
     groupby: List[str] = []
     if p.accept("kw", "group"):
         p.take("kw", "by")
@@ -248,6 +325,17 @@ def _check_plan(plan: dict) -> None:
     aliases = [s["alias"] for s in plan["select"]]
     if len(set(aliases)) != len(aliases):
         raise ValueError(f"duplicate output aliases: {aliases}")
+    if any(s["kind"] == "star" for s in plan["select"]):
+        if (len(plan["select"]) > 1 or plan["groupby"]
+                or plan["distinct"]):
+            raise ValueError(
+                "SELECT * must be the only select item "
+                "(no other items, GROUP BY, or DISTINCT)")
+    cd = [s for s in aggs if s["fn"] == "count_distinct"]
+    if cd and (len(cd) > 1 or len(aggs) > len(cd)):
+        raise ValueError(
+            "COUNT(DISTINCT col) must be the only aggregate in the "
+            "query (the two-phase distinct pipeline stands alone)")
     if plan["distinct"] and aggs:
         raise ValueError("DISTINCT with aggregates is out of dialect")
     if aggs:
@@ -288,12 +376,74 @@ def _bind_literals(plan: dict, schema: pa.Schema) -> dict:
             return datetime.strptime(val, fmt)
         return val
 
+    def bind_triple(t):
+        c, op, val = t
+        return [c, op, [coerce(c, v) for v in val] if op == "in"
+                else coerce(c, val)]
+
     out = dict(plan)
     out["where"] = [
-        [c, op, [coerce(c, v) for v in val] if op == "in"
-         else coerce(c, val)]
-        for c, op, val in plan["where"]]
+        ["or", [[bind_triple(t) for t in conj] for conj in w[1]]]
+        if (len(w) == 2 and w[0] == "or") else bind_triple(w)
+        for w in plan["where"]]
     return out
+
+
+def _run_count_distinct(sf_dir: str, plan: dict, cd: dict):
+    """COUNT(DISTINCT col): two-phase — distinct (keys, col) pairs via
+    the engine's native groupby, then a count per key group (the Solr
+    map_reduce 'unique' metric shape). NULL col values are excluded
+    (SQL COUNT(DISTINCT) semantics)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .streams import run_expr_dataset
+
+    col = cd["col"]
+    keys = list(plan["groupby"])
+    inner_keys = keys + ([col] if col not in keys else [])
+    spec = {"table": plan["table"], "where": plan["where"],
+            "groupby": inner_keys, "aggs": {"__dn": ["count"]}}
+    inner = run_expr_dataset(sf_dir, spec)
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.select(inner_keys).filter(pc.is_valid(batch[col]))
+
+    distinct = inner.map_batches(drop_null, batch_format="pyarrow")
+
+    if keys:
+        counted = distinct.groupby(keys).aggregate(
+            Count(col, ignore_nulls=False))
+
+        def rename(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for s in plan["select"]:
+                if s["kind"] == "col":
+                    cols[s["alias"]] = batch[s["col"]]
+                else:
+                    cols[s["alias"]] = pc.cast(
+                        batch[f"count({col})"], pa.int64())
+            return pa.table(cols)
+
+        ds = counted.map_batches(rename, batch_format="pyarrow")
+    else:
+        n = distinct.count()
+        ds = ray.data.from_arrow(pa.table(
+            {cd["alias"]: pa.array([int(n)], type=pa.int64())}))
+
+    for key, op, val in plan["having"]:
+        from .streams import _WHERE_OPS
+
+        def post(batch: pa.Table, key=key, op=op, val=val) -> pa.Table:
+            return batch.filter(_WHERE_OPS[op](batch[key], val))
+
+        ds = ds.map_batches(post, batch_format="pyarrow")
+    if plan["orderby"]:
+        ds = ds.sort([k for k, _ in plan["orderby"]],
+                     descending=[d != "asc" for _, d in plan["orderby"]])
+    if plan["limit"] is not None:
+        ds = ds.limit(int(plan["limit"]))
+    return ds
 
 
 def sql_query(sf_dir: str, sql: str):
@@ -309,8 +459,17 @@ def sql_query(sf_dir: str, sql: str):
     schema = pq.read_schema(path)
     plan = _bind_literals(plan, schema)
 
+    if any(s["kind"] == "star" for s in plan["select"]):
+        # SELECT * expands against the parquet schema at bind time
+        plan = dict(plan, select=[
+            {"kind": "col", "col": n, "alias": n} for n in schema.names])
+
     aggs = [s for s in plan["select"] if s["kind"] == "agg"]
     plain = [s for s in plan["select"] if s["kind"] == "col"]
+
+    cd = next((s for s in aggs if s["fn"] == "count_distinct"), None)
+    if cd is not None:
+        return _run_count_distinct(sf_dir, plan, cd)
 
     spec: dict = {"table": plan["table"], "where": plan["where"]}
     post_avg: dict = {}   # alias -> (sum_name, n_name)

@@ -72,12 +72,25 @@ _AGG_NAMES = {"count", "sum_cents", "min_cents", "max_cents",
               "sum", "min", "max"}
 
 
+def _check_clause(w) -> None:
+    if len(w) == 2 and w[0] == "or":
+        # ["or", [conj, conj, ...]] — disjunction of conjunctions, each
+        # conj a list of triples (the /sql WHERE lowers OR trees to this
+        # DNF shape); one clause slot in the AND list
+        for conj in w[1]:
+            for t in conj:
+                if len(t) != 3 or t[1] not in _WHERE_OPS:
+                    raise ValueError(f"bad or-branch predicate: {t!r}")
+        return
+    if len(w) != 3 or w[1] not in _WHERE_OPS:
+        raise ValueError(f"bad where clause: {w!r}")
+
+
 def _validate(spec: dict) -> dict:
     if not isinstance(spec, dict) or "table" not in spec:
         raise ValueError(f"bad table expression: {spec!r}")
     for w in spec.get("where", []):
-        if len(w) != 3 or w[1] not in _WHERE_OPS:
-            raise ValueError(f"bad where clause: {w!r}")
+        _check_clause(w)
     for out, a in spec.get("aggs", {}).items():
         if a[0] not in _AGG_NAMES:
             raise ValueError(f"unknown agg {a[0]!r} for {out!r}")
@@ -98,9 +111,16 @@ def _needed_columns(spec: dict, sf_dir: Optional[str] = None) -> list:
     for g in spec.get("groupby", []):
         if g not in cols:
             cols.append(g)
+
+    def _clause_cols(w):
+        if len(w) == 2 and w[0] == "or":
+            return [t[0] for conj in w[1] for t in conj]
+        return [w[0]]
+
     for w in spec.get("where", []):
-        if w[0] not in cols:
-            cols.append(w[0])
+        for c in _clause_cols(w):
+            if c not in cols:
+                cols.append(c)
     for a in spec.get("aggs", {}).values():
         if len(a) > 1 and a[1] not in cols:
             cols.append(a[1])
@@ -122,9 +142,23 @@ def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.floor(pc.add(x, 0.5)), pa.int64())
 
 
+def _clause_mask(tab: pa.Table, w):
+    if len(w) == 2 and w[0] == "or":
+        mask = None
+        for conj in w[1]:
+            m = None
+            for col, op, val in conj:
+                mm = _WHERE_OPS[op](tab[col], val)
+                m = mm if m is None else pc.and_kleene(m, mm)
+            mask = m if mask is None else pc.or_kleene(mask, m)
+        return mask
+    col, op, val = w
+    return _WHERE_OPS[op](tab[col], val)
+
+
 def _filter_table(tab: pa.Table, spec: dict) -> pa.Table:
-    for col, op, val in spec.get("where", []):
-        tab = tab.filter(_WHERE_OPS[op](tab[col], val))
+    for w in spec.get("where", []):
+        tab = tab.filter(_clause_mask(tab, w))
     return tab
 
 
@@ -198,17 +232,40 @@ def run_expr_arrow(sf_dir: str, spec: dict) -> pa.Table:
 
     spec = _validate(spec)
     dset = pads.dataset(os.path.join(sf_dir, f"{spec['table']}.parquet"))
-    filt, post = None, []
-    for col, op, val in spec.get("where", []):
+
+    def expr(col, op, val):
         if op not in _PUSHDOWN_OPS:
-            post.append((col, op, val))  # e.g. LIKE: no scan expression
+            return None  # e.g. LIKE: no scan expression
+        return (pads.field(col).isin(list(val)) if op == "in"
+                else _WHERE_OPS[op](pads.field(col), val))
+
+    def clause_expr(w):
+        if len(w) == 2 and w[0] == "or":
+            branches = []
+            for conj in w[1]:
+                e = None
+                for t in conj:
+                    te = expr(*t)
+                    if te is None:
+                        return None  # any LIKE inside → whole clause post
+                    e = te if e is None else e & te
+                branches.append(e)
+            out = branches[0]
+            for b in branches[1:]:
+                out = out | b
+            return out
+        return expr(*w)
+
+    filt, post = None, []
+    for w in spec.get("where", []):
+        f = clause_expr(w)
+        if f is None:
+            post.append(w)
             continue
-        f = (pads.field(col).isin(list(val)) if op == "in"
-             else _WHERE_OPS[op](pads.field(col), val))
         filt = f if filt is None else filt & f
     tab = dset.to_table(columns=_needed_columns(spec, sf_dir), filter=filt)
-    for col, op, val in post:
-        tab = tab.filter(_WHERE_OPS[op](tab[col], val))
+    for w in post:
+        tab = tab.filter(_clause_mask(tab, w))
     if spec.get("aggs"):
         tab = _agg_arrow(tab, spec)
         for col, op, val in spec.get("having", []):

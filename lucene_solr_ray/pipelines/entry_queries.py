@@ -7107,6 +7107,47 @@ FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
 """
 
 
+def q_sql_or_where_orders(sf_dir: str):
+    """/sql boolean WHERE: standard AND/OR precedence with parens,
+    lowered to DNF — one or-clause slot in the engine's AND list; each
+    pushdown-able branch still reaches the scan filter."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE (o_orderstatus = 'F' AND o_totalprice > 100000) "
+        "OR (o_orderstatus = 'O' AND o_totalprice < 50000) "
+        "ORDER BY o_orderkey LIMIT 60")
+
+
+def sql_sql_or_where_orders() -> str:
+    return """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE (o_orderstatus = 'F' AND o_totalprice > 100000)
+   OR (o_orderstatus = 'O' AND o_totalprice < 50000)
+ORDER BY o_orderkey LIMIT 60
+"""
+
+
+def q_sql_count_distinct_events(sf_dir: str):
+    """/sql COUNT(DISTINCT col): two-phase — native distinct groupby,
+    then a per-key count (the map_reduce 'unique' metric shape)."""
+    from ..functions.sql import sql_query
+
+    return sql_query(
+        sf_dir,
+        "SELECT event_type, COUNT(DISTINCT user_id) AS uu FROM events "
+        "GROUP BY event_type ORDER BY event_type")
+
+
+def sql_sql_count_distinct_events() -> str:
+    return """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uu
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -7280,6 +7321,8 @@ QUERIES = {
     "sql_in_like_parts": q_sql_in_like_parts,
     "sql_distinct_lineitem": q_sql_distinct_lineitem,
     "sql_global_lineitem": q_sql_global_lineitem,
+    "sql_or_where_orders": q_sql_or_where_orders,
+    "sql_count_distinct_events": q_sql_count_distinct_events,
 }
 
 ORACLES = {
@@ -7433,4 +7476,6 @@ ORACLES = {
     "sql_in_like_parts": sql_sql_in_like_parts(),
     "sql_distinct_lineitem": sql_sql_distinct_lineitem(),
     "sql_global_lineitem": sql_sql_global_lineitem(),
+    "sql_or_where_orders": sql_sql_or_where_orders(),
+    "sql_count_distinct_events": sql_sql_count_distinct_events(),
 }

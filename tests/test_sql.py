@@ -63,6 +63,30 @@ def test_parse_keywords_case_insensitive():
     assert p["table"] == "T" and p["orderby"] == [("A", "desc")]
 
 
+def test_parse_or_dnf():
+    p = parse_sql("SELECT a FROM t WHERE a = 1 OR b = 2")
+    assert p["where"] == [["or", [[["a", "==", 1]], [["b", "==", 2]]]]]
+    # AND binds tighter: (a AND b) OR c
+    p = parse_sql("SELECT a FROM t WHERE a = 1 AND b = 2 OR c = 3")
+    assert p["where"] == [["or", [[["a", "==", 1], ["b", "==", 2]],
+                                  [["c", "==", 3]]]]]
+    # parens force the other grouping → a AND (b OR c) = DNF of 2
+    p = parse_sql("SELECT a FROM t WHERE a = 1 AND (b = 2 OR c = 3)")
+    assert p["where"] == [["or", [[["a", "==", 1], ["b", "==", 2]],
+                                  [["a", "==", 1], ["c", "==", 3]]]]]
+    # pure conjunction stays a flat AND list
+    p = parse_sql("SELECT a FROM t WHERE (a = 1) AND b = 2")
+    assert p["where"] == [["a", "==", 1], ["b", "==", 2]]
+
+
+def test_parse_star_and_count_distinct():
+    p = parse_sql("SELECT * FROM t WHERE a > 1")
+    assert p["select"] == [{"kind": "star", "alias": "*"}]
+    p = parse_sql("SELECT k, COUNT(DISTINCT u) AS uu FROM t GROUP BY k")
+    assert p["select"][1] == {"kind": "agg", "fn": "count_distinct",
+                              "col": "u", "alias": "uu"}
+
+
 @pytest.mark.parametrize("bad", [
     "SELECT FROM t",                               # no select list
     "SELECT a t",                                  # missing FROM
@@ -75,6 +99,10 @@ def test_parse_keywords_case_insensitive():
     "SELECT a AS x, b AS x FROM t",                # duplicate aliases
     "SELECT a FROM t LIMIT 5 extra",               # trailing tokens
     "SELECT AVG(v) AS a FROM t HAVING a > 1",      # having on avg
+    "SELECT *, a FROM t",                          # star not alone
+    "SELECT DISTINCT * FROM t",                    # distinct star
+    "SELECT a FROM t WHERE (a = 1 OR b = 2",       # unbalanced paren
+    "SELECT COUNT(DISTINCT a) AS x, COUNT(*) AS n FROM t",  # cd + agg
 ])
 def test_parse_rejects(bad):
     with pytest.raises(ValueError):
@@ -168,6 +196,69 @@ def test_duplicate_count_aliases(ray_session, con):
         "GROUP BY l_linestatus ORDER BY l_linestatus")
 
 
+def test_or_where(ray_session, con):
+    _check(ray_session, con,
+           "SELECT o_orderkey, o_orderstatus FROM orders "
+           "WHERE o_orderstatus = 'F' OR o_totalprice > 200000 "
+           "ORDER BY o_orderkey LIMIT 30")
+    _check(ray_session, con,
+           "SELECT o_orderkey FROM orders "
+           "WHERE (o_orderstatus = 'F' AND o_totalprice > 100000) "
+           "OR (o_orderstatus = 'O' AND o_totalprice < 50000) "
+           "ORDER BY o_orderkey LIMIT 30")
+
+
+def test_or_with_group_and_pushdown_mix(ray_session, con):
+    # IN pushes down, LIKE post-filters — inside one OR clause
+    _check(
+        ray_session, con,
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE user_id < 200 OR event_type IN ('click') "
+        "GROUP BY event_type ORDER BY event_type",
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "WHERE user_id < 200 OR event_type IN ('click') "
+        "GROUP BY event_type ORDER BY event_type")
+    _check(ray_session, con,
+           "SELECT p_partkey FROM part "
+           "WHERE p_type LIKE '%O%' OR p_size > 40 "
+           "ORDER BY p_partkey LIMIT 25")
+
+
+def test_select_star(ray_session, con):
+    out = _check(ray_session, con,
+                 "SELECT * FROM part WHERE p_partkey <= 5 "
+                 "ORDER BY p_partkey")
+    assert out.shape[1] >= 5  # full schema expanded
+
+
+def test_count_distinct_grouped(ray_session, con):
+    _check(
+        ray_session, con,
+        "SELECT event_type, COUNT(DISTINCT user_id) AS uu FROM events "
+        "GROUP BY event_type ORDER BY event_type",
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uu "
+        "FROM events GROUP BY event_type ORDER BY event_type")
+
+
+def test_count_distinct_global(ray_session, con):
+    _check(
+        ray_session, con,
+        "SELECT COUNT(DISTINCT o_custkey) AS nc FROM orders "
+        "WHERE o_totalprice > 100000",
+        "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc "
+        "FROM orders WHERE o_totalprice > 100000")
+
+
+def test_count_distinct_having_order(ray_session, con):
+    _check(
+        ray_session, con,
+        "SELECT event_type, COUNT(DISTINCT user_id) AS uu FROM events "
+        "GROUP BY event_type HAVING uu >= 1 ORDER BY uu DESC, event_type",
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uu "
+        "FROM events GROUP BY event_type "
+        "HAVING COUNT(DISTINCT user_id) >= 1 ORDER BY uu DESC, event_type")
+
+
 # ------------------------------------------------------------------ fuzz
 
 def test_fuzz_where_group_vs_duckdb(ray_session, con):
@@ -185,8 +276,13 @@ def test_fuzz_where_group_vs_duckdb(ray_session, con):
     ]
     for trial in range(12):
         chosen = rng.sample(preds, rng.randint(0, 3))
-        where = (" WHERE " + " AND ".join(
-            f"{c} {op} {v}" for c, op, v in chosen)) if chosen else ""
+        parts = [f"{c} {op} {v}" for c, op, v in chosen]
+        # random AND/OR connectors: standard precedence on both sides,
+        # so this fuzzes the DNF lowering against DuckDB's evaluation
+        w = ""
+        for i, s in enumerate(parts):
+            w += s if i == 0 else f" {rng.choice(['AND', 'OR'])} {s}"
+        where = f" WHERE {w}" if parts else ""
         if rng.random() < 0.5:
             q = (f"SELECT event_type, COUNT(*) AS n, MIN(user_id) AS lo, "
                  f"MAX(user_id) AS hi FROM events{where} "
