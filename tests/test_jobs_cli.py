@@ -206,3 +206,29 @@ def test_atomic_update_cli(ray_session, corpus, capsys):
     with open(hits_path) as f:
         rows = [json.loads(ln) for ln in f if ln.strip()]
     assert rows[0]["url"] == "u://003"
+
+
+def test_sql_cli(ray_session, corpus, capsys, tmp_path):
+    """`jobs sql` (the /sql handler analog): stdout table render and
+    --out file writes, counts verified against duckdb on the same
+    parquet."""
+    import duckdb
+
+    sf = str(corpus)
+    # docs.parquet has 40 rows over 4 distinct texts, doc_id 0..39
+    out = _run(capsys, [
+        "sql", "--sf-dir", sf,
+        "--query", "SELECT COUNT(DISTINCT text) AS dt "
+                   "FROM docs WHERE doc_id >= 10 OR doc_id < 5",
+        "--out", str(tmp_path / "r.csv"), "--format", "csv",
+    ])
+    res = json.loads(out[-1])
+    assert res["rows"] == 1
+    want = duckdb.sql(
+        f"SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS dt "
+        f"FROM read_parquet('{sf}/docs.parquet') "
+        f"WHERE doc_id >= 10 OR doc_id < 5").fetchdf()
+    import pandas as pd
+
+    got = pd.read_csv(tmp_path / "r.csv")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
