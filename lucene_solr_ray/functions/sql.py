@@ -27,6 +27,8 @@ Supported dialect (the /sql map_reduce surface):
         pred: col (= | <> | != | < | <= | > | >=) literal
             | col IN ( literal [, literal ...] )
             | col LIKE 'pattern'
+            | col BETWEEN literal AND literal
+            | col IS [NOT] NULL
     [GROUP BY col [, col ...]]
     [HAVING pred [AND pred ...]]        -- over aggregate ALIASES
     [ORDER BY key [ASC|DESC] [, ...]]   -- output columns/aliases
@@ -62,6 +64,7 @@ __all__ = ["parse_sql", "sql_query"]
 _KEYWORDS = {
     "select", "distinct", "from", "where", "and", "or", "group", "by",
     "having", "order", "limit", "as", "asc", "desc", "in", "like",
+    "between", "is", "not", "null",
     "count", "sum", "min", "max", "avg",
 }
 
@@ -182,6 +185,8 @@ def _parse_literal(p: _P):
 
 
 def _parse_pred(p: _P) -> list:
+    """One SQL predicate → a LIST of engine triples (BETWEEN expands to
+    two; everything else is one)."""
     col = p.take("id")
     if p.accept("kw", "in"):
         p.take("punct", "(")
@@ -189,17 +194,26 @@ def _parse_pred(p: _P) -> list:
         while p.accept("punct", ","):
             vals.append(_parse_literal(p))
         p.take("punct", ")")
-        return [col, "in", vals]
+        return [[col, "in", vals]]
     if p.accept("kw", "like"):
-        return [col, "like", p.take("str")]
+        return [[col, "like", p.take("str")]]
+    if p.accept("kw", "is"):
+        neg = p.accept("kw", "not")
+        p.take("kw", "null")
+        return [[col, "not_null" if neg else "is_null", None]]
+    if p.accept("kw", "between"):
+        lo = _parse_literal(p)
+        p.take("kw", "and")
+        hi = _parse_literal(p)
+        return [[col, ">=", lo], [col, "<=", hi]]
     op = p.take("op")
-    return [col, _SQL_OPS[op], _parse_literal(p)]
+    return [[col, _SQL_OPS[op], _parse_literal(p)]]
 
 
 def _parse_conj(p: _P) -> list:
-    preds = [_parse_pred(p)]
+    preds = list(_parse_pred(p))
     while p.accept("kw", "and"):
-        preds.append(_parse_pred(p))
+        preds.extend(_parse_pred(p))
     return preds
 
 
@@ -219,7 +233,10 @@ def _parse_unit(p: _P):
         node = _parse_disj(p)
         p.take("punct", ")")
         return node
-    return ("pred", _parse_pred(p))
+    triples = _parse_pred(p)
+    if len(triples) == 1:
+        return ("pred", triples[0])
+    return ("and", [("pred", t) for t in triples])  # e.g. BETWEEN
 
 
 def _parse_and(p: _P):

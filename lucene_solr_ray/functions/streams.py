@@ -59,14 +59,19 @@ _WHERE_OPS = {
     "<=": pc.less_equal,
     ">": pc.greater,
     ">=": pc.greater_equal,
-    # set / pattern predicates (the {!terms} and SQL LIKE shapes; the
-    # /sql planner in functions/sql.py lowers IN and LIKE onto these)
+    # set / pattern / null predicates (the {!terms}, SQL LIKE and SQL
+    # IS [NOT] NULL shapes; the /sql planner in functions/sql.py lowers
+    # IN, LIKE, BETWEEN and IS NULL onto these — val is ignored for the
+    # null tests)
     "in": lambda arr, vals: pc.is_in(arr, value_set=pa.array(list(vals))),
     "like": lambda arr, pat: pc.match_like(arr, pat),
+    "is_null": lambda arr, _=None: pc.is_null(arr),
+    "not_null": lambda arr, _=None: pc.is_valid(arr),
 }
 # ops expressible as pyarrow.dataset scan-filter expressions (row-group
 # stats pruning); "like" has no expression kernel and filters post-scan
-_PUSHDOWN_OPS = {"==", "!=", "<", "<=", ">", ">=", "in"}
+_PUSHDOWN_OPS = {"==", "!=", "<", "<=", ">", ">=", "in",
+                 "is_null", "not_null"}
 
 _AGG_NAMES = {"count", "sum_cents", "min_cents", "max_cents",
               "sum", "min", "max"}
@@ -236,8 +241,13 @@ def run_expr_arrow(sf_dir: str, spec: dict) -> pa.Table:
     def expr(col, op, val):
         if op not in _PUSHDOWN_OPS:
             return None  # e.g. LIKE: no scan expression
-        return (pads.field(col).isin(list(val)) if op == "in"
-                else _WHERE_OPS[op](pads.field(col), val))
+        if op == "in":
+            return pads.field(col).isin(list(val))
+        if op == "is_null":
+            return pads.field(col).is_null()
+        if op == "not_null":
+            return pads.field(col).is_valid()
+        return _WHERE_OPS[op](pads.field(col), val)
 
     def clause_expr(w):
         if len(w) == 2 and w[0] == "or":

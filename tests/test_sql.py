@@ -296,3 +296,52 @@ def test_fuzz_where_group_vs_duckdb(ray_session, con):
                  f"ORDER BY event_id LIMIT 40")
             o = q
         _check(ray_session, con, q, o)
+
+
+def test_between_and_null_preds(ray_session, con):
+    _check(ray_session, con,
+           "SELECT o_orderkey FROM orders "
+           "WHERE o_totalprice BETWEEN 50000 AND 60000 "
+           "ORDER BY o_orderkey")
+    # BETWEEN inside a disjunction (its inner AND must not leak)
+    _check(ray_session, con,
+           "SELECT o_orderkey FROM orders "
+           "WHERE o_totalprice BETWEEN 50000 AND 55000 "
+           "OR o_totalprice > 290000 ORDER BY o_orderkey")
+    # IS [NOT] NULL (testdata is null-free: IS NULL empties, NOT NULL
+    # keeps everything — both sides agree)
+    _check(ray_session, con,
+           "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus IS NULL",
+           "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+           "WHERE o_orderstatus IS NULL")
+    _check(ray_session, con,
+           "SELECT COUNT(*) AS n FROM orders "
+           "WHERE o_orderstatus IS NOT NULL AND o_totalprice < 60000",
+           "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+           "WHERE o_orderstatus IS NOT NULL AND o_totalprice < 60000")
+
+
+def test_null_semantics_on_nullable_fixture(ray_session, tmp_path):
+    """Real nulls: engine IS NULL / IS NOT NULL / count-distinct
+    null-exclusion vs DuckDB on a fixture with missing values."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "k": ["a", "a", "b", "b", "c", "c"],
+        "v": pa.array([1, None, 2, None, None, 3], type=pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "t.parquet"))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW t AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/t.parquet')")
+    for q, o in [
+        ("SELECT k FROM t WHERE v IS NULL ORDER BY k", None),
+        ("SELECT k, v FROM t WHERE v IS NOT NULL ORDER BY k, v", None),
+        ("SELECT COUNT(DISTINCT v) AS dv FROM t",
+         "SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS dv FROM t"),
+    ]:
+        mine = sql_query(str(tmp_path), q).to_pandas().reset_index(drop=True)
+        want = c.execute(o or q).fetchdf().reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, want, check_dtype=False)
