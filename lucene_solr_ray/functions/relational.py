@@ -1272,6 +1272,55 @@ def facet_intervals(ds, col: str, intervals):
     return df.astype({"count": "int64"}).reset_index(drop=True)
 
 
+def facet_heatmap(ds, lat_col: str, lon_col: str, box, rows: int,
+                  cols: int):
+    """facet.heatmap analog (reference: solr/core/src/java/org/apache/
+    solr/handler/component/SpatialHeatmapFacets.java + lucene/spatial-
+    extras .../prefix/HeatmapFacetCounter.java, branch_8x): per-grid-cell
+    counts over a rectangular region. Solr derives the RPT grid level
+    from distErrPct and returns ``counts_ints2D`` with ROW 0 AT THE TOP
+    (maxY edge); we take explicit ``rows`` × ``cols`` and emit the same
+    orientation as nonzero (grid_row, grid_col, n) tuples sorted
+    row-major — the dense 2D array is a client-side reshape, so zero
+    cells never cross the wire. One vectorized cell-assignment map pass
+    (points outside the box drop map-side) + one bounded count shuffle
+    (≤ rows*cols groups). Points exactly on the bottom/right box edge
+    clamp into the last row/column (closed box on all sides)."""
+    lat_lo, lat_hi, lon_lo, lon_hi = (float(v) for v in box)
+    cell_h = (lat_hi - lat_lo) / rows
+    cell_w = (lon_hi - lon_lo) / cols
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = ((lat >= lat_lo) & (lat <= lat_hi)
+                & (lon >= lon_lo) & (lon <= lon_hi))
+        lat, lon = lat[keep], lon[keep]
+        r = np.minimum(np.floor((lat_hi - lat) / cell_h),
+                       rows - 1).astype(np.int64)
+        c = np.minimum(np.floor((lon - lon_lo) / cell_w),
+                       cols - 1).astype(np.int64)
+        return pa.table({"grid_row": pa.array(r), "grid_col": pa.array(c)})
+
+    counted = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["grid_row", "grid_col"])
+        .aggregate(Count("grid_row", ignore_nulls=False))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "grid_row": batch["grid_row"],
+            "grid_col": batch["grid_col"],
+            "n": pc.cast(batch["count(grid_row)"], pa.int64()),
+        })
+
+    return counted.map_batches(
+        rename, batch_format="pyarrow").sort(["grid_row", "grid_col"])
+
+
 def group_topk(ds, key: str, order_cols: Sequence[str],
                descending: Sequence[bool], n: int):
     """Result grouping, group.limit=n (reference: solr/core/src/java/org/

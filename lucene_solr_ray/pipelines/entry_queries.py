@@ -7148,6 +7148,63 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# facet.heatmap contract geometry: one box + grid shared VERBATIM (full
+# -precision repr literals) by the Ray kernel and the DuckDB oracle so
+# every float op is bit-identical by construction (the {!bbox} idiom)
+_HM_BOX = (-60.0, 70.0, -160.0, 160.0)
+_HM_ROWS, _HM_COLS = 6, 8
+_HM_CELL_H = (_HM_BOX[1] - _HM_BOX[0]) / _HM_ROWS
+_HM_CELL_W = (_HM_BOX[3] - _HM_BOX[2]) / _HM_COLS
+
+
+def q_facet_heatmap_customers(sf_dir: str):
+    """facet.heatmap analog (SURVEY.md §2.6; [8x] solr/core/.../component/
+    SpatialHeatmapFacets.java + HeatmapFacetCounter): per-grid-cell
+    counts over a box, row 0 at the top (maxY) like counts_ints2D —
+    customer points from the Knuth-scrambled key derivation (the
+    geofilt grid), nonzero cells only, row-major order."""
+    from ..functions.relational import facet_heatmap
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy().astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy().astype(np.int64)
+        k2 = (ck * 2654435761) % 4294967296
+        return pa.table({
+            "lat": (k2 % 17000) / 100.0 - 85.0,
+            "lon": ((k2 // 7 + nk) % 36000) / 100.0 - 180.0,
+        })
+
+    return facet_heatmap(
+        cust.map_batches(pts, batch_format="pyarrow"),
+        "lat", "lon", _HM_BOX, _HM_ROWS, _HM_COLS)
+
+
+def sql_facet_heatmap_customers() -> str:
+    lat_lo, lat_hi, lon_lo, lon_hi = _HM_BOX
+    return f"""
+WITH k AS (
+  SELECT c_nationkey, ((c_custkey * 2654435761) % 4294967296) AS k2
+  FROM customer
+), pts AS (
+  SELECT (k2 % 17000) / 100.0 - 85.0 AS lat,
+         ((k2 // 7 + c_nationkey) % 36000) / 100.0 - 180.0 AS lon
+  FROM k
+), cells AS (
+  SELECT CAST(least(floor(({lat_hi!r} - lat) / {_HM_CELL_H!r}),
+                    {_HM_ROWS - 1}) AS BIGINT) AS grid_row,
+         CAST(least(floor((lon - {lon_lo!r}) / {_HM_CELL_W!r}),
+                    {_HM_COLS - 1}) AS BIGINT) AS grid_col
+  FROM pts
+  WHERE lat >= {lat_lo!r} AND lat <= {lat_hi!r}
+    AND lon >= {lon_lo!r} AND lon <= {lon_hi!r}
+)
+SELECT grid_row, grid_col, count(*) AS n
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # =============================================================== registry ==
 QUERIES = {
     # fulltext core (SURVEY.md §2.3/§2.6/§2.7/§3.2)
@@ -7323,6 +7380,7 @@ QUERIES = {
     "sql_global_lineitem": q_sql_global_lineitem,
     "sql_or_where_orders": q_sql_or_where_orders,
     "sql_count_distinct_events": q_sql_count_distinct_events,
+    "facet_heatmap_customers": q_facet_heatmap_customers,
 }
 
 ORACLES = {
@@ -7478,4 +7536,5 @@ ORACLES = {
     "sql_global_lineitem": sql_sql_global_lineitem(),
     "sql_or_where_orders": sql_sql_or_where_orders(),
     "sql_count_distinct_events": sql_sql_count_distinct_events(),
+    "facet_heatmap_customers": sql_facet_heatmap_customers(),
 }
