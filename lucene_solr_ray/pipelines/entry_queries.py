@@ -7148,6 +7148,104 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# MultipleAdditiveTreesModel contract: a fixed 2-tree ensemble over the
+# FeatureLogger features; every threshold/leaf/weight binary-exact so
+# the engine's np.where cascade and the oracle's CASE WHEN agree bit-
+# for-bit (branch on <= like the reference)
+_LTR_TREES_MODEL = {
+    "type": "trees",
+    "trees": [
+        {"weight": 1.0, "root": {
+            "feature": "bm25", "threshold": 2.0,
+            "left": {"value": 0.25},
+            "right": {"feature": "tf_sum", "threshold": 4.0,
+                      "left": {"value": 0.5}, "right": {"value": 1.0}}}},
+        {"weight": 0.5, "root": {
+            "feature": "log_dl", "threshold": 4.5,
+            "left": {"feature": "matched_frac", "threshold": 0.75,
+                     "left": {"value": -0.5}, "right": {"value": 0.5}},
+            "right": {"value": -0.25}}},
+    ],
+}
+
+
+def q_ltr_trees_rerank_topk(sf_dir: str) -> pd.DataFrame:
+    """LTR MultipleAdditiveTreesModel (SURVEY.md §2.4 LTR row; [8x]
+    solr/contrib/ltr/.../model/MultipleAdditiveTreesModel.java — the
+    LambdaMART ensemble): same rescoring window as ltr_rerank_topk, but
+    score2 = Σ tree.weight × leaf, branching left on feature ≤
+    threshold; vectorized np.where cascade (search/ltr.py#eval_trees)."""
+    from ..search.ltr import ltr_rerank
+
+    idx = ensure_ft_index(sf_dir)
+    res = ltr_rerank(
+        idx,
+        [{"query_id": 0, "kind": "or", "terms": FT_TERMS_OR}],
+        model=_LTR_TREES_MODEL,
+        k=10,
+        rerank_k=50,
+        sim_config={"dtype": "float64", "mode": "div"},
+    )
+    return pd.DataFrame(
+        {
+            "rank": res["rank"].astype(np.int64),
+            "doc_id": _url_to_doc_id(res["url"]),
+            "score2_e6": np.floor(
+                res["score2"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
+def sql_ltr_trees_rerank_topk() -> str:
+    terms = ",".join(f"'{t}'" for t in FT_TERMS_OR)
+    n_terms = len(FT_TERMS_OR)
+    return (
+        _ft_sql_common()
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           - ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             / (1 + tf.freq / (1.2 * (1 - 0.75 + 0.75 * norml.nl / (stats.sdl / stats.n))))
+         ) AS bm25,
+         sum(tf.freq) AS tf_sum,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN norml ON norml.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+cand AS (
+  SELECT scored.*, dl.dl FROM scored JOIN dl USING (doc_id)
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+),
+rescored AS (
+  SELECT doc_id,
+         (CASE WHEN bm25 <= 2.0 THEN 0.25
+               ELSE CASE WHEN tf_sum <= 4.0 THEN 0.5 ELSE 1.0 END END)
+         + 0.5 * (CASE WHEN ln(1.0 + dl) <= 4.5
+                  THEN CASE WHEN (n_matched / {n_terms}.0) <= 0.75
+                       THEN -0.5 ELSE 0.5 END
+                  ELSE -0.25 END) AS score2
+  FROM cand
+)
+SELECT row_number() OVER (ORDER BY score2 DESC, doc_id ASC) AS rank,
+       doc_id,
+       CAST(floor(score2 * 1000000) AS BIGINT) AS score2_e6
+FROM rescored
+ORDER BY score2 DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 # facet.heatmap contract geometry: one box + grid shared VERBATIM (full
 # -precision repr literals) by the Ray kernel and the DuckDB oracle so
 # every float op is bit-identical by construction (the {!bbox} idiom)
@@ -7381,6 +7479,7 @@ QUERIES = {
     "sql_or_where_orders": q_sql_or_where_orders,
     "sql_count_distinct_events": q_sql_count_distinct_events,
     "facet_heatmap_customers": q_facet_heatmap_customers,
+    "ltr_trees_rerank_topk": q_ltr_trees_rerank_topk,
 }
 
 ORACLES = {
@@ -7537,4 +7636,5 @@ ORACLES = {
     "sql_or_where_orders": sql_sql_or_where_orders(),
     "sql_count_distinct_events": sql_sql_count_distinct_events(),
     "facet_heatmap_customers": sql_facet_heatmap_customers(),
+    "ltr_trees_rerank_topk": sql_ltr_trees_rerank_topk(),
 }

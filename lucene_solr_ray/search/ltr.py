@@ -35,7 +35,7 @@ import ray.data
 from ..pipelines.query import search
 from ..state.manifest import partition_segments, read_root_manifest
 
-__all__ = ["ltr_rerank", "DEFAULT_MODEL"]
+__all__ = ["ltr_rerank", "DEFAULT_MODEL", "eval_trees"]
 
 # weights chosen exactly representable in binary so engine and SQL agree
 DEFAULT_MODEL = {
@@ -131,6 +131,34 @@ def _extract_features(index_root: str, cand: pd.DataFrame, terms: List[str]):
     return feats
 
 
+def eval_trees(model: dict, feats: Dict[str, np.ndarray]) -> np.ndarray:
+    """MultipleAdditiveTreesModel scoring (reference: solr/contrib/ltr/
+    src/java/org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java,
+    branch_8x — the LambdaMART ensemble): score = Σ tree.weight ×
+    leaf(tree, x), branching LEFT when feature ≤ threshold (the
+    reference's ``<=``). Vectorized: each node evaluates once over the
+    whole candidate batch (np.where over both subtrees — fine for the
+    shallow trees LTR ships).
+
+    ``model``: {"type": "trees", "trees": [{"weight": w, "root": node},
+    ...]} with node = {"feature": name, "threshold": t, "left": node,
+    "right": node} | {"value": v}. Feature names are the FeatureLogger
+    set (bm25, log_dl, tf_sum, matched_frac)."""
+    n = len(next(iter(feats.values())))
+
+    def ev(node) -> np.ndarray:
+        if "value" in node:
+            return np.full(n, float(node["value"]), dtype=np.float64)
+        f = feats[node["feature"]]
+        return np.where(f <= float(node["threshold"]),
+                        ev(node["left"]), ev(node["right"]))
+
+    out = np.zeros(n, dtype=np.float64)
+    for tree in model["trees"]:
+        out += float(tree.get("weight", 1.0)) * ev(tree["root"])
+    return out
+
+
 def ltr_rerank(
     index_root: str,
     queries: List[dict],
@@ -139,10 +167,13 @@ def ltr_rerank(
     rerank_k: int = 50,
     sim_config: Optional[dict] = None,
 ) -> pd.DataFrame:
-    """Rerank each query's BM25 top ``rerank_k`` with the linear model.
-    Returns (query_id, rank, url, score2) sorted by (query_id, rank);
-    ties break on url asc — partition-invariant like the first pass."""
-    m = dict(DEFAULT_MODEL, **(model or {}))
+    """Rerank each query's BM25 top ``rerank_k`` with the model — the
+    LinearModel (default) or a MultipleAdditiveTreesModel when
+    ``model["type"] == "trees"``. Returns (query_id, rank, url, score2)
+    sorted by (query_id, rank); ties break on url asc —
+    partition-invariant like the first pass."""
+    trees = (model or {}).get("type") == "trees"
+    m = model if trees else dict(DEFAULT_MODEL, **(model or {}))
     first = search(index_root, queries, k=rerank_k, sim_config=sim_config)
     if len(first) == 0:
         return pd.DataFrame(columns=["query_id", "rank", "url", "score2"])
@@ -154,14 +185,25 @@ def ltr_rerank(
     # every candidate came from the index, so features must resolve
     assert not df["dl"].isna().any(), "feature probe missed a candidate"
     n_terms = max(len(terms), 1)
-    # float64 expression mirrors the SQL oracle term-for-term, left-assoc
-    df["score2"] = (
-        m["bias"]
-        + m["w_bm25"] * df["score"].astype(np.float64)
-        + m["w_log_dl"] * np.log(1.0 + df["dl"].to_numpy(np.float64))
-        + m["w_tf"] * df["tf_sum"].to_numpy(np.float64)
-        + m["w_matched"] * (df["n_matched"].to_numpy(np.float64) / n_terms)
-    )
+    if trees:
+        feats = {
+            "bm25": df["score"].to_numpy(np.float64),
+            "log_dl": np.log(1.0 + df["dl"].to_numpy(np.float64)),
+            "tf_sum": df["tf_sum"].to_numpy(np.float64),
+            "matched_frac": df["n_matched"].to_numpy(np.float64) / n_terms,
+        }
+        df["score2"] = eval_trees(m, feats)
+    else:
+        # float64 expression mirrors the SQL oracle term-for-term,
+        # left-assoc
+        df["score2"] = (
+            m["bias"]
+            + m["w_bm25"] * df["score"].astype(np.float64)
+            + m["w_log_dl"] * np.log(1.0 + df["dl"].to_numpy(np.float64))
+            + m["w_tf"] * df["tf_sum"].to_numpy(np.float64)
+            + m["w_matched"] * (df["n_matched"].to_numpy(np.float64)
+                                / n_terms)
+        )
     df = df.sort_values(
         ["query_id", "score2", "url"], ascending=[True, False, True],
         kind="mergesort",

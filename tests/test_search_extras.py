@@ -434,3 +434,50 @@ def test_term_set_query(ray_session, tmp_path):
     left = search(copy, [{"query_id": 0, "kind": "term_set",
                           "terms": ["banana", "window", "query"]}], k=10)
     assert set(left.url) == {"u://000", "u://001"}
+
+
+def test_ltr_eval_trees_matches_scalar_reference():
+    """MultipleAdditiveTreesModel kernel (search/ltr.py#eval_trees):
+    vectorized np.where cascade == per-row scalar walk; feature ==
+    threshold branches LEFT (the reference's <=)."""
+    import numpy as np
+
+    from lucene_solr_ray.search.ltr import eval_trees
+
+    rng = np.random.default_rng(9)
+    n = 500
+    feats = {
+        "bm25": rng.uniform(0, 8, n),
+        "log_dl": rng.uniform(0, 9, n),
+        "tf_sum": rng.integers(0, 12, n).astype(np.float64),
+        "matched_frac": rng.choice([1 / 3, 2 / 3, 1.0], n),
+    }
+    # plant exact-threshold rows: must go LEFT
+    feats["bm25"][:3] = 2.0
+    feats["tf_sum"][3:6] = 4.0
+    model = {"type": "trees", "trees": [
+        {"weight": 1.0, "root": {
+            "feature": "bm25", "threshold": 2.0,
+            "left": {"value": 0.25},
+            "right": {"feature": "tf_sum", "threshold": 4.0,
+                      "left": {"value": 0.5}, "right": {"value": 1.0}}}},
+        {"weight": 0.5, "root": {
+            "feature": "log_dl", "threshold": 4.5,
+            "left": {"feature": "matched_frac", "threshold": 0.75,
+                     "left": {"value": -0.5}, "right": {"value": 0.5}},
+            "right": {"value": -0.25}}},
+    ]}
+
+    def walk(node, i):
+        if "value" in node:
+            return node["value"]
+        nxt = ("left" if feats[node["feature"]][i] <= node["threshold"]
+               else "right")
+        return walk(node[nxt], i)
+
+    want = np.array([
+        sum(t["weight"] * walk(t["root"], i) for t in model["trees"])
+        for i in range(n)])
+    got = eval_trees(model, feats)
+    assert (got == want).all()
+    assert got[0] == 0.25 + 0.5 * walk(model["trees"][1]["root"], 0)
