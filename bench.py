@@ -195,6 +195,8 @@ def run_bench() -> dict:
             "lm_rare_bigrams", "topk_tokens_sketch",
             "decontaminate_docs", "json_facet_query", "sort_by_function",
             "timeseries_orders", "facet_interval_price", "html_strip_docs",
+            "sql_group_events", "sql_count_distinct_events",
+            "facet_heatmap_customers",
         ]:
             # best-of-2 with both numbers recorded (round-5 bench
             # discipline: single-shot per-pipeline timings conflated the
