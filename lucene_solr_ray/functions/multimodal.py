@@ -33,6 +33,8 @@ __all__ = [
     "binary_meta_batch", "MediaDecodeStage", "SUGGESTED_BINARY_BATCH_SIZE",
     "parse_image_header", "ImageMetaStage",
     "make_png", "make_jpeg", "make_gif", "make_bmp",
+    "parse_audio_header", "AudioMetaStage",
+    "make_wav", "make_flac", "make_mp3_frame",
 ]
 
 SUGGESTED_BINARY_BATCH_SIZE = 64  # rows per batch for multi-MB payloads
@@ -209,6 +211,141 @@ class ImageMetaStage:
             .append_column("height", pa.array(hs, type=pa.int64()))
             .append_column("bit_depth", pa.array(ds, type=pa.int64()))
         )
+
+
+# MPEG1 Layer III tables (frame header indices → kbps / Hz)
+_MP3_BITRATE_V1L3 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, None)
+_MP3_RATE_V1 = (44100, 48000, 32000, None)
+
+
+def parse_audio_header(p: bytes):
+    """(format, sample_rate, channels, bits_per_sample, duration_ms)
+    from raw audio bytes — pure container-header walks, no sample
+    decode, no external libraries (the audio sibling of
+    ``parse_image_header``).
+
+    - WAV: RIFF/WAVE chunk walk to 'fmt ' (channels/rate/block-align
+      uint LE) and 'data' (size → sample count → duration).
+    - FLAC: 'fLaC' + STREAMINFO — rate 20 bits, channels-1 3 bits,
+      bits-1 5 bits, total samples 36 bits in one 8-byte BE word.
+    - MP3: first MPEG1 Layer III frame header — sync, sample-rate and
+      channel-mode fields; bits/duration are None (frame formats carry
+      no per-sample width, and duration needs the whole stream).
+    Raises ValueError for unrecognized containers."""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, n = 12, len(p)
+        rate = channels = bits = block_align = data_size = None
+        while i + 8 <= n:
+            cid = p[i:i + 4]
+            size = int.from_bytes(p[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= n:
+                channels = int.from_bytes(p[i + 10:i + 12], "little")
+                rate = int.from_bytes(p[i + 12:i + 16], "little")
+                block_align = int.from_bytes(p[i + 20:i + 22], "little")
+                bits = int.from_bytes(p[i + 22:i + 24], "little")
+            elif cid == b"data":
+                data_size = size
+            if rate is not None and data_size is not None:
+                break
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None:
+            raise ValueError("WAV without fmt chunk")
+        dur = None
+        if data_size is not None and block_align:
+            dur = int(1000 * (data_size // block_align) // rate)
+        return "wav", rate, channels, bits, dur
+    if p[:4] == b"fLaC":
+        if len(p) < 26:
+            raise ValueError("truncated FLAC STREAMINFO")
+        # block header (4B) + min/max blocksize (4B) + min/max frame (6B)
+        word = int.from_bytes(p[18:26], "big")
+        rate = word >> 44
+        channels = ((word >> 41) & 0x7) + 1
+        bits = ((word >> 36) & 0x1F) + 1
+        total = word & ((1 << 36) - 1)
+        dur = int(1000 * total // rate) if rate else None
+        return "flac", rate, channels, bits, dur
+    if len(p) >= 4 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
+        version = (p[1] >> 3) & 0x3
+        layer = (p[1] >> 1) & 0x3
+        if version != 3 or layer != 1:  # MPEG1 Layer III only
+            raise ValueError("unsupported MPEG frame variant")
+        rate = _MP3_RATE_V1[(p[2] >> 2) & 0x3]
+        if rate is None:
+            raise ValueError("reserved MP3 sample-rate index")
+        mode = (p[3] >> 6) & 0x3
+        return "mp3", rate, (1 if mode == 3 else 2), None, None
+    raise ValueError("unrecognized audio container")
+
+
+def make_wav(rate: int, channels: int, n_samples: int,
+             bits: int = 16) -> bytes:
+    block = channels * (bits // 8)
+    data = bytes(n_samples * block)  # silence
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")            # PCM
+           + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def make_flac(rate: int, channels: int, bits: int,
+              total_samples: int) -> bytes:
+    word = ((rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+            | (total_samples & ((1 << 36) - 1)))
+    streaminfo = ((4096).to_bytes(2, "big") * 2      # min/max blocksize
+                  + bytes(6)                          # min/max frame size
+                  + word.to_bytes(8, "big")
+                  + bytes(16))                        # md5
+    return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + streaminfo)
+
+
+def make_mp3_frame(rate: int, channels: int,
+                   bitrate_kbps: int = 128) -> bytes:
+    sr_idx = _MP3_RATE_V1.index(rate)
+    br_idx = _MP3_BITRATE_V1L3.index(bitrate_kbps)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    return hdr + bytes(128)  # one (truncated) frame body
+
+
+class AudioMetaStage:
+    """Actor-pool audio header decode — one batch of binary payloads →
+    format/sample_rate/channels/bits/duration_ms columns via
+    ``parse_audio_header``; corrupt rows surface as nulls, payloads
+    dropped post-decode (same wiring contract as ImageMetaStage)."""
+
+    def __init__(self, bin_col: str = "payload", drop_payload: bool = True):
+        self.bin_col = bin_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"format": [], "sample_rate": [], "channels": [],
+                "bits": [], "duration_ms": []}
+        for p in batch[self.bin_col].to_pylist():
+            try:
+                f, r, c, b, d = parse_audio_header(p)
+            except (ValueError, IndexError):
+                f = r = c = b = d = None
+            cols["format"].append(f)
+            cols["sample_rate"].append(r)
+            cols["channels"].append(c)
+            cols["bits"].append(b)
+            cols["duration_ms"].append(d)
+        out = (batch.drop_columns([self.bin_col]) if self.drop_payload
+               else batch)
+        out = out.append_column(
+            "format", pa.array(cols["format"], type=pa.string()))
+        for name in ("sample_rate", "channels", "bits", "duration_ms"):
+            out = out.append_column(
+                name, pa.array(cols[name], type=pa.int64()))
+        return out
 
 
 class MediaDecodeStage:

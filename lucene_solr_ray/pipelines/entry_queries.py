@@ -7148,6 +7148,97 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_audio_meta(sf_dir: str):
+    """REAL audio header decode (SURVEY.md multimodal columns; the audio
+    sibling of image_meta): per doc a byte-exact WAV/FLAC/MP3 payload is
+    synthesized from doc_id (format cycles doc_id % 3, rate/channels/
+    sample-count derive arithmetically), then the AudioMetaStage actor
+    pool parses rate/channels/bits/duration back out of the BYTES. The
+    oracle recomputes the planted fields from doc_id — matching proves
+    the synthesizer↔parser round trip reads the RIFF walk, the FLAC
+    STREAMINFO bit fields and the MP3 frame header."""
+    from ..functions.dedup import default_actor_concurrency
+    from ..functions.multimodal import (
+        SUGGESTED_BINARY_BATCH_SIZE,
+        AudioMetaStage,
+        make_flac,
+        make_mp3_frame,
+        make_wav,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    RATES = (8000, 16000, 22050, 44100, 48000)
+    MP3_RATES = (44100, 48000, 32000)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for i in batch["doc_id"].to_numpy():
+            i = int(i)
+            ch = i % 2 + 1
+            n = i % 200 + 50
+            f = i % 3
+            if f == 0:
+                payloads.append(make_wav(RATES[i % 5], ch, n))
+            elif f == 1:
+                payloads.append(make_flac(RATES[i % 5], ch, 16, n))
+            else:
+                payloads.append(
+                    make_mp3_frame(MP3_RATES[(i // 3) % 3], ch))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return (
+        ds.map_batches(mk, batch_format="pyarrow")
+        .map_batches(
+            AudioMetaStage,
+            batch_format="pyarrow",
+            batch_size=SUGGESTED_BINARY_BATCH_SIZE * 4,
+            concurrency=default_actor_concurrency(),
+        )
+        .select_columns(
+            ["doc_id", "format", "sample_rate", "channels", "bits",
+             "duration_ms"])
+        # mp3 rows carry NULL bits/duration (frame formats have
+        # neither); the hash compare can't equate NaNs, so the CONTRACT
+        # coalesces to -1 on both sides — the stage itself keeps nulls
+        .map_batches(
+            lambda b: pa.table({
+                **{c: b[c] for c in
+                   ("doc_id", "format", "sample_rate", "channels")},
+                "bits": pc.fill_null(b["bits"], -1),
+                "duration_ms": pc.fill_null(b["duration_ms"], -1),
+            }),
+            batch_format="pyarrow")
+    )
+
+
+def sql_audio_meta() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 AS f,
+         doc_id % 2 + 1 AS ch,
+         doc_id % 200 + 50 AS n,
+         (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS wr,
+         (CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END) AS mr
+  FROM documents
+)
+SELECT doc_id,
+       CASE f WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END
+         AS format,
+       CAST(CASE WHEN f = 2 THEN mr ELSE wr END AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CASE WHEN f = 2 THEN -1 ELSE CAST(16 AS BIGINT) END AS bits,
+       CASE WHEN f = 2 THEN -1
+            ELSE CAST((1000 * n) // wr AS BIGINT) END AS duration_ms
+FROM d
+"""
+
+
 # MultipleAdditiveTreesModel contract: a fixed 2-tree ensemble over the
 # FeatureLogger features; every threshold/leaf/weight binary-exact so
 # the engine's np.where cascade and the oracle's CASE WHEN agree bit-
@@ -7480,6 +7571,7 @@ QUERIES = {
     "sql_count_distinct_events": q_sql_count_distinct_events,
     "facet_heatmap_customers": q_facet_heatmap_customers,
     "ltr_trees_rerank_topk": q_ltr_trees_rerank_topk,
+    "audio_meta": q_audio_meta,
 }
 
 ORACLES = {
@@ -7637,4 +7729,5 @@ ORACLES = {
     "sql_count_distinct_events": sql_sql_count_distinct_events(),
     "facet_heatmap_customers": sql_facet_heatmap_customers(),
     "ltr_trees_rerank_topk": sql_ltr_trees_rerank_topk(),
+    "audio_meta": sql_audio_meta(),
 }

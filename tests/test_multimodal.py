@@ -75,3 +75,69 @@ def test_image_meta_stage_batch():
         out["width"].tolist()[:4] == [3, 5, 7, 9] and np.isnan(out["width"].iloc[4]))
     assert out["height"].tolist()[:4] == [4, 6, 8, 10]
     assert out["bit_depth"].tolist()[:4] == [8, 8, 8, 24]
+
+
+# ---------------------------------------------------------- audio headers
+
+def test_wav_roundtrip_fields():
+    from lucene_solr_ray.functions.multimodal import make_wav, parse_audio_header
+
+    for rate, ch, n, bits in [(8000, 1, 50, 16), (44100, 2, 249, 16),
+                              (48000, 2, 1, 8), (22050, 1, 1000, 24)]:
+        f, r, c, b, d = parse_audio_header(make_wav(rate, ch, n, bits))
+        assert (f, r, c, b) == ("wav", rate, ch, bits)
+        assert d == 1000 * n // rate
+
+
+def test_flac_roundtrip_fields():
+    from lucene_solr_ray.functions.multimodal import make_flac, parse_audio_header
+
+    for rate, ch, bits, total in [(44100, 2, 16, 44100), (96000, 8, 24, 7),
+                                  (8000, 1, 4, (1 << 36) - 1)]:
+        f, r, c, b, d = parse_audio_header(make_flac(rate, ch, bits, total))
+        assert (f, r, c, b) == ("flac", rate, ch, bits)
+        assert d == 1000 * total // rate
+
+
+def test_mp3_frame_fields():
+    from lucene_solr_ray.functions.multimodal import (
+        make_mp3_frame, parse_audio_header)
+
+    for rate, ch in [(44100, 1), (48000, 2), (32000, 2)]:
+        f, r, c, b, d = parse_audio_header(make_mp3_frame(rate, ch))
+        assert (f, r, c) == ("mp3", rate, ch)
+        assert b is None and d is None
+
+
+def test_audio_parser_rejects_corrupt():
+    import pytest as _pytest
+
+    from lucene_solr_ray.functions.multimodal import parse_audio_header
+
+    for bad in [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",  # no fmt
+                b"fLaC\x00\x00", b"\xff\xe0\x00\x00",        # bad version
+                b"MThd\x00\x00\x00\x06", b"\x00" * 40]:
+        with _pytest.raises(ValueError):
+            parse_audio_header(bad)
+
+
+def test_audio_stage_corrupt_rows_null(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.multimodal import (
+        AudioMetaStage, make_wav)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "payload": pa.array(
+            [make_wav(16000, 1, 100), b"garbage", make_wav(8000, 2, 10)],
+            type=pa.binary()),
+    }))
+    out = ds.map_batches(AudioMetaStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out["format"].tolist() == ["wav", None, "wav"]
+    assert out["sample_rate"].tolist()[0] == 16000
+    assert pd.isna(out["sample_rate"][1])
+    assert "payload" not in out.columns
