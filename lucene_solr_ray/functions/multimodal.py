@@ -35,6 +35,8 @@ __all__ = [
     "make_png", "make_jpeg", "make_gif", "make_bmp",
     "parse_audio_header", "AudioMetaStage",
     "make_wav", "make_flac", "make_mp3_frame",
+    "parse_video_header", "VideoMetaStage",
+    "make_mp4", "make_avi",
 ]
 
 SUGGESTED_BINARY_BATCH_SIZE = 64  # rows per batch for multi-MB payloads
@@ -343,6 +345,151 @@ class AudioMetaStage:
         out = out.append_column(
             "format", pa.array(cols["format"], type=pa.string()))
         for name in ("sample_rate", "channels", "bits", "duration_ms"):
+            out = out.append_column(
+                name, pa.array(cols[name], type=pa.int64()))
+        return out
+
+
+def parse_video_header(p: bytes):
+    """(format, width, height, duration_ms) from raw video bytes — pure
+    container walks (no frame decode): the video sibling of the image/
+    audio parsers.
+
+    - MP4/ISO-BMFF: top-level box walk to 'moov', then a child walk to
+      'mvhd' (timescale + duration, version 0 uint32 / version 1
+      uint64) and the first 'trak'→'tkhd' (width/height as 16.16 fixed
+      point at the box tail).
+    - AVI: 'RIFF'+'AVI ' → 'hdrl' LIST → 'avih' (dwMicroSecPerFrame,
+      dwTotalFrames, dwWidth, dwHeight — all uint32 LE).
+    Raises ValueError for unrecognized containers."""
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        def boxes(buf, i, end):
+            while i + 8 <= end:
+                size = int.from_bytes(buf[i:i + 4], "big")
+                tag = buf[i + 4:i + 8]
+                body = i + 8
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > end:
+                        return
+                    size = int.from_bytes(buf[i + 8:i + 16], "big")
+                    body = i + 16
+                elif size == 0:  # to end of enclosing box
+                    size = end - i
+                if size < 8 or i + size > end:
+                    return
+                yield tag, body, i + size
+                i += size
+
+        dur_ms = w = h = None
+        for tag, b0, b1 in boxes(p, 0, len(p)):
+            if tag != b"moov":
+                continue
+            for t2, c0, c1 in boxes(p, b0, b1):
+                if t2 == b"mvhd" and dur_ms is None:
+                    ver = p[c0]
+                    if ver == 1:
+                        ts = int.from_bytes(p[c0 + 20:c0 + 24], "big")
+                        dur = int.from_bytes(p[c0 + 24:c0 + 32], "big")
+                    else:
+                        ts = int.from_bytes(p[c0 + 12:c0 + 16], "big")
+                        dur = int.from_bytes(p[c0 + 16:c0 + 20], "big")
+                    if ts:
+                        dur_ms = int(1000 * dur // ts)
+                elif t2 == b"trak" and w is None:
+                    for t3, d0, d1 in boxes(p, c0, c1):
+                        if t3 == b"tkhd":
+                            # width/height: last 8 bytes, 16.16 fixed
+                            w = int.from_bytes(p[d1 - 8:d1 - 4],
+                                               "big") >> 16
+                            h = int.from_bytes(p[d1 - 4:d1], "big") >> 16
+                            break
+            if dur_ms is None and w is None:
+                raise ValueError("moov without mvhd/tkhd")
+            return "mp4", w, h, dur_ms
+        raise ValueError("no moov box found")
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        i, n = 12, len(p)
+        while i + 8 <= n:
+            cid = p[i:i + 4]
+            size = int.from_bytes(p[i + 4:i + 8], "little")
+            if cid == b"LIST" and p[i + 8:i + 12] == b"hdrl":
+                j = i + 12
+                while j + 8 <= i + 8 + size:
+                    c2 = p[j:j + 4]
+                    s2 = int.from_bytes(p[j + 4:j + 8], "little")
+                    if c2 == b"avih" and j + 8 + 40 <= n:
+                        us_pf = int.from_bytes(p[j + 8:j + 12], "little")
+                        frames = int.from_bytes(p[j + 24:j + 28], "little")
+                        w = int.from_bytes(p[j + 40:j + 44], "little")
+                        h = int.from_bytes(p[j + 44:j + 48], "little")
+                        dur = (us_pf * frames // 1000) if us_pf else None
+                        return "avi", w, h, dur
+                    j += 8 + s2 + (s2 & 1)
+            i += 8 + size + (size & 1)
+        raise ValueError("AVI without avih header")
+    raise ValueError("unrecognized video container")
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + tag + body
+
+
+def make_mp4(w: int, h: int, duration_ms: int,
+             timescale: int = 1000) -> bytes:
+    dur = duration_ms * timescale // 1000
+    mvhd = (bytes(1) + bytes(3)            # version 0 + flags
+            + bytes(8)                     # ctime/mtime
+            + timescale.to_bytes(4, "big")
+            + dur.to_bytes(4, "big")
+            + bytes(80))                   # rate/volume/matrix/next_track
+    tkhd = (bytes(4) + bytes(16)           # ver/flags, times, track id...
+            + bytes(56)                    # duration/reserved/matrix
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big"))  # 16.16 fixed, 84-byte v0 body
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + _box(b"trak", _box(b"tkhd", tkhd)))
+    return _box(b"ftyp", b"isom" + bytes(4) + b"isom") + moov
+
+
+def make_avi(w: int, h: int, n_frames: int,
+             us_per_frame: int = 40000) -> bytes:
+    avih = (us_per_frame.to_bytes(4, "little")
+            + bytes(12)                    # max bytes/sec, padding, flags
+            + n_frames.to_bytes(4, "little")
+            + bytes(12)                    # initial frames, streams, bufsz
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + bytes(16))
+    hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+    body = b"AVI " + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class VideoMetaStage:
+    """Actor-pool video header decode — binary payloads → format/width/
+    height/duration_ms via ``parse_video_header``; corrupt rows null,
+    payload dropped (same wiring contract as Image/AudioMetaStage)."""
+
+    def __init__(self, bin_col: str = "payload", drop_payload: bool = True):
+        self.bin_col = bin_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"format": [], "width": [], "height": [], "duration_ms": []}
+        for p in batch[self.bin_col].to_pylist():
+            try:
+                f, w, h, d = parse_video_header(p)
+            except (ValueError, IndexError):
+                f = w = h = d = None
+            cols["format"].append(f)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["duration_ms"].append(d)
+        out = (batch.drop_columns([self.bin_col]) if self.drop_payload
+               else batch)
+        out = out.append_column(
+            "format", pa.array(cols["format"], type=pa.string()))
+        for name in ("width", "height", "duration_ms"):
             out = out.append_column(
                 name, pa.array(cols[name], type=pa.int64()))
         return out

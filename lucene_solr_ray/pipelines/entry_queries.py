@@ -7239,6 +7239,63 @@ FROM d
 """
 
 
+def q_video_meta(sf_dir: str):
+    """REAL video header decode (multimodal triad, video leg): per doc a
+    byte-exact MP4 (ISO-BMFF moov/mvhd/tkhd) or AVI (RIFF hdrl/avih)
+    payload synthesized from doc_id, parsed back by the VideoMetaStage
+    actor pool; oracle recomputes the planted width/height/duration
+    arithmetically — round trip proves the box/chunk walks."""
+    from ..functions.dedup import default_actor_concurrency
+    from ..functions.multimodal import (
+        SUGGESTED_BINARY_BATCH_SIZE,
+        VideoMetaStage,
+        make_avi,
+        make_mp4,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for i in batch["doc_id"].to_numpy():
+            i = int(i)
+            w, h = i % 1920 + 16, i % 1080 + 16
+            if i % 2 == 0:
+                payloads.append(make_mp4(w, h, i % 100000 + 1000))
+            else:
+                payloads.append(make_avi(w, h, i % 500 + 25))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return (
+        ds.map_batches(mk, batch_format="pyarrow")
+        .map_batches(
+            VideoMetaStage,
+            batch_format="pyarrow",
+            batch_size=SUGGESTED_BINARY_BATCH_SIZE * 4,
+            concurrency=default_actor_concurrency(),
+        )
+        .select_columns(
+            ["doc_id", "format", "width", "height", "duration_ms"])
+    )
+
+
+def sql_video_meta() -> str:
+    # avi duration = us_per_frame (40000) * frames // 1000
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+       CAST(doc_id % 1920 + 16 AS BIGINT) AS width,
+       CAST(doc_id % 1080 + 16 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 100000 + 1000
+                 ELSE 40000 * (doc_id % 500 + 25) // 1000 END
+            AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 # MultipleAdditiveTreesModel contract: a fixed 2-tree ensemble over the
 # FeatureLogger features; every threshold/leaf/weight binary-exact so
 # the engine's np.where cascade and the oracle's CASE WHEN agree bit-
@@ -7572,6 +7629,7 @@ QUERIES = {
     "facet_heatmap_customers": q_facet_heatmap_customers,
     "ltr_trees_rerank_topk": q_ltr_trees_rerank_topk,
     "audio_meta": q_audio_meta,
+    "video_meta": q_video_meta,
 }
 
 ORACLES = {
@@ -7730,4 +7788,5 @@ ORACLES = {
     "facet_heatmap_customers": sql_facet_heatmap_customers(),
     "ltr_trees_rerank_topk": sql_ltr_trees_rerank_topk(),
     "audio_meta": sql_audio_meta(),
+    "video_meta": sql_video_meta(),
 }

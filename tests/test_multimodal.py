@@ -141,3 +141,54 @@ def test_audio_stage_corrupt_rows_null(ray_session):
     assert out["sample_rate"].tolist()[0] == 16000
     assert pd.isna(out["sample_rate"][1])
     assert "payload" not in out.columns
+
+
+# ---------------------------------------------------------- video headers
+
+def test_mp4_roundtrip_fields():
+    from lucene_solr_ray.functions.multimodal import make_mp4, parse_video_header
+
+    for w, h, d, ts in [(1920, 1080, 12345, 1000), (640, 480, 999, 90000),
+                        (16, 16, 1, 600), (3840, 2160, 100000, 1000)]:
+        f, ww, hh, dd = parse_video_header(make_mp4(w, h, d, timescale=ts))
+        assert (f, ww, hh) == ("mp4", w, h)
+        # duration round-trips through the timescale conversion exactly
+        assert dd == 1000 * (d * ts // 1000) // ts
+
+
+def test_avi_roundtrip_fields():
+    from lucene_solr_ray.functions.multimodal import make_avi, parse_video_header
+
+    for w, h, n, uspf in [(1280, 720, 250, 40000), (320, 240, 100, 33367)]:
+        f, ww, hh, dd = parse_video_header(make_avi(w, h, n, uspf))
+        assert (f, ww, hh, dd) == ("avi", w, h, uspf * n // 1000)
+
+
+def test_video_parser_rejects_corrupt():
+    import pytest as _pytest
+
+    from lucene_solr_ray.functions.multimodal import parse_video_header
+
+    for bad in [b"", b"\x00\x00\x00\x08ftypisom",      # ftyp only, no moov
+                b"RIFF\x00\x00\x00\x04AVI ",            # no avih
+                b"\x00" * 24]:
+        with _pytest.raises(ValueError):
+            parse_video_header(bad)
+
+
+def test_video_stage_corrupt_rows_null(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.functions.multimodal import VideoMetaStage, make_mp4
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "payload": pa.array([make_mp4(100, 50, 2000), b"junkjunkjunk"],
+                            type=pa.binary()),
+    }))
+    out = ds.map_batches(VideoMetaStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out["format"].tolist() == ["mp4", None]
+    assert out["width"][0] == 100 and pd.isna(out["width"][1])
