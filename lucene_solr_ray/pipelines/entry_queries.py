@@ -7239,6 +7239,54 @@ FROM d
 """
 
 
+def q_group_func_orders(sf_dir: str):
+    """group.func analog (SURVEY.md §2.6 grouping; [8x] solr/core/.../
+    search/Grouping.java — grouping by a FUNCTION QUERY instead of a
+    field): the group key is a compiled value source (floor(totalprice /
+    50000), integerized) evaluated vectorized per batch, then the same
+    bucketed combiner+merge top-n that group.field uses — top-2 orders
+    per price band by (totalprice desc, orderkey asc)."""
+    from ..functions.relational import group_topk
+    from ..functions.scalars import compile_value_source
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    vs = compile_value_source(["floor", ["div", "o_totalprice", 50000.0]])
+
+    def key(batch: pa.Table) -> pa.Table:
+        band = vs(batch).astype(np.int64)
+        c = np.floor(batch["o_totalprice"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "price_band": pa.array(band),
+            "o_orderkey": batch["o_orderkey"],
+            "price_c": pa.array(c),
+        })
+
+    top = group_topk(
+        orders.map_batches(key, batch_format="pyarrow"),
+        "price_band", ["price_c", "o_orderkey"], [True, False], 2)
+    return top.sort(["price_band", "price_c", "o_orderkey"],
+                    descending=[False, True, False])
+
+
+def sql_group_func_orders() -> str:
+    c = _SQL_CENTS.format(col="o_totalprice")
+    return f"""
+WITH banded AS (
+  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_band,
+         o_orderkey, {c} AS price_c
+  FROM orders
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY price_band ORDER BY price_c DESC, o_orderkey ASC
+  ) AS rn FROM banded
+)
+SELECT price_band, o_orderkey, price_c
+FROM ranked WHERE rn <= 2
+ORDER BY price_band, price_c DESC, o_orderkey
+"""
+
+
 def q_video_meta(sf_dir: str):
     """REAL video header decode (multimodal triad, video leg): per doc a
     byte-exact MP4 (ISO-BMFF moov/mvhd/tkhd) or AVI (RIFF hdrl/avih)
@@ -7630,6 +7678,7 @@ QUERIES = {
     "ltr_trees_rerank_topk": q_ltr_trees_rerank_topk,
     "audio_meta": q_audio_meta,
     "video_meta": q_video_meta,
+    "group_func_orders": q_group_func_orders,
 }
 
 ORACLES = {
@@ -7789,4 +7838,5 @@ ORACLES = {
     "ltr_trees_rerank_topk": sql_ltr_trees_rerank_topk(),
     "audio_meta": sql_audio_meta(),
     "video_meta": sql_video_meta(),
+    "group_func_orders": sql_group_func_orders(),
 }
