@@ -52,6 +52,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+def _in_values(vals) -> list:
+    """IN-list value set with SQL zero semantics: Arrow's is_in hashes
+    floats BITWISE, so -0.0 and 0.0 are distinct members — SQL (and
+    pc.equal) equate them. Any float zero in the set expands to both
+    signs so membership matches SQL regardless of which zero the column
+    or the literal carries."""
+    out = list(vals)
+    if any(isinstance(v, float) and v == 0.0 for v in out):
+        out.extend([0.0, -0.0])
+    return out
+
+
 _WHERE_OPS = {
     "==": pc.equal,
     "!=": pc.not_equal,
@@ -63,7 +75,8 @@ _WHERE_OPS = {
     # IS [NOT] NULL shapes; the /sql planner in functions/sql.py lowers
     # IN, LIKE, BETWEEN and IS NULL onto these — val is ignored for the
     # null tests)
-    "in": lambda arr, vals: pc.is_in(arr, value_set=pa.array(list(vals))),
+    "in": lambda arr, vals: pc.is_in(
+        arr, value_set=pa.array(_in_values(vals))),
     "like": lambda arr, pat: pc.match_like(arr, pat),
     "is_null": lambda arr, _=None: pc.is_null(arr),
     "not_null": lambda arr, _=None: pc.is_valid(arr),
@@ -242,7 +255,7 @@ def run_expr_arrow(sf_dir: str, spec: dict) -> pa.Table:
         if op not in _PUSHDOWN_OPS:
             return None  # e.g. LIKE: no scan expression
         if op == "in":
-            return pads.field(col).isin(list(val))
+            return pads.field(col).isin(_in_values(val))
         if op == "is_null":
             return pads.field(col).is_null()
         if op == "not_null":
