@@ -7239,6 +7239,61 @@ FROM d
 """
 
 
+# WordBreak contract: query terms + the candidate enumeration shared
+# VERBATIM between engine and oracle (same split loop, min_break=3)
+_WB_TERMS = ["fastjoin", "sortmerge", "cus", "tomer"]
+
+
+def _wb_candidates():
+    cands = []
+    for t in _WB_TERMS:
+        for i in range(3, len(t) - 3 + 1):
+            cands.append(("break", t, t[:i], t[i:], f"{t[:i]} {t[i:]}"))
+    for t1, t2 in zip(_WB_TERMS, _WB_TERMS[1:]):
+        cands.append(("combine", f"{t1} {t2}", t1 + t2, None, t1 + t2))
+    return cands
+
+
+def q_word_break_terms(sf_dir: str) -> pd.DataFrame:
+    """WordBreakSolrSpellChecker analog (SURVEY.md §2 spellcheck row;
+    [8x] lucene/suggest/.../spell/WordBreakSpellChecker.java): break
+    unknown terms into two dictionary words / combine adjacent terms
+    into one — membership + df from the index stats dictionary in ONE
+    pruned is_in pass."""
+    from ..search.spellcheck import word_break
+
+    idx = ensure_ft_index(sf_dir)
+    out = word_break(idx, _WB_TERMS, min_break=3)
+    return out.astype({"freq": np.int64})
+
+
+def sql_word_break_terms() -> str:
+    vals = ",\n    ".join(
+        f"('{k}', '{o}', '{a}', "
+        + (f"'{b}'" if b is not None else "NULL")
+        + f", '{s}')"
+        for k, o, a, b, s in _wb_candidates())
+    return (
+        _ft_sql_common()
+        + f"""
+, vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+cand(kind, original, a, b, suggestion) AS (VALUES
+    {vals}
+)
+SELECT cand.kind, cand.original, cand.suggestion,
+       CAST(CASE WHEN cand.b IS NULL THEN va.df
+                 ELSE least(va.df, vb.df) END AS BIGINT) AS freq
+FROM cand
+JOIN vocab va ON va.term = cand.a
+LEFT JOIN vocab vb ON vb.term = cand.b
+WHERE cand.b IS NULL OR vb.term IS NOT NULL
+ORDER BY original, kind, freq DESC, suggestion
+"""
+    )
+
+
 def q_group_func_orders(sf_dir: str):
     """group.func analog (SURVEY.md §2.6 grouping; [8x] solr/core/.../
     search/Grouping.java — grouping by a FUNCTION QUERY instead of a
@@ -7679,6 +7734,7 @@ QUERIES = {
     "audio_meta": q_audio_meta,
     "video_meta": q_video_meta,
     "group_func_orders": q_group_func_orders,
+    "word_break_terms": q_word_break_terms,
 }
 
 ORACLES = {
@@ -7839,4 +7895,5 @@ ORACLES = {
     "audio_meta": sql_audio_meta(),
     "video_meta": sql_video_meta(),
     "group_func_orders": sql_group_func_orders(),
+    "word_break_terms": sql_word_break_terms(),
 }

@@ -31,7 +31,70 @@ import pyarrow.compute as pc
 
 from .multiterm import levenshtein_batch
 
-__all__ = ["spellcheck", "collate"]
+__all__ = ["spellcheck", "collate", "word_break"]
+
+
+def word_break(
+    index_root: str,
+    terms: List[str],
+    min_break: int = 3,
+    combine: bool = True,
+) -> pd.DataFrame:
+    """WordBreakSolrSpellChecker analog (reference: lucene/suggest/src/
+    java/org/apache/lucene/search/spell/WordBreakSpellChecker.java ~500
+    LoC + solr/core/.../spelling/WordBreakSolrSpellChecker.java,
+    branch_8x): suggest BREAKING a term into two dictionary words (every
+    split point with both sides >= ``min_break``, the reference's
+    minBreakWordLength) and COMBINING adjacent query terms whose
+    concatenation is a dictionary word.
+
+    Ray-Data shape: the candidate set is tiny (O(Σ len(term)) splits),
+    so generate it driver-side, then ONE pruned read of the stats
+    dictionary filtered by is_in — membership AND df resolve in a
+    single streaming pass; no Levenshtein, no full-vocab scan. freq =
+    min(df_a, df_b) for breaks (the weaker word bounds usefulness),
+    df for combines. Ordering (original, kind, freq desc, suggestion)."""
+    import ray.data
+
+    cands = []  # (kind, original, part_a, part_b, suggestion)
+    for t in terms:
+        for i in range(min_break, len(t) - min_break + 1):
+            cands.append(("break", t, t[:i], t[i:], f"{t[:i]} {t[i:]}"))
+    if combine:
+        for t1, t2 in zip(terms, terms[1:]):
+            cands.append(("combine", f"{t1} {t2}", t1 + t2, None,
+                          t1 + t2))
+    cols = ["kind", "original", "suggestion", "freq"]
+    if not cands:
+        return pd.DataFrame(columns=cols)
+
+    need = sorted({c[2] for c in cands} | {c[3] for c in cands if c[3]})
+    stats_dir = os.path.join(index_root, "stats", "global_stats")
+    need_arr = pa.array(need)
+
+    def member(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=need_arr))
+
+    hit = (
+        ray.data.read_parquet(stats_dir, columns=["term", "df"])
+        .map_batches(member, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # zero dictionary hits → Ray drops every block and the frame loses
+    # its schema (the documented 2.49 empty-block behavior)
+    df_map = ({} if len(hit) == 0
+              else dict(zip(hit["term"], hit["df"].astype(int))))
+
+    rows = []
+    for kind, orig, a, b, sug in cands:
+        if a not in df_map or (b is not None and b not in df_map):
+            continue
+        freq = min(df_map[a], df_map[b]) if b is not None else df_map[a]
+        rows.append((kind, orig, sug, freq))
+    out = pd.DataFrame(rows, columns=cols)
+    return (out.sort_values(["original", "kind", "freq", "suggestion"],
+                            ascending=[True, True, False, True])
+            .reset_index(drop=True))
 
 
 def spellcheck(

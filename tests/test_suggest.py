@@ -49,3 +49,39 @@ def test_suggest_ordering_and_prune(ray_session, tmp_path):
     # min_df prunes the singletons
     md = suggest(idx, ["s"], k=10, weight="total_tf", min_df=2)
     assert set(md["term"]) == {"sort", "search"}
+
+
+def test_word_break_split_and_combine(ray_session, built_indexes):
+    """WordBreakSolrSpellChecker analog: break resolves both split
+    sides against the dictionary (min_break floors the sides), combine
+    checks the concatenation; freq = min(df_a, df_b) for breaks."""
+    from lucene_solr_ray.search.spellcheck import word_break
+
+    idx = built_indexes[1]  # P=4 index over the pages corpus
+    # pages vocab contains 'search' etc.; use a term we know splits —
+    # derive two vocab words from the dictionary itself
+    import os
+
+    import pyarrow.parquet as pq
+
+    stats = pq.read_table(
+        os.path.join(idx, "stats", "global_stats"),
+        columns=["term", "df"]).to_pandas()
+    vocab = dict(zip(stats["term"], stats["df"].astype(int)))
+    words = sorted(w for w in vocab if len(w) >= 3 and w.isalpha())[:6]
+    a, b = words[0], words[1]
+    out = word_break(idx, [a + b, "zz"], min_break=3)
+    row = out[(out["kind"] == "break")
+              & (out["suggestion"] == f"{a} {b}")]
+    assert len(row) == 1
+    assert int(row["freq"].iloc[0]) == min(vocab[a], vocab[b])
+    # combine: adjacent pair whose concat is a vocab word
+    target = next(w for w in vocab if len(w) >= 6 and w.isalpha())
+    out2 = word_break(idx, [target[:3], target[3:]], min_break=3)
+    comb = out2[out2["kind"] == "combine"]
+    assert len(comb) == 1 and comb["suggestion"].iloc[0] == target
+    assert int(comb["freq"].iloc[0]) == vocab[target]
+    # no dictionary hits → empty frame with the stable schema
+    empty = word_break(idx, ["qqqxyzzz"], min_break=3)
+    assert list(empty.columns) == ["kind", "original", "suggestion", "freq"]
+    assert len(empty) == 0
