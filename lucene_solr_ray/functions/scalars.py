@@ -520,6 +520,7 @@ FUNCTIONS: Dict[str, Callable] = {
     "not": _unary(lambda a: (a == 0).astype(np.float64)),
     "and": _nary(lambda a, b: ((a != 0) & (b != 0)).astype(np.float64)),
     "or": _nary(lambda a, b: ((a != 0) | (b != 0)).astype(np.float64)),
+    "xor": _binary(lambda a, b: ((a != 0) ^ (b != 0)).astype(np.float64)),
     "if": _build_if,
     "exists": _build_exists,
     "def": _build_def,

@@ -44,6 +44,8 @@ def test_conditionals_and_comparisons(batch):
     np.testing.assert_allclose(fn(batch), np.where(x > 5, y, -y))
     fn = compile_value_source(["and", ["gte", "x", 4], ["lt", "y", 1]])
     np.testing.assert_allclose(fn(batch), ((x >= 4) & (y < 1)).astype(float))
+    fn = compile_value_source(["xor", ["gte", "x", 4], ["lt", "y", 1]])
+    np.testing.assert_allclose(fn(batch), ((x >= 4) ^ (y < 1)).astype(float))
 
 
 def test_exists_and_def(batch):
