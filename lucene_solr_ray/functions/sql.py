@@ -561,7 +561,6 @@ def sql_query(sf_dir: str, sql: str):
 
     ds = run_expr_dataset(sf_dir, spec)
 
-    out_names = [s["alias"] for s in plan["select"]]
     group_src = {s["alias"]: s["col"] for s in plain}
 
     def project(batch: pa.Table) -> pa.Table:
