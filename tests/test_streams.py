@@ -162,3 +162,35 @@ def test_bad_specs_raise():
         run_expr_arrow(SF, {"table": "orders", "aggs": {"x": ["median", "v"]}})
     with pytest.raises(ValueError, match="bad table expression"):
         run_expr_arrow(SF, ["not", "a", "dict"])
+
+
+def test_runner_parity_new_where_ops(ray_session):
+    """in / like / is_null / not_null and the DNF or-clause must agree
+    bit-exactly across the pushdown-pyarrow and full-Dataset runners
+    (the /sql planner lowers onto these)."""
+    specs = [
+        {"table": "orders",
+         "where": [["o_orderpriority", "in", ["1-URGENT", "2-HIGH"]]],
+         "aggs": {"n": ["count"]}},
+        {"table": "orders",
+         "where": [["o_orderpriority", "like", "%URG%"]],
+         "aggs": {"n": ["count"]}},
+        {"table": "orders",
+         "where": [["o_orderstatus", "not_null", None],
+                   ["o_totalprice", ">", 100000.0]],
+         "aggs": {"n": ["count"]}},
+        {"table": "orders",
+         "where": [["or", [
+             [["o_orderstatus", "==", "F"],
+              ["o_totalprice", ">", 150000.0]],
+             [["o_orderpriority", "like", "%LOW%"]],
+         ]]],
+         "groupby": ["o_orderstatus"],
+         "aggs": {"n": ["count"]},
+         "sort": [["o_orderstatus", "asc"]]},
+    ]
+    for spec in specs:
+        a = run_expr_arrow(SF, spec).to_pandas()
+        d = run_expr_dataset(SF, spec).to_pandas()
+        assert a.equals(d), spec
+        assert a["n"].sum() > 0, spec
