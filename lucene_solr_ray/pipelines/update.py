@@ -200,7 +200,7 @@ def delete_by_query(
 # Atomic updates (partial document updates)
 # ------------------------------------------------------------------------
 ATOMIC_DIR = "atomic"
-_ATOMIC_OPS = ("set", "add", "inc", "remove")
+_ATOMIC_OPS = ("set", "add", "inc", "remove", "removeregex")
 
 
 def _apply_ops(row: dict, ops: Dict[str, Dict[str, object]]) -> dict:
@@ -209,7 +209,12 @@ def _apply_ops(row: dict, ops: Dict[str, Dict[str, object]]) -> dict:
     AtomicUpdateDocumentMerger.java ~500 LoC, branch_8x; SURVEY.md §2.10):
     ``set`` replaces, ``add`` appends (string fields concatenate with a
     space — our fields are scalar, Solr's multiValued list-append analog),
-    ``inc`` adds to a numeric field, ``remove`` nulls the field."""
+    ``inc`` adds to a numeric field, ``remove`` nulls the field,
+    ``removeregex`` deletes every whitespace-separated value matching
+    the anchored pattern (the multiValued removeregex analog on the
+    space-joined scalar)."""
+    import re as _re
+
     out = dict(row)
     for field, spec in ops.items():
         if not isinstance(spec, dict) or len(spec) != 1:
@@ -222,6 +227,13 @@ def _apply_ops(row: dict, ops: Dict[str, Dict[str, object]]) -> dict:
             out[field] = val
         elif op == "remove":
             out[field] = None
+        elif op == "removeregex":
+            cur = out.get(field)
+            if cur not in (None, ""):
+                pat = _re.compile(str(val))
+                kept = [v for v in str(cur).split(" ")
+                        if not pat.fullmatch(v)]
+                out[field] = " ".join(kept) if kept else None
         elif op == "inc":
             cur = out.get(field) or 0
             out[field] = cur + val

@@ -152,3 +152,22 @@ def test_atomic_missing_url_reported(built, ray_session):
     )
     assert res["updated"] == 0 and res["missing"] == ["doc://nope"]
     assert res["generation_file"] is None
+
+
+def test_apply_ops_removeregex_unit():
+    """removeregex deletes whitespace-separated values matching the
+    ANCHORED pattern (fullmatch, the Solr multiValued analog); all
+    values removed → field nulls like remove."""
+    from lucene_solr_ray.pipelines.update import _apply_ops
+
+    row = {"text": "alpha beta12 gamma beta7"}
+    out = _apply_ops(row, {"text": {"removeregex": r"beta\d+"}})
+    assert out["text"] == "alpha gamma"
+    # non-anchored substring must NOT match (fullmatch semantics)
+    out = _apply_ops(row, {"text": {"removeregex": "beta"}})
+    assert out["text"] == "alpha beta12 gamma beta7"
+    out = _apply_ops({"text": "x y"}, {"text": {"removeregex": "[xy]"}})
+    assert out["text"] is None
+    # empty/missing field is a no-op
+    assert _apply_ops({"text": None},
+                      {"text": {"removeregex": "a"}})["text"] is None
