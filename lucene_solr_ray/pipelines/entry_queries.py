@@ -6111,6 +6111,56 @@ ORDER BY doc_id
 """
 
 
+def q_highlight_multi_snippets(sf_dir: str) -> pd.DataFrame:
+    """hl.snippets > 1 (UnifiedHighlighter maxPassages; [8x] lucene/
+    highlighter/.../uhighlight/UnifiedHighlighter.java): up to 2
+    passages per doc anchored at the first two occurrences of the
+    winning term — first 20 docs (by id) containing 'query'."""
+    from ..search.highlight import highlight
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def haskey(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        m = pc.or_(
+            pc.or_(pc.match_substring(t, " query "),
+                   pc.starts_with(t, "query ")),
+            pc.or_(pc.ends_with(t, " query"), pc.equal(t, "query")),
+        )
+        return batch.select(["doc_id"]).filter(m)
+
+    keys = (docs.map_batches(haskey, batch_format="pyarrow")
+            .sort("doc_id").limit(20).to_pandas()["doc_id"].tolist())
+    res = highlight(docs, keys, ["query"], window=2, mark=None,
+                    snippets=2)
+    return res.astype({"doc_id": np.int64, "pos": np.int64})
+
+
+def sql_highlight_multi_snippets() -> str:
+    return """
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+hit AS (
+  SELECT doc_id FROM l WHERE list_contains(l, 'query')
+  ORDER BY doc_id LIMIT 20
+),
+posu AS (
+  SELECT l.doc_id, l.l, unnest(l.l) AS tok,
+         unnest(range(1, len(l.l) + 1)) AS i
+  FROM l JOIN hit USING (doc_id)
+),
+occ AS (
+  SELECT doc_id, l, i,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM posu WHERE tok = 'query'
+)
+SELECT doc_id, 'query' AS term, CAST(i - 1 AS BIGINT) AS pos,
+       array_to_string(list_slice(l, greatest(1, i - 2), i + 2), ' ')
+         AS snippet
+FROM occ WHERE rn <= 2
+ORDER BY doc_id, pos
+"""
+
+
 def q_facet_pivot_orders(sf_dir: str) -> pd.DataFrame:
     """facet.pivot (reference: solr/core/.../component/PivotFacetProcessor
     .java, branch_8x): top-3 order statuses, nested top-3 priorities in
@@ -7735,6 +7785,7 @@ QUERIES = {
     "video_meta": q_video_meta,
     "group_func_orders": q_group_func_orders,
     "word_break_terms": q_word_break_terms,
+    "highlight_multi_snippets": q_highlight_multi_snippets,
 }
 
 ORACLES = {
@@ -7896,4 +7947,5 @@ ORACLES = {
     "video_meta": sql_video_meta(),
     "group_func_orders": sql_group_func_orders(),
     "word_break_terms": sql_word_break_terms(),
+    "highlight_multi_snippets": sql_highlight_multi_snippets(),
 }

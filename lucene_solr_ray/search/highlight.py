@@ -36,12 +36,16 @@ def highlight(
     key_col: str = "doc_id",
     text_col: str = "text",
     mark: str | None = "em",
+    snippets: int = 1,
 ) -> pd.DataFrame:
     """Snippets for ``hit_keys`` docs. Returns (key_col, term, pos,
     snippet) with ``pos`` the 0-based token index of the anchor match and
     the matched token wrapped in <mark>…</mark> tags (``mark=None`` leaves
     the snippet unmarked). Docs where no query term occurs are omitted
-    (can't happen for real hits)."""
+    (can't happen for real hits). ``snippets`` is Solr's hl.snippets:
+    up to that many passages per doc, anchored at the first N
+    occurrences OF THE SAME winning term (term priority picks the term,
+    occurrence order picks the passages), one row each in pos order."""
     keys = pa.array(list(hit_keys))
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -49,20 +53,29 @@ def highlight(
 
     small = docs_ds.map_batches(filt, batch_format="pyarrow")
 
-    def _find(toks: List[str], t) -> int:
-        """First anchor position of ``t``: a string is a single term, a
-        list is an exact consecutive phrase (UnifiedHighlighter phrase
-        passages — the whole span gets marked)."""
+    def _find_all(toks: List[str], t, limit: int) -> List[int]:
+        """First ``limit`` anchor positions of ``t``: a string is a
+        single term, a list is an exact consecutive phrase
+        (UnifiedHighlighter phrase passages — the whole span marks)."""
+        out: List[int] = []
         if isinstance(t, str):
-            try:
-                return toks.index(t)
-            except ValueError:
-                return -1
+            start = 0
+            while len(out) < limit:
+                try:
+                    p = toks.index(t, start)
+                except ValueError:
+                    break
+                out.append(p)
+                start = p + 1
+            return out
         n = len(t)
+        tl = list(t)
         for i in range(len(toks) - n + 1):
-            if toks[i:i + n] == list(t):
-                return i
-        return -1
+            if toks[i:i + n] == tl:
+                out.append(i)
+                if len(out) >= limit:
+                    break
+        return out
 
     def snip(batch: pa.Table) -> pa.Table:
         out_key, out_term, out_pos, out_snip = [], [], [], []
@@ -71,19 +84,21 @@ def highlight(
         for kv, txt in zip(ks, txts):  # ≤ k rows total survive the filter
             toks = txt.split(" ")
             for t in terms:
-                p = _find(toks, t)
-                if p < 0:
+                positions = _find_all(toks, t, max(1, snippets))
+                if not positions:
                     continue
                 span = 1 if isinstance(t, str) else len(t)
-                lo = max(0, p - window)
-                seg = toks[lo : p + span + window]
-                if mark:
-                    for j in range(p - lo, p - lo + span):
-                        seg[j] = f"<{mark}>{seg[j]}</{mark}>"
-                out_key.append(kv)
-                out_term.append(t if isinstance(t, str) else " ".join(t))
-                out_pos.append(p)
-                out_snip.append(" ".join(seg))
+                for p in positions:
+                    lo = max(0, p - window)
+                    seg = toks[lo : p + span + window]
+                    if mark:
+                        for j in range(p - lo, p - lo + span):
+                            seg[j] = f"<{mark}>{seg[j]}</{mark}>"
+                    out_key.append(kv)
+                    out_term.append(
+                        t if isinstance(t, str) else " ".join(t))
+                    out_pos.append(p)
+                    out_snip.append(" ".join(seg))
                 break
         return pa.table(
             {
@@ -95,4 +110,4 @@ def highlight(
         )
 
     df = small.map_batches(snip, batch_format="pyarrow").to_pandas()
-    return df.sort_values(key_col).reset_index(drop=True)
+    return df.sort_values([key_col, "pos"]).reset_index(drop=True)
