@@ -172,6 +172,19 @@ def main(argv=None):
     tm.add_argument("--limit", type=int, default=20)
     tm.add_argument("--sort", choices=["index", "count"], default="count")
 
+    hm = sub.add_parser(
+        "heatmap",
+        help="facet.heatmap analog: grid-cell counts over a lat/lon box",
+    )
+    hm.add_argument("--sf-dir", required=True)
+    hm.add_argument("--table", required=True)
+    hm.add_argument("--lat-col", default="lat")
+    hm.add_argument("--lon-col", default="lon")
+    hm.add_argument("--box", nargs=4, type=float, required=True,
+                    metavar=("LAT_LO", "LAT_HI", "LON_LO", "LON_HI"))
+    hm.add_argument("--rows", type=int, default=8)
+    hm.add_argument("--cols", type=int, default=8)
+
     sq = sub.add_parser(
         "sql",
         help="/sql handler analog: run a SQL subset over the parquet "
@@ -396,6 +409,19 @@ def main(argv=None):
         res = terms_regex(args.index_root, args.regex,
                           limit=args.limit, sort=args.sort)
         print(res.to_json(orient="records"))
+    elif args.cmd == "heatmap":
+        import os as _os
+
+        import ray.data as _rd
+
+        from .functions.relational import facet_heatmap
+
+        ds = _rd.read_parquet(
+            _os.path.join(args.sf_dir, f"{args.table}.parquet"),
+            columns=list(dict.fromkeys([args.lat_col, args.lon_col])))
+        res = facet_heatmap(ds, args.lat_col, args.lon_col,
+                            tuple(args.box), args.rows, args.cols)
+        print(res.to_pandas().to_json(orient="records"))
     elif args.cmd == "sql":
         from .functions.sql import sql_query
 
